@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registration, mirroring the reference's parquet-directory catalog
+  * (reference: tests/tpch.rs:137-166 registers each TPC-H table from
+  * `testdata/tpch/parquet/<table>/`; benchmarks/src/tpch/run.rs:284-346 adds
+  * csv/tbl/memtable variants).
+  *
+  * Spark-first: `spark.read.parquet` gives footer schema inference, column
+  * pruning, predicate pushdown and row-group pruning natively; a registered
+  * temp view makes the same relation reachable from SQL.
+  */
+object Catalog {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table of the driver-generated testdata layout.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * BIGINT of epoch-nanos behind this legacy flag (set defensively here so
+    * driver-built sessions work too). Event queries do their time math in
+    * epoch integers — which is also the engine-portable comparison currency.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every table of `sfDir` as a temp view (idempotent). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { n =>
+      table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+
+  /** Declared-schema CSV registration (reference:
+    * benchmarks/src/tpch/mod.rs:41-141 + run.rs:294-309 — `.tbl` files with
+    * '|' delimiter and no header).
+    */
+  def registerCsv(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      delimiter: String = "|"): DataFrame = {
+    val df = spark.read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .schema(schema)
+      .csv(path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** In-memory preload (reference: benchmarks/src/tpch/run.rs:225-235
+    * `--mem-table`): cache + materialize.
+    */
+  def cacheTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name).cache()
+    df.count() // materialize
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

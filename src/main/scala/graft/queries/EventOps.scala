@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table (batch view; the same
+  * transforms port to Structured Streaming — watermark + mapGroupsWithState
+  * variants live in graft.streaming). The reference is bounded-batch only
+  * (reference: src/plan/arrow_flight_read.rs:36-38), so this whole module
+  * is north-star extension surface.
+  *
+  * Timestamps are compared as epoch microseconds everywhere: the parquet
+  * files store ns, Spark truncates to us, DuckDB to us — epoch_us is the
+  * common exact currency.
+  */
+object EventOps {
+
+  def queries: Seq[GQuery] = Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers)
+
+  // ------------------------------------------------------------ sessionize
+  /** Gap-based sessionization (30-min inactivity): lag + running flag-sum.
+    * One shuffle keyed by user_id; window state is per-user and streaming-
+    * friendly (same keying a mapGroupsWithState would use). */
+  val sessionize: GQuery = GQuery(
+    "e_sessionize",
+    "30-min-gap sessionization: per-user session and event counts",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      // ts is BIGINT epoch-nanos (see Catalog.table); truncate to micros to
+      // match DuckDB's us-precision timestamps exactly.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM (SELECT user_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, ts,
+                         LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM events) t) s
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // ------------------------------------------------------------ hourly stats
+  /** Tumbling 1-hour windows x event_type: the batch twin of a streaming
+    * windowed aggregation (same keys a watermarked groupBy would use). */
+  val hourlyStats: GQuery = GQuery(
+    "e_hourly_stats",
+    "tumbling-hour x type: counts and exact value sums",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      e.groupBy(
+          expr("(ts div 3600000000000) * 3600").as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tot_value"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    },
+    Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n, ${dsumSql("value")} AS tot_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_epoch, event_type"""))
+
+  // ------------------------------------------------------------ json extract
+  /** Semi-structured extraction: pull props.$.k out of the JSON payload
+    * column and aggregate it — scan-parallel projection, one shuffle. */
+  val jsonExtract: GQuery = GQuery(
+    "e_json_extract",
+    "JSON field extraction + per-type aggregate of extracted values",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(k) AS n_with_k,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ------------------------------------------------------------ funnel
+  /** Signup -> purchase funnel: per-user first-signup vs first-later-
+    * purchase, one grouped pass (conditional min aggregates, no self-join). */
+  val funnel: GQuery = GQuery(
+    "e_funnel",
+    "signup->purchase conversion via conditional min-timestamp aggregates",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", expr("ts div 1000"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", expr("ts div 1000"))).as("first_purchase"))
+      perUser.agg(
+          count(col("first_signup")).as("n_signed_up"),
+          count(when(col("first_purchase") > col("first_signup"), lit(1))).as("n_converted"))
+    },
+    Some("""
+      SELECT COUNT(first_signup) AS n_signed_up,
+             COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+      FROM (SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+                   MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+            FROM events GROUP BY user_id) t"""))
+
+  // ------------------------------------------------------------ top users
+  /** Top-10 purchasers by exact spend — TakeOrderedAndProject over one
+    * partial+final aggregate. */
+  val topUsers: GQuery = GQuery(
+    "e_top_users",
+    "top-10 users by exact purchase spend",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("spend"), count(lit(1)).as("n_purchases"))
+        .orderBy(col("spend").desc, col("user_id"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT user_id, ${dsumSql("value")} AS spend, COUNT(*) AS n_purchases
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+      ORDER BY spend DESC, user_id
+      LIMIT 10"""))
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Relational capabilities beyond the TPC-H corpus that the reference gets
+  * from DataFusion but never exercises (SURVEY §2b flags them "available
+  * free"): window functions, set operations, rollup, cross/full-outer joins,
+  * string and date function surfaces. Declared here so the capability is
+  * *proved* against the oracle, not just assumed.
+  */
+object Extras {
+
+  def queries: Seq[GQuery] = Seq(
+    windowRank, windowRunning, rollupAgg, unionDistinct, intersectKeys,
+    exceptKeys, fullOuter, crossJoinQ, distinctOrder, stringFuncs, dateFuncs)
+
+  /** ROW_NUMBER ranking window — top-3 orders per customer. */
+  val windowRank: GQuery = GQuery(
+    "x_window_rank",
+    "row_number() over (partition by ... order by ...) + rank filter",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  /** Running-total window; the accumulator is fixed-point so the prefix sums
+    * are exact and engine-independent. */
+  val windowRunning: GQuery = GQuery(
+    "x_window_running_sum",
+    "cumulative sum over an ordered window per partition",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.filter(col("o_custkey") < 200)
+        .withColumn("running_spend",
+          sum(fix6(col("o_totalprice"))).over(w).cast(DoubleType) / 1000000.0d)
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS DOUBLE) / 1000000.0 AS running_spend
+      FROM orders
+      WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** ROLLUP grouping sets; subtotal rows keyed with COALESCE to sidestep
+    * engine NULL-ordering differences. */
+  val rollupAgg: GQuery = GQuery(
+    "x_rollup",
+    "rollup(flag, status) with subtotal and grand-total rows",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy(col("flag"), col("status"))
+    },
+    Some(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             COALESCE(l_linestatus, 'ALL') AS status,
+             COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY flag, status"""))
+
+  /** UNION with distinct semantics. */
+  val unionDistinct: GQuery = GQuery(
+    "x_union_distinct",
+    "UNION (distinct) of two key sets",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val s = Catalog.table(spark, dir, "supplier")
+      c.select(col("c_nationkey").as("nk"))
+        .union(s.select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nk"))
+    },
+    Some("""
+      SELECT c_nationkey AS nk FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+      ORDER BY nk"""))
+
+  /** INTERSECT. */
+  val intersectKeys: GQuery = GQuery(
+    "x_intersect",
+    "INTERSECT of two key sets",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      l.select(col("l_partkey").as("pk"))
+        .intersect(p.filter(col("p_size") > 25).select(col("p_partkey")))
+        .orderBy(col("pk"))
+    },
+    Some("""
+      SELECT l_partkey AS pk FROM lineitem
+      INTERSECT
+      SELECT p_partkey FROM part WHERE p_size > 25
+      ORDER BY pk"""))
+
+  /** EXCEPT. */
+  val exceptKeys: GQuery = GQuery(
+    "x_except",
+    "EXCEPT (set difference) of two key sets",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      p.select(col("p_partkey").as("pk"))
+        .except(l.select(col("l_partkey")))
+        .orderBy(col("pk"))
+    },
+    Some("""
+      SELECT p_partkey AS pk FROM part
+      EXCEPT
+      SELECT l_partkey FROM lineitem
+      ORDER BY pk"""))
+
+  /** FULL OUTER join of two aggregates with COALESCE'd outputs. */
+  val fullOuter: GQuery = GQuery(
+    "x_full_outer",
+    "full outer join of per-nation customer vs supplier counts",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val s = Catalog.table(spark, dir, "supplier")
+      val cc = c.groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val ss = s.filter(col("s_suppkey") % 3 === 0)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      cc.join(ss, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT COALESCE(ck, sk) AS nationkey,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+            FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+            FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey) s
+        ON ck = sk
+      ORDER BY nationkey"""))
+
+  /** CROSS JOIN enumeration (reference: comma-list joins q2.sql:10-23). */
+  val crossJoinQ: GQuery = GQuery(
+    "x_cross_join",
+    "cross join of two dimensions",
+    (spark, dir) => {
+      val r = Catalog.table(spark, dir, "region")
+      val n = Catalog.table(spark, dir, "nation")
+      r.crossJoin(n)
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name"""))
+
+  /** DISTINCT projection. */
+  val distinctOrder: GQuery = GQuery(
+    "x_distinct",
+    "select distinct over two low-cardinality columns",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** String function surface: upper/lower/length/concat/trim/replace. */
+  val stringFuncs: GQuery = GQuery(
+    "x_string_funcs",
+    "upper, lower, length, concat, replace, substring over a projection",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      c.filter(col("c_custkey") < 50)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_u"),
+          lower(col("c_name")).as("name_l"),
+          length(col("c_name")).as("name_len"),
+          concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
+          regexp_replace(col("c_name"), "0", "").as("squeezed"),
+          substring(col("c_name"), 1, 8).as("prefix"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             UPPER(c_mktsegment) AS seg_u,
+             LOWER(c_name) AS name_l,
+             CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+             c_mktsegment || '/' || c_name AS tagged,
+             REPLACE(c_name, '0', '') AS squeezed,
+             SUBSTRING(c_name, 1, 8) AS prefix
+      FROM customer
+      WHERE c_custkey < 50
+      ORDER BY c_custkey"""))
+
+  /** Date/time function surface: year/month/day, trunc, date arithmetic
+    * (reference interval semantics: q4.sql:8, q15.sql:9, q20.sql:31). */
+  val dateFuncs: GQuery = GQuery(
+    "x_date_funcs",
+    "year/month/day extraction, month truncation, interval arithmetic",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      o.filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTH")).cast("date").as("plus3m"),
+          (col("o_orderdate") - expr("INTERVAL 90 DAY")).cast("date").as("minus90d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+             CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+             CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS minus90d
+      FROM orders
+      WHERE o_orderkey < 100
+      ORDER BY o_orderkey"""))
+}

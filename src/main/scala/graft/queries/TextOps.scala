@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.util.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline layer (north star; SURVEY §7 step 8).
+  * The reference has no counterpart (it is a distribution layer over
+  * DataFusion, reference: README.md:3-6); these are designed Spark-first
+  * for the 100 TB case: every op is a scan + narrow per-row transform +
+  * key-partitioned shuffle — no driver-side collection, no cross-product
+  * except where explicitly LSH-bucketed.
+  *
+  * Cross-engine determinism: all hashes are md5-hex (identical in Spark
+  * and DuckDB); numeric hash values are the first 15 hex digits parsed
+  * base-16 (fits int64 in both engines); double outputs are rounded.
+  */
+object TextOps {
+
+  def queries: Seq[GQuery] = Seq(
+    tokenCount, langProfile, qualityScore, langId,
+    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint)
+
+  /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
+    * string_split, so counts agree). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------ token count
+  /** Token counting: whitespace tokens + regex word tokens ("BPE-ish"
+    * proxy: \w+ runs). One narrow projection — trivially scan-parallel. */
+  val tokenCount: GQuery = GQuery(
+    "t_token_count",
+    "per-doc whitespace + regex token counts",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '\\\\w+', 0)")).as("n_word_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '\w+')) AS INTEGER) AS n_word_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_m
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ lang profile
+  /** Corpus profile by language tag: doc counts + exact char totals. */
+  val langProfile: GQuery = GQuery(
+    "t_lang_profile",
+    "group-by lang: counts, total/mean chars (exact fixed-point)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("tot_chars"),
+          davg(col("n_chars").cast("double")).as("avg_chars"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+             ${davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // ------------------------------------------------------------ quality score
+  /** Quality scoring: stopword ratio + mean token length, the standard
+    * cheap filters before expensive dedup in a training-data pipeline.
+    * Pure per-row math: scan-parallel, no shuffle before the sort. */
+  val qualityScore: GQuery = GQuery(
+    "t_quality_score",
+    "per-doc stopword ratio + mean token length",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val stops = "'the','a','of','and','to','in','is','on','for','with'"
+      d.select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_tok"),
+          size(expr(s"filter(split(text, ' '), x -> x IN ($stops))")).as("n_stop"),
+          length(col("text")).as("len"))
+        .select(
+          col("doc_id"),
+          round(col("n_stop").cast("double") / col("n_tok"), 6).as("stop_ratio"),
+          round((col("len") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 6)
+            .as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+                   AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+             ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS avg_tok_len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ language id
+  /** Language-ID n-gram/stopword heuristic: English function-word hit
+    * ratio, thresholded. (Real model weights would be a broadcast lookup
+    * joined the same way — the plumbing is what scales.) */
+  val langId: GQuery = GQuery(
+    "t_langid",
+    "heuristic language-ID by stopword ratio, counts by guess x tag",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val stops = "'the','a','of','and','to','in','is','on','for','with'"
+      d.select(
+          col("lang"),
+          (size(expr(s"filter(split(text, ' '), x -> x IN ($stops))")).cast("double") /
+            size(toks(col("text")))).as("ratio"))
+        .select(col("lang"), when(col("ratio") >= 0.08, lit("en")).otherwise(lit("other")).as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    },
+    Some("""
+      SELECT lang, guess, COUNT(*) AS n
+      FROM (SELECT lang,
+                   CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+                        AS DOUBLE) / len(string_split(text, ' ')) >= 0.08
+                        THEN 'en' ELSE 'other' END AS guess
+            FROM documents) t
+      GROUP BY lang, guess
+      ORDER BY lang, guess"""))
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact deduplication: hash-groupBy on content digest, keep the lowest
+    * doc_id per group. One hash shuffle — the 100 TB-safe formulation
+    * (no sort, no collect; md5 keys partition uniformly). */
+  val exactDedup: GQuery = GQuery(
+    "t_exact_dedup",
+    "exact dedup via content-hash groupBy, keeper = min doc_id",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))
+    },
+    Some("""
+      SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY keeper"""))
+
+  // ---------------------------------------------------------- shingle helpers
+  /** Distinct 3-word shingles per doc: (doc_id, sh). Narrow explode —
+    * output size is O(total tokens), the scan-proportional shape that
+    * survives 100 TB. */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(tk) < 3 THEN array() ELSE " +
+            "array_distinct(transform(sequence(0, size(tk) - 3)," +
+            " i -> array_join(slice(tk, i + 1, 3), ' '))) END")).as("sh"))
+
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+       FROM documents"""
+
+  /** Exact Jaccard over candidate pairs that share >= 1 shingle.
+    * `jacc = |A ∩ B| / (|A| + |B| - |A ∩ B|)` — integers, so exact. */
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ------------------------------------------------------------ ngram jaccard
+  /** Exact n-gram-Jaccard near-dup on a sampled subset (doc_id % 17 = 0).
+    * The exact pairwise form is intentionally sample-bounded: with a
+    * shared small vocabulary the shingle equi-join is quadratic in bucket
+    * size, so at scale the LSH-banded variant below is the real path and
+    * this one is the verifier. */
+  val ngramJaccard: GQuery = GQuery(
+    "t_ngram_jaccard",
+    "exact 3-gram Jaccard pairs >= 0.5 on sampled docs",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents").filter(col("doc_id") % 17 === 0)
+      jaccardPairs(shingles(d), 0.5)
+    },
+    Some(s"""
+      WITH sh AS (${shinglesSql.replace("FROM documents",
+        "FROM documents WHERE doc_id % 17 = 0")}),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+      SELECT a_id, b_id,
+             ROUND(CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common), 6) AS jacc
+      FROM common JOIN sizes a ON a.doc_id = a_id JOIN sizes b ON b.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.5
+      ORDER BY a_id, b_id"""))
+
+  // ------------------------------------------------------------ minhash + LSH
+  /** MinHash + LSH banding near-dup: 16 min-hashes (md5 over seeded
+    * shingles, min of hex strings — engine-portable), 4 bands x 4 rows;
+    * docs agreeing on any full band become candidates; candidates are
+    * verified with exact Jaccard >= 0.5. This is the 100 TB dedup path:
+    * signature build is one groupBy(doc, seed); banding is one
+    * groupBy(doc, band); the only join is on band buckets, whose size
+    * concentrates on genuinely-similar docs (P[band match] = j^4). */
+  val minhashLsh: GQuery = GQuery(
+    "t_minhash_lsh",
+    "minhash(16) + 4-band LSH candidates, verified by exact jaccard",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val sh = shingles(d)
+      val sigs = sh
+        .crossJoin(spark.range(16).select(col("id").cast("int").as("seed")))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("sh"), lit(":"), col("seed")).cast("binary"))).as("mh"))
+      val bands = sigs
+        .withColumn("band", (col("seed") / 4).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(md5(array_join(expr("transform(array_sort(collect_list(struct(seed, mh)))," +
+          " s -> s.mh)"), ",").cast("binary")).as("bh"))
+      val cands = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      // Verify candidates with exact Jaccard via per-doc shingle sets —
+      // NOT a shingle self-join: work stays proportional to |candidates|,
+      // which LSH keeps small no matter the corpus size.
+      val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("arr"))
+      cands
+        .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_arr"), col("b_arr"))).as("n_common"),
+          size(col("a_arr")).as("a_sz"), size(col("b_arr")).as("b_sz"))
+        .select(col("a_id"), col("b_id"),
+          round(col("n_common").cast("double") /
+            (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      sigs AS (SELECT doc_id, seed, MIN(md5(sh || ':' || seed)) AS mh
+               FROM sh CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS seed)
+               GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+                       md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+                FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER)),
+      cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      sets AS (SELECT doc_id, list(sh) AS arr FROM sh GROUP BY doc_id),
+      scored AS (SELECT c.a_id, c.b_id,
+                        len(list_intersect(a.arr, b.arr)) AS n_common,
+                        len(a.arr) AS a_sz, len(b.arr) AS b_sz
+                 FROM cands c JOIN sets a ON a.doc_id = c.a_id
+                 JOIN sets b ON b.doc_id = c.b_id)
+      SELECT a_id, b_id,
+             ROUND(CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common), 6) AS jacc
+      FROM scored
+      WHERE CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.5
+      ORDER BY a_id, b_id"""))
+
+  // ------------------------------------------------------------ simhash
+  /** 60-bit SimHash fingerprint: per-token 60-bit hashes vote per bit
+    * position, weighted by token frequency. Flat-map to (doc, bit) then
+    * one groupBy — linear in corpus size, no pairwise work. */
+  val simhash: GQuery = GQuery(
+    "t_simhash",
+    "per-doc 60-bit simhash fingerprint from token-hash bit votes",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val tokHash = d
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), h60(col("tok")).as("h"), col("cnt"))
+      tokHash
+        .crossJoin(spark.range(60).select(col("id").cast("int").as("b")))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("shiftright(h, b) & 1") === 1L, col("cnt"))
+          .otherwise(-col("cnt"))).as("vote"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)"))
+          .otherwise(lit(0L))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH th AS (SELECT doc_id, ${h60Sql("tok")} AS h, COUNT(*) AS cnt
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY doc_id, tok),
+      votes AS (SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+                FROM th CROSS JOIN (SELECT CAST(unnest(range(60)) AS INTEGER) AS b)
+                GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ fingerprint
+  /** Document fingerprinting: k-min sketch over rolling character
+    * 16-grams (hash every offset, keep the 4 smallest per doc, concat).
+    * Rolling windows come from sequence+substring — scan-linear. */
+  val fingerprint: GQuery = GQuery(
+    "t_fingerprint",
+    "rolling 16-char-gram k-min-sketch fingerprint per doc",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.select(col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(length(text) - 15, 1))," +
+            " i -> substring(text, i, 16))")).as("gram"))
+        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(slice(sort_array(collect_set(col("gh"))), 1, 4), "|").as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 16)) AS gh
+        FROM documents
+        CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(text) - 14, 2))) AS i)
+      ),
+      ranked AS (
+        SELECT doc_id, gh,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+        FROM (SELECT DISTINCT doc_id, gh FROM grams)
+      )
+      SELECT doc_id, string_agg(gh, '|' ORDER BY gh) AS fp
+      FROM ranked WHERE rn <= 4
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+}

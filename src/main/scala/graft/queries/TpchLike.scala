@@ -1,0 +1,775 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.util.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** The relational capability surface of the reference, proved query-by-query.
+  *
+  * The reference proves its query surface by executing TPC-H q1-q22 through
+  * DataFusion (reference: tests/tpch.rs:21-131, testdata/tpch/queries/).
+  * The driver's testdata is a TPC-H-ish star schema without `partsupp` and
+  * with simplified columns, so each query here is a *shape-preserving
+  * adaptation*: the operator semantics exercised (two-phase aggregation,
+  * semi/anti joins from EXISTS/IN, correlated scalar subqueries, disjunctive
+  * join predicates, top-k, ...) match the reference query of the same
+  * number; constants and columns match the available data.
+  *
+  * Every query is written twice, independently: once in the DataFrame API
+  * (Spark-first — Catalyst plans the distribution) and once as ANSI SQL for
+  * the DuckDB oracle. Numeric aggregates use the order-independent
+  * fixed-point forms from [[graft.util.Num]] so results are bit-identical
+  * across engines and partition counts.
+  */
+object TpchLike {
+
+  private def d(s: String): Column = lit(java.sql.Date.valueOf(s))
+
+  /** revenue expression used throughout TPC-H */
+  private def disc(price: Column, discount: Column): Column =
+    price * (lit(1) - discount)
+
+  private val discSql = "l_extendedprice * (1 - l_discount)"
+
+  def queries: Seq[GQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+
+  // ---------------------------------------------------------------- q1
+  /** Scan + filter + two-phase hash aggregate + sort
+    * (reference: testdata/tpch/queries/q1.sql, tests/tpch.rs:21-23). */
+  val q1: GQuery = GQuery(
+    "q01_pricing_summary",
+    "filter + multi-column group-by with sum/avg/count + order-by",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.filter(col("l_shipdate") <= d("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          dsum(disc(col("l_extendedprice"), col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             ${dsumSql(discSql)} AS sum_disc_price,
+             ${dsumSql(s"$discSql * (1 + l_tax)")} AS sum_charge,
+             ${davgSql("l_quantity")} AS avg_qty,
+             ${davgSql("l_extendedprice")} AS avg_price,
+             ${davgSql("l_discount")} AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q2
+  /** Correlated scalar MIN subquery, decorrelated to aggregate + join
+    * (reference: q2.sql:24-37 — min supply cost per part; adapted to min
+    * account balance per nation, same decorrelation shape). */
+  val q2: GQuery = GQuery(
+    "q02_min_within_group",
+    "correlated scalar min subquery (decorrelated: agg + join-back)",
+    (spark, dir) => {
+      val s = Catalog.table(spark, dir, "supplier")
+      val n = Catalog.table(spark, dir, "nation")
+      val r = Catalog.table(spark, dir, "region")
+      val euSupp = s
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+      val minPerNation = euSupp
+        .groupBy(col("n_nationkey").as("mk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      euSupp
+        .join(broadcast(minPerNation),
+          col("n_nationkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        .orderBy(col("n_name"), col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                         FROM supplier s2, nation n2, region r2
+                         WHERE s2.s_nationkey = n2.n_nationkey
+                           AND n2.n_regionkey = r2.r_regionkey
+                           AND r2.r_name = 'EUROPE'
+                           AND n2.n_nationkey = nation.n_nationkey)
+      ORDER BY n_name, s_suppkey"""))
+
+  // ---------------------------------------------------------------- q3
+  /** 3-way join + aggregate + top-k (TakeOrderedAndProject)
+    * (reference: q3.sql; limit table benchmarks/src/tpch/mod.rs:171-194). */
+  val q3: GQuery = GQuery(
+    "q03_topk_revenue",
+    "customer x orders x lineitem join, agg, order-by + limit 10",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") < d("1998-03-15") && col("l_shipdate") > d("1998-03-15"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, ${dsumSql(discSql)} AS revenue,
+             CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q4
+  /** EXISTS -> left-semi join with a non-equi correlated predicate
+    * (reference: q4.sql:9-17; semi-join planning SURVEY §2b). */
+  val q4: GQuery = GQuery(
+    "q04_semi_join_exists",
+    "EXISTS subquery planned as left-semi join with non-equi condition",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      o.filter(col("o_orderdate") >= d("1997-07-01") && col("o_orderdate") < d("1997-10-01"))
+        .join(l,
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q5
+  /** 6-way join with an extra equality tying two dimension paths together
+    * (reference: q5.sql — local supplier volume). */
+  val q5: GQuery = GQuery(
+    "q05_local_supplier_volume",
+    "six-table join incl. same-nation constraint + agg + sort",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val s = Catalog.table(spark, dir, "supplier")
+      val n = Catalog.table(spark, dir, "nation")
+      val r = Catalog.table(spark, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= d("1996-01-01") && col("o_orderdate") < d("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name, ${dsumSql(discSql)} AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  // ---------------------------------------------------------------- q6
+  /** Scalar aggregate (no GROUP BY) over BETWEEN-filtered scan
+    * (reference: q6.sql — forecast revenue change). */
+  val q6: GQuery = GQuery(
+    "q06_scalar_agg",
+    "ungrouped aggregate with BETWEEN predicates, full filter pushdown",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.filter(
+          col("l_shipdate") >= d("1997-01-01") && col("l_shipdate") < d("1998-01-01") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- q7
+  /** Self-joined dimension (nation x2) with OR-of-ANDs predicate + year
+    * extraction (reference: q7.sql — volume shipping). */
+  val q7: GQuery = GQuery(
+    "q07_volume_shipping",
+    "two roles of one dimension, disjunctive filter, year() grouping",
+    (spark, dir) => {
+      val s = Catalog.table(spark, dir, "supplier")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val o = Catalog.table(spark, dir, "orders")
+      val c = Catalog.table(spark, dir, "customer")
+      val n1 = Catalog.table(spark, dir, "nation").alias("n1")
+      val n2 = Catalog.table(spark, dir, "nation").alias("n2")
+      s.join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+        .filter(
+          ((col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
+            (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1")) &&
+            col("l_shipdate").between(d("1996-01-01"), d("1997-12-31")))
+        .select(
+          col("n1.n_name").as("supp_nation"),
+          col("n2.n_name").as("cust_nation"),
+          year(col("l_shipdate")).as("l_year"),
+          disc(col("l_extendedprice"), col("l_discount")).as("volume"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(dsum(col("volume")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(s"""
+      SELECT supp_nation, cust_nation, l_year, ${dsumSql("volume")} AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                   $discSql AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  // ---------------------------------------------------------------- q8
+  /** CASE WHEN inside aggregate; ratio of two exact sums
+    * (reference: q8.sql — national market share). */
+  val q8: GQuery = GQuery(
+    "q08_market_share",
+    "conditional aggregation ratio over an 8-table join",
+    (spark, dir) => {
+      val p = Catalog.table(spark, dir, "part")
+      val s = Catalog.table(spark, dir, "supplier")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val o = Catalog.table(spark, dir, "orders")
+      val c = Catalog.table(spark, dir, "customer")
+      val n1 = Catalog.table(spark, dir, "nation").alias("n1")
+      val n2 = Catalog.table(spark, dir, "nation").alias("n2")
+      val r = Catalog.table(spark, dir, "region")
+      p.filter(col("p_type") === "ECONOMY")
+        .join(l, col("p_partkey") === col("l_partkey"))
+        .join(s, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(r), col("n1.n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .join(broadcast(n2), col("s_nationkey") === col("n2.n_nationkey"))
+        .select(
+          year(col("o_orderdate")).as("o_year"),
+          disc(col("l_extendedprice"), col("l_discount")).as("volume"),
+          col("n2.n_name").as("nation"))
+        .groupBy(col("o_year"))
+        .agg((dsum(when(col("nation") === "NATION_3", col("volume")).otherwise(lit(0))) /
+          dsum(col("volume"))).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""
+      SELECT o_year,
+             ${dsumSql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")} /
+             ${dsumSql("volume")} AS mkt_share
+      FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   $discSql AS volume, n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+              AND p_type = 'ECONOMY') all_nations
+      GROUP BY o_year
+      ORDER BY o_year"""))
+
+  // ---------------------------------------------------------------- q9
+  /** LIKE filter + multi-join + year grouping (reference: q9.sql — product
+    * profit; amount adapted: retailprice stands in for ps_supplycost). */
+  val q9: GQuery = GQuery(
+    "q09_product_profit",
+    "LIKE '%..%' filter, 5-table join, grouped profit expression",
+    (spark, dir) => {
+      val p = Catalog.table(spark, dir, "part")
+      val s = Catalog.table(spark, dir, "supplier")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val o = Catalog.table(spark, dir, "orders")
+      val n = Catalog.table(spark, dir, "nation")
+      p.filter(col("p_name").like("%red%"))
+        .join(l, col("p_partkey") === col("l_partkey"))
+        .join(s, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"),
+          (disc(col("l_extendedprice"), col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.1)).as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(dsum(col("amount")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""
+      SELECT nation, o_year, ${dsumSql("amount")} AS sum_profit
+      FROM (SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   $discSql - p_retailprice * l_quantity * 0.1 AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""))
+
+  // ---------------------------------------------------------------- q10
+  /** Returned-items top 20 (reference: q10.sql; limit per mod.rs:171-194). */
+  val q10: GQuery = GQuery(
+    "q10_returned_items",
+    "4-table join, returnflag filter, top-20 by aggregated revenue",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val n = Catalog.table(spark, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= d("1997-10-01") && col("o_orderdate") < d("1998-01-01") &&
+          col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, ${dsumSql(discSql)} AS revenue, c_acctbal, n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= DATE '1997-10-01' AND o_orderdate < DATE '1998-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q11
+  /** HAVING against an uncorrelated scalar subquery (reference: q11.sql
+    * — important stock; adapted to supplier balances per nation). */
+  val q11: GQuery = GQuery(
+    "q11_having_scalar_subquery",
+    "group-by + HAVING compared to a global aggregate subquery",
+    (spark, dir) => {
+      val s = Catalog.table(spark, dir, "supplier")
+      val n = Catalog.table(spark, dir, "nation")
+      val grouped = s
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("s_acctbal")).as("value"))
+      val threshold = s.agg((dsum(col("s_acctbal")) * lit(0.05)).as("threshold"))
+      grouped
+        .crossJoin(broadcast(threshold))
+        .filter(col("value") > col("threshold"))
+        .select(col("n_name"), col("value"))
+        .orderBy(col("value").desc, col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name, ${dsumSql("s_acctbal")} AS value
+      FROM supplier, nation
+      WHERE s_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING ${dsumSql("s_acctbal")} >
+             (SELECT ${dsumSql("s_acctbal")} * 0.05 FROM supplier)
+      ORDER BY value DESC, n_name"""))
+
+  // ---------------------------------------------------------------- q12
+  /** Join + CASE WHEN counting into two buckets (reference: q12.sql —
+    * shipmode priority counts; adapted to order priority classes). */
+  val q12: GQuery = GQuery(
+    "q12_conditional_counts",
+    "join + disjoint CASE WHEN counts per group",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= d("1997-01-01") && col("l_shipdate") < d("1998-01-01"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  // ---------------------------------------------------------------- q13
+  /** LEFT OUTER join with extra join-condition + count distribution
+    * (reference: q13.sql:10-12). */
+  val q13: GQuery = GQuery(
+    "q13_outer_join_distribution",
+    "left outer join with filtered condition, count(col), count-of-counts",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      c.join(o,
+          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "5-LOW",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional-aggregate ratio scaled by literal (reference: q14.sql). */
+  val q14: GQuery = GQuery(
+    "q14_promo_ratio",
+    "scalar CASE-WHEN ratio over join, single-row result",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= d("1997-09-01") && col("l_shipdate") < d("1997-10-01"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            disc(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0))) /
+          dsum(disc(col("l_extendedprice"), col("l_discount")))).as("promo_revenue"))
+    },
+    Some(s"""
+      SELECT 100.0 * ${dsumSql(s"CASE WHEN p_type = 'PROMO' THEN $discSql ELSE 0 END")} /
+             ${dsumSql(discSql)} AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'"""))
+
+  // ---------------------------------------------------------------- q15
+  /** View DDL + MAX scalar subquery over the view (reference: q15.sql is a
+    * 3-statement create/select/drop special case, run.rs:186-199; Spark temp
+    * views make it a single flow). */
+  val q15: GQuery = GQuery(
+    "q15_top_supplier_view",
+    "temp-view DDL + equality against MAX over the view",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val s = Catalog.table(spark, dir, "supplier")
+      l.filter(col("l_shipdate") >= d("1997-01-01") && col("l_shipdate") < d("1997-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
+        .createOrReplaceTempView("revenue0")
+      val rev = spark.table("revenue0")
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      s.join(broadcast(rev), col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, ${dsumSql(discSql)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier, revenue0
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey"""))
+
+  // ---------------------------------------------------------------- q16
+  /** COUNT(DISTINCT) + NOT IN anti join (reference: q16.sql; lineitem
+    * stands in for partsupp as the part-supplier bridge). */
+  val q16: GQuery = GQuery(
+    "q16_distinct_anti_join",
+    "anti join (NOT IN) + count distinct per group",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      val s = Catalog.table(spark, dir, "supplier")
+      val excluded = s.filter(col("s_name").like("%7%")).select(col("s_suppkey"))
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7%')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  // ---------------------------------------------------------------- q17
+  /** Correlated scalar AVG subquery (reference: q17.sql:11-15 — small
+    * quantity orders; avg written order-independently on both sides). */
+  val q17: GQuery = GQuery(
+    "q17_corr_avg_subquery",
+    "per-key avg subquery, decorrelated to agg + join, scalar output",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      val avgQty = l
+        .groupBy(col("l_partkey").as("ak"))
+        .agg((dsum(col("l_quantity")) / count(col("l_quantity")) * lit(0.5)).as("qty_limit"))
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .filter(col("p_brand") === "Brand#3")
+        .join(avgQty, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+        AND l_quantity < (SELECT 0.5 * (${dsumSql("l2.l_quantity")} / COUNT(l2.l_quantity))
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = part.p_partkey)"""))
+
+  // ---------------------------------------------------------------- q18
+  /** IN subquery with HAVING + top-k (reference: q18.sql — large volume
+    * customers). */
+  val q18: GQuery = GQuery(
+    "q18_in_subquery_having",
+    "IN over grouped HAVING subquery (left-semi), top-100",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val bigOrders = l
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(dsum(col("l_quantity")).as("tot"))
+        .filter(col("tot") > 150)
+        .select(col("bk"))
+      o.join(bigOrders, col("o_orderkey") === col("bk"), "left_semi")
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""
+      SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_totalprice, ${dsumSql("l_quantity")} AS sum_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING ${dsumSql("l_quantity")} > 150)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q19
+  /** Disjunction of conjunctive join predicates (reference: q19.sql —
+    * discounted revenue; Catalyst extracts the common equi-key). */
+  val q19: GQuery = GQuery(
+    "q19_disjunctive_join",
+    "OR-of-ANDs join predicate with shared equi-join key",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      l.join(p, col("p_partkey") === col("l_partkey") && (
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#11" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#20" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15))))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+    },
+    Some(s"""
+      SELECT ${dsumSql(discSql)} AS revenue
+      FROM lineitem, part
+      WHERE (p_partkey = l_partkey AND p_brand = 'Brand#2'
+             AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#11'
+             AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#20'
+             AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"""))
+
+  // ---------------------------------------------------------------- q20
+  /** Semi join against a grouped-HAVING subquery that itself joins a
+    * LIKE-filtered dimension (reference: q20.sql — potential part promotion). */
+  val q20: GQuery = GQuery(
+    "q20_nested_semi_join",
+    "IN (join + group + having) nested subquery as left-semi",
+    (spark, dir) => {
+      val s = Catalog.table(spark, dir, "supplier")
+      val n = Catalog.table(spark, dir, "nation")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val p = Catalog.table(spark, dir, "part")
+      val busySupp = l
+        .join(broadcast(p.filter(col("p_name").like("blue%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= d("1997-01-01") && col("l_shipdate") < d("1998-01-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("q"))
+        .filter(col("q") > 50)
+        .select(col("l_suppkey"))
+      s.join(busySupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_5")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+    Some(s"""
+      SELECT s_name, s_acctbal
+      FROM supplier, nation
+      WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem, part
+              WHERE l_partkey = p_partkey AND p_name LIKE 'blue%'
+                AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING ${dsumSql("l_quantity")} > 50)
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      ORDER BY s_name"""))
+
+  // ---------------------------------------------------------------- q21
+  /** EXISTS + NOT EXISTS with self-join inequality (reference: q21.sql:14-30
+    * — suppliers who kept orders waiting; lateness adapted to
+    * shipdate > orderdate + 60 days). Spark-first formulation: the two
+    * correlated existentials collapse into one per-order aggregate
+    * (distinct suppliers / distinct late suppliers) joined back — one
+    * shuffle instead of two correlated joins. */
+  val q21: GQuery = GQuery(
+    "q21_exists_not_exists",
+    "EXISTS + NOT EXISTS with <> self-join, via per-group distinct counts",
+    (spark, dir) => {
+      val s = Catalog.table(spark, dir, "supplier")
+      val l = Catalog.table(spark, dir, "lineitem")
+      val o = Catalog.table(spark, dir, "orders")
+      val n = Catalog.table(spark, dir, "nation")
+      val lo = l
+        .join(o.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      val perOrder = lo
+        .groupBy(col("l_orderkey").as("gk"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      lo.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("gk"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q22
+  /** substring() bucketing + NOT EXISTS anti join + uncorrelated avg
+    * subquery (reference: q22.sql — global sales opportunity). */
+  val q22: GQuery = GQuery(
+    "q22_substring_anti_join",
+    "substring bucket, avg scalar subquery, NOT EXISTS anti join",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val codes = Seq("1", "2", "3", "4", "5")
+      val bucketed = c
+        .withColumn("cntrycode", substring(col("c_name"), -1, 1))
+        .filter(col("cntrycode").isin(codes: _*))
+      val avgBal = bucketed
+        .filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
+      bucketed
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+    Some(s"""
+      SELECT cntrycode, COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
+      FROM (SELECT SUBSTRING(c_name, LENGTH(c_name), 1) AS cntrycode, c_acctbal, c_custkey
+            FROM customer
+            WHERE SUBSTRING(c_name, LENGTH(c_name), 1) IN ('1','2','3','4','5')) bucketed
+      WHERE c_acctbal > (SELECT ${dsumSql("c_acctbal")} / COUNT(c_acctbal)
+                         FROM customer
+                         WHERE c_acctbal > 0.0
+                           AND SUBSTRING(c_name, LENGTH(c_name), 1) IN ('1','2','3','4','5'))
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY cntrycode
+      ORDER BY cntrycode"""))
+}

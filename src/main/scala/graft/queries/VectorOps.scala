@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.util.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim)
+  * — the ANN layer of the training-data pipeline (north star; no reference
+  * counterpart: the reference is a distribution layer, README.md:3-6).
+  *
+  * Determinism across engines: all dot products are sequential left-folds
+  * over doubles (`aggregate` in Spark ≡ `list_reduce` in DuckDB after a
+  * `+0.0` identity, bit-identical), and outputs are rounded to 6 decimals.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (broadcast
+  * the small query set, scan-parallel over the corpus — at 100 TB this is
+  * one pass, no shuffle until the tiny top-k). The LSH variant buckets by
+  * deterministic hyperplane signs so the candidate scan touches one bucket
+  * per query — the standard recall/cost trade.
+  */
+object VectorOps {
+
+  def queries: Seq[GQuery] = Seq(knnBrute, centroids, lshBuckets, lshAnn)
+
+  /** Sequential double dot product of two float lists (DuckDB oracle side;
+    * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b)," +
+      s" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+
+  // ------------------------------------------------------------ brute knn
+  /** Brute-force cosine top-5 for query vectors vec_id < 3: broadcast the
+    * queries against the full corpus, rank per query. */
+  val knnBrute: GQuery = GQuery(
+    "v_knn_brute",
+    "broadcast brute-force cosine top-5 per query vector",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (expr("aggregate(zip_with(embedding, q_emb," +
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+            " (acc, v) -> acc + v)") /
+            (sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+              " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+              sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < 3),
+      scored AS (
+        SELECT q_id, e.vec_id AS n_id,
+               ${dotSql("e.embedding", "q_emb")} /
+               (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, n_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                    AS INTEGER) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ centroids
+  /** Per-label centroids, exact: posexplode to (label, dim) and fixed-point
+    * mean — one hash shuffle keyed by (label, dim), uniform by construction. */
+  val centroids: GQuery = GQuery(
+    "v_centroids",
+    "per-label per-dimension exact centroid (posexplode + fixed-point mean)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(davg(col("v").cast("double")), 6).as("centroid"),
+          count(lit(1)).as("n"))
+        .select(col("label"), (col("pos") + 1).as("pos"), col("centroid"), col("n"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some(s"""
+      SELECT label, pos, ROUND(${davgSql("v")}, 6) AS centroid, COUNT(*) AS n
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings) t
+      GROUP BY label, pos
+      ORDER BY label, pos"""))
+
+  // ------------------------------------------------------------ LSH buckets
+  /** Random-hyperplane LSH bucketing: 8 deterministic planes whose weights
+    * derive from md5(plane:dim) — portable across engines; bucket id is the
+    * 8-bit sign pattern. Output: bucket histogram (the index structure). */
+  private val nPlanes = 8
+
+  /** weight(p, d) in [-0.5, 0.5): md5-derived, identical in both engines. */
+  private def planes(spark: SparkSession, dim: Int): DataFrame =
+    spark.range(nPlanes).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(dim).select((col("id") + 1).cast("int").as("pos")))
+      .select(col("p"), col("pos"),
+        (conv(substring(md5(concat_ws(":", col("p"), col("pos")).cast("binary")), 1, 15), 16, 10)
+          .cast(LongType) % 1000000L / 1000000.0 - 0.5).as("w"))
+
+  private val planesSql =
+    s"""SELECT p, pos,
+          (('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT % 1000000)
+            / 1000000.0 - 0.5 AS w
+        FROM (SELECT CAST(unnest(range($nPlanes)) AS INTEGER) AS p)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos)"""
+
+  private def bucketed(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"), col("v"))
+      .join(broadcast(planes(spark, 64)), "pos")
+      .groupBy(col("vec_id"), col("label"), col("p"))
+      .agg(sum(fix6(col("w") * col("v").cast("double"))).as("proj"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("bucket"))
+
+  private val bucketedSql =
+    s"""SELECT vec_id, label,
+          CAST(SUM(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM (SELECT vec_id, label, p,
+                     SUM(CAST(FLOOR(w * v * 1000000 + 0.5) AS BIGINT)) AS proj
+              FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings) t
+              JOIN ($planesSql) pl USING (pos)
+              GROUP BY vec_id, label, p) s
+        GROUP BY vec_id, label"""
+
+  val lshBuckets: GQuery = GQuery(
+    "v_lsh_buckets",
+    "hyperplane-LSH bucket histogram (md5-derived deterministic planes)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      bucketed(spark, e)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH b AS ($bucketedSql)
+      SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  // ------------------------------------------------------------ LSH ANN
+  /** ANN via LSH: query vectors search only their own bucket — candidate
+    * set shrinks by ~2^planes, the scale path when brute force won't fit.
+    * Top-3 per query within the bucket, exact cosine for ranking. */
+  val lshAnn: GQuery = GQuery(
+    "v_lsh_ann",
+    "bucket-restricted cosine top-3 (LSH candidate pruning)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val b = bucketed(spark, e).select(col("vec_id"), col("bucket"))
+      val withB = e.join(b, "vec_id")
+      val q = withB.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val scored = withB.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (expr("aggregate(zip_with(embedding, q_emb," +
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+            " (acc, v) -> acc + v)") /
+            (sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+              " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+              sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH b AS ($bucketedSql),
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket
+             FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM wb
+            WHERE vec_id < 3),
+      scored AS (
+        SELECT q_id, wb.vec_id AS n_id,
+               ${dotSql("wb.embedding", "q_emb")} /
+               (sqrt(${dotSql("wb.embedding", "wb.embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM wb JOIN q USING (bucket)
+        WHERE wb.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, n_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                    AS INTEGER) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+}

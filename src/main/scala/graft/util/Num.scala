@@ -1,0 +1,53 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Cross-engine deterministic numeric aggregation.
+  *
+  * The differential oracle (DuckDB, per the driver's t2 gate; SURVEY.md §5.1)
+  * hash-compares result values. Per-row double arithmetic is IEEE-754 and
+  * bit-identical across engines, but a plain `SUM(double)` is
+  * order-dependent, and shuffle/partition order differs between Spark and any
+  * oracle — a one-ulp drift fails a hash compare. The fix is to make the
+  * *aggregation* exact: round each per-row double to a fixed decimal scale
+  * (deterministic), sum in fixed-point (exact, associative, order-free), and
+  * cast the final value back to double (deterministic). Identical per-row
+  * values + exact summation ⇒ identical results on any engine, any partition
+  * count, any row order — which is also precisely the property that makes
+  * results stable between a 32-thread local run and a 1000-executor cluster.
+  *
+  * SQL mirror used in oracle text:
+  *   dsum(x)  = CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+  *   davg(x)  = dsum(x) / COUNT(x)
+  */
+object Num {
+
+  /** Per-row quantization: 6 fractional decimal digits, as a scaled BIGINT.
+    * `floor(x*1e6 + 0.5)` is pure double arithmetic + floor — bit-identical
+    * in any IEEE-754 engine (no decimal rescale, whose tie/truncation rules
+    * differ: Spark HALF_UPs, DuckDB truncates). */
+  def fix6(e: Column): Column = floor(e * 1000000.0d + 0.5d).cast(LongType)
+  def fix6Sql(expr: String): String =
+    s"CAST(FLOOR(($expr) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Order-independent double sum: exact scaled-integer accumulation, then
+    * int->double (correctly rounded in both engines) and one exact-operand
+    * division. Identical on any engine, any partition count, any row order
+    * — which is also what keeps results stable between local[32] and a
+    * 1000-executor cluster. */
+  def dsum(e: Column): Column =
+    (sum(fix6(e)).cast(DoubleType) / 1000000.0d)
+
+  /** Order-independent double mean: deterministic sum / count. */
+  def davg(e: Column): Column = dsum(e) / count(e)
+
+  /** SQL fragments for oracle text — keep in lockstep with the above.
+    * DuckDB SUM(BIGINT) yields HUGEINT; the BIGINT cast keeps the
+    * int->double step identical to Spark's long sum. */
+  def dsumSql(expr: String): String =
+    s"(CAST(CAST(SUM(${fix6Sql(expr)}) AS BIGINT) AS DOUBLE) / 1000000.0)"
+  def davgSql(expr: String): String =
+    s"(${dsumSql(expr)} / COUNT($expr))"
+}
