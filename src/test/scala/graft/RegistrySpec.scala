@@ -1,0 +1,48 @@
+package graft
+
+/** One spec per registry operator (driver requirement): each query runs on
+  * sf0.001 and returns exactly the golden row count (values are separately
+  * hash-checked against the DuckDB oracle by the verify gate — see
+  * tools/check_oracles.py; this suite pins execution health + cardinality).
+  *
+  * Mirrors the reference's per-query test layout (reference:
+  * tests/tpch.rs:21-131 — one test case per TPC-H query).
+  */
+class RegistrySpec extends SparkSpec {
+
+  private val golden: Map[String, Long] = Map(
+    "e_funnel" -> 1, "e_hourly_stats" -> 868, "e_json_extract" -> 5,
+    "e_sessionize" -> 15, "e_top_users" -> 10,
+    "q01_pricing_summary" -> 6, "q02_min_within_group" -> 4,
+    "q03_topk_revenue" -> 10, "q04_semi_join_exists" -> 5,
+    "q05_local_supplier_volume" -> 1, "q06_scalar_agg" -> 1,
+    "q07_volume_shipping" -> 0, "q08_market_share" -> 7,
+    "q09_product_profit" -> 70, "q10_returned_items" -> 20,
+    "q11_having_scalar_subquery" -> 8, "q12_conditional_counts" -> 2,
+    "q13_outer_join_distribution" -> 15, "q14_promo_ratio" -> 1,
+    "q15_top_supplier_view" -> 1, "q16_distinct_anti_join" -> 24,
+    "q17_corr_avg_subquery" -> 1, "q18_in_subquery_having" -> 100,
+    "q19_disjunctive_join" -> 1, "q20_nested_semi_join" -> 0,
+    "q21_exists_not_exists" -> 1, "q22_substring_anti_join" -> 0,
+    "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
+    "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 1,
+    "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
+    "v_centroids" -> 640, "v_knn_brute" -> 15, "v_lsh_ann" -> 4,
+    "v_lsh_buckets" -> 204,
+    "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
+    "x_except" -> 0, "x_full_outer" -> 25, "x_intersect" -> 86,
+    "x_rollup" -> 10, "x_string_funcs" -> 50, "x_union_distinct" -> 25,
+    "x_window_rank" -> 449, "x_window_running_sum" -> 1500)
+
+  test("registry is complete: every query present, every oracle key valid") {
+    assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
+    assert(golden.keySet === Registry.all.map(_.name).toSet)
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name}: runs at sf0.001 with golden cardinality") {
+      val n = q.run(spark, sf0001).count()
+      assert(n === golden(q.name), s"row count drift for ${q.name}")
+    }
+  }
+}
