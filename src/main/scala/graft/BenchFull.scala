@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Reference-protocol benchmark harness: per-query iterations with elapsed
+  * ms + row counts, JSON results file, and >1.2x regression comparison
+  * against the previous results at the same path (reference:
+  * benchmarks/src/util/run.rs:64-132 JSON shape, 197-260 compare;
+  * iterations default 3 per options.rs:36-37).
+  *
+  * usage: BenchFull <sfDir> <resultsPath> [iterations]
+  */
+object BenchFull {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchFull <sfDir> <resultsPath> [iterations]")
+    val sfDir = args(0)
+    val outPath = args(1)
+    val iterations = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.get()
+    Catalog.table(spark, sfDir, "lineitem").count() // warm-up
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = queries.map { case (name, fn) =>
+      val qStart = System.currentTimeMillis()
+      var success = true
+      val iters = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, sfDir).count()
+        catch { case e: Throwable => success = false; -1L }
+        (System.nanoTime() - t0) / 1e6 -> rows
+      }
+      (name, qStart, success, iters)
+    }
+
+    val prev = readPrevAverages(outPath)
+    val json = new StringBuilder
+    json ++= s"""{"context":{"benchmark_version":"${BuildInfo.version}","engine":"graft-spark","num_cpus":${Runtime.getRuntime.availableProcessors},"start_time":${System.currentTimeMillis() / 1000},"arguments":["$sfDir","iterations=$iterations"]},"queries":["""
+    json ++= results.map { case (name, qStart, success, iters) =>
+      val arr = iters.map { case (ms, n) =>
+        s"""{"elapsed":$ms,"row_count":$n}"""
+      }.mkString(",")
+      s"""{"query":"$name","iterations":[$arr],"start_time":${qStart / 1000},"success":$success}"""
+    }.mkString(",")
+    json ++= "]}"
+    Files.writeString(Paths.get(outPath), json.toString)
+
+    // regression display vs previous run (>1.2x flagged either way)
+    results.foreach { case (name, _, _, iters) =>
+      val avg = iters.map(_._1).sum / iters.size
+      prev.get(name).foreach { old =>
+        val ratio = avg / old
+        val flag =
+          if (ratio > 1.2) "❌ regressed"
+          else if (ratio < 1 / 1.2) "✅ improved"
+          else "no change"
+        println(f"$name%-28s $old%9.1f ms -> $avg%9.1f ms  ${ratio}%5.2fx  $flag")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Per-query average elapsed from a previous results file (minimal
+    * parser for our own output shape — no JSON lib on the classpath). */
+  private def readPrevAverages(path: String): Map[String, Double] = {
+    if (!Files.exists(Paths.get(path))) return Map.empty
+    val text = Files.readString(Paths.get(path))
+    val q = """"query":"([^"]+)","iterations":\[([^\]]*)\]""".r
+    val e = """"elapsed":([0-9.E+-]+)""".r
+    q.findAllMatchIn(text).map { m =>
+      val es = e.findAllMatchIn(m.group(2)).map(_.group(1).toDouble).toSeq
+      m.group(1) -> (if (es.isEmpty) Double.NaN else es.sum / es.size)
+    }.toMap
+  }
+}
+
+/** Build metadata (kept trivial; no sbt-buildinfo plugin offline). */
+object BuildInfo { val version = "0.1.0" }

@@ -37,10 +37,13 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 
-  /** Build (or reuse) the engine session. */
+  /** Build (or reuse) the engine session, with graft-native functions
+    * registered (≡ the reference's per-request SessionBuilder hook,
+    * reference: src/flight_service/do_get.rs:100-113). */
   def get(cpus: Int = defaultCpus): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -20,7 +20,8 @@ object Registry {
       graft.queries.Extras.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.EventOps.queries
+      graft.queries.EventOps.queries ++
+      graft.multimodal.MediaOps.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

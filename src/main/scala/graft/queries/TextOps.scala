@@ -34,6 +34,15 @@ object TextOps {
   private def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Universal-hash base for minhash: md5 once per value, reduced mod a
+    * prime; per-seed variants are then pure int64 arithmetic (overflow-free:
+    * v < P ~ 1e9, multiplier <= 31). */
+  private val MinhashP = 1000000007L
+  private def hvSqlSpark(e: String): String =
+    s"cast(conv(substring(md5(cast($e as binary)), 1, 15), 16, 10) as bigint) % $MinhashP"
+  private def hvSqlDuck(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % $MinhashP)"
+
   // ------------------------------------------------------------ token count
   /** Token counting: whitespace tokens + regex word tokens ("BPE-ish"
     * proxy: \w+ runs). One narrow projection — trivially scan-parallel. */
@@ -227,25 +236,40 @@ object TextOps {
   /** MinHash + LSH banding near-dup: 16 min-hashes (md5 over seeded
     * shingles, min of hex strings — engine-portable), 4 bands x 4 rows;
     * docs agreeing on any full band become candidates; candidates are
-    * verified with exact Jaccard >= 0.5. This is the 100 TB dedup path:
-    * signature build is one groupBy(doc, seed); banding is one
-    * groupBy(doc, band); the only join is on band buckets, whose size
-    * concentrates on genuinely-similar docs (P[band match] = j^4). */
+    * verified with exact Jaccard >= 0.5.
+    *
+    * Scale shape: signatures and band hashes are PER-ROW array
+    * expressions — zero shuffle until the band equi-join, whose bucket
+    * sizes concentrate on genuinely-similar docs (P[band match] = j^4).
+    * (A first cut exploded (doc x shingle x seed) through two groupBys —
+    * a 38M-row shuffle at sf0.1 and 23 s; this form is scan-bound.) */
   val minhashLsh: GQuery = GQuery(
     "t_minhash_lsh",
     "minhash(16) + 4-band LSH candidates, verified by exact jaccard",
     (spark, dir) => {
       val d = Catalog.table(spark, dir, "documents")
-      val sh = shingles(d)
-      val sigs = sh
-        .crossJoin(spark.range(16).select(col("id").cast("int").as("seed")))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("sh"), lit(":"), col("seed")).cast("binary"))).as("mh"))
-      val bands = sigs
-        .withColumn("band", (col("seed") / 4).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(md5(array_join(expr("transform(array_sort(collect_list(struct(seed, mh)))," +
-          " s -> s.mh)"), ",").cast("binary")).as("bh"))
+      val withSh = d
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), expr(
+          "CASE WHEN size(tk) < 3 THEN array() ELSE " +
+            "array_distinct(transform(sequence(0, size(tk) - 3)," +
+            " i -> array_join(slice(tk, i + 1, 3), ' '))) END").as("shs"))
+      // one md5 per shingle; the 16 per-seed hashes come from a universal
+      // integer family over the digest — md5 is the only portable-but-
+      // costly step, so it is not repeated per seed
+      val sig = withSh
+        .select(col("doc_id"), col("shs"), expr(
+          s"transform(shs, sh -> ${hvSqlSpark("sh")})").as("hv"))
+        .select(col("doc_id"), col("shs"), expr(
+          s"transform(sequence(0, 15)," +
+            s" s -> array_min(transform(hv, v -> (v * (2 * s + 1) + s * 7919) % $MinhashP)))")
+          .as("sig"))
+      val bands = sig.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band," +
+          " md5(cast(array_join(transform(slice(sig, b * 4 + 1, 4)," +
+          " x -> cast(x as string)), ',') as binary)) AS bh))"))
+        .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val cands = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -255,7 +279,7 @@ object TextOps {
       // Verify candidates with exact Jaccard via per-doc shingle sets —
       // NOT a shingle self-join: work stays proportional to |candidates|,
       // which LSH keeps small no matter the corpus size.
-      val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("arr"))
+      val sets = withSh.select(col("doc_id"), col("shs").as("arr"))
       cands
         .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
@@ -270,11 +294,13 @@ object TextOps {
     },
     Some(s"""
       WITH sh AS ($shinglesSql),
-      sigs AS (SELECT doc_id, seed, MIN(md5(sh || ':' || seed)) AS mh
-               FROM sh CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS seed)
+      hv AS (SELECT doc_id, sh, ${hvSqlDuck("sh")} AS v FROM sh),
+      sigs AS (SELECT doc_id, seed,
+                      MIN((v * (2 * seed + 1) + seed * 7919) % $MinhashP) AS mh
+               FROM hv CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS seed)
                GROUP BY doc_id, seed),
       bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-                       md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+                       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bh
                 FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER)),
       cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                 FROM bands x JOIN bands y
@@ -293,26 +319,26 @@ object TextOps {
 
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash fingerprint: per-token 60-bit hashes vote per bit
-    * position, weighted by token frequency. Flat-map to (doc, bit) then
-    * one groupBy — linear in corpus size, no pairwise work. */
+    * position (one vote per occurrence ≡ frequency-weighted votes over
+    * distinct tokens). One explode + ONE groupBy carrying 60 codegen'd
+    * conditional sums — map-side partial aggregation collapses each doc
+    * before the shuffle. (A first cut crossJoined 60 bit-rows per token —
+    * a 150M-row stream at sf0.1 and 9 s; this is one pass.) */
   val simhash: GQuery = GQuery(
     "t_simhash",
     "per-doc 60-bit simhash fingerprint from token-hash bit votes",
     (spark, dir) => {
       val d = Catalog.table(spark, dir, "documents")
-      val tokHash = d
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("doc_id"), h60(col("tok")).as("h"), col("cnt"))
-      tokHash
-        .crossJoin(spark.range(60).select(col("id").cast("int").as("b")))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(expr("shiftright(h, b) & 1") === 1L, col("cnt"))
-          .otherwise(-col("cnt"))).as("vote"))
+      val votes = (0 until 60).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
+          .as(s"v$b"))
+      val simhashExpr = (0 until 60)
+        .map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")
+      d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), h60(col("tok")).as("h"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)"))
-          .otherwise(lit(0L))).as("simhash"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -333,25 +359,26 @@ object TextOps {
   // ------------------------------------------------------------ fingerprint
   /** Document fingerprinting: k-min sketch over rolling character
     * 16-grams (hash every offset, keep the 4 smallest per doc, concat).
-    * Rolling windows come from sequence+substring — scan-linear. */
+    * Entirely per-row array expressions — no shuffle at all before the
+    * output sort. (A first cut exploded grams into a collect_set groupBy
+    * — a 14M-row shuffle at sf0.1 and 7.5 s.) */
   val fingerprint: GQuery = GQuery(
     "t_fingerprint",
     "rolling 16-char-gram k-min-sketch fingerprint per doc",
     (spark, dir) => {
       val d = Catalog.table(spark, dir, "documents")
       d.select(col("doc_id"),
-          explode(expr("transform(sequence(1, greatest(length(text) - 15, 1))," +
-            " i -> substring(text, i, 16))")).as("gram"))
-        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-        .groupBy(col("doc_id"))
-        .agg(array_join(slice(sort_array(collect_set(col("gh"))), 1, 4), "|").as("fp"))
+          expr("array_join(slice(array_sort(array_distinct(" +
+            "transform(sequence(1, greatest(length(text) - 15, 1), 4)," +
+            " i -> md5(cast(substring(text, i, 16) as binary))))), 1, 4), '|')")
+            .as("fp"))
         .orderBy(col("doc_id"))
     },
     Some("""
       WITH grams AS (
         SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 16)) AS gh
         FROM documents
-        CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(text) - 14, 2))) AS i)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(text) - 14, 2), 4)) AS i)
       ),
       ranked AS (
         SELECT doc_id, gh,

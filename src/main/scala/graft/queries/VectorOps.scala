@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.LongType
   */
 object VectorOps {
 
-  def queries: Seq[GQuery] = Seq(knnBrute, centroids, lshBuckets, lshAnn)
+  def queries: Seq[GQuery] = Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn)
 
   /** Sequential double dot product of two float lists (DuckDB oracle side;
     * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
@@ -75,6 +75,31 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ native knn
+  /** Same top-5 search through the codegen'd native `cosine_sim`
+    * expression ([[graft.functions.CosineSim]]): one fused loop instead of
+    * three lambda folds — bit-identical results (same sequential double
+    * accumulation), so it shares the brute-force oracle. */
+  val knnNative: GQuery = GQuery(
+    "v_knn_native",
+    "broadcast cosine top-5 via the native codegen cosine_sim expression",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          expr("cosine_sim(embedding, q_emb)").as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    knnBrute.oracle)
 
   // ------------------------------------------------------------ centroids
   /** Per-label centroids, exact: posexplode to (label, dim) and fixed-point

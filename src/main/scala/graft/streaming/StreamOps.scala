@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.util.Num._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is bounded-batch only
+  * (reference: src/plan/arrow_flight_read.rs:36-38 — `Boundedness::Bounded`),
+  * so this is pure extension: the streaming twins of the batch EventOps,
+  * built on watermarks + windowed aggregation + keyed state.
+  *
+  * Scale notes: state is keyed by user_id (same hash-shuffle keying as the
+  * batch path), watermark bounds state size, and both ops emit append-mode
+  * results so sinks stay incremental at any volume.
+  */
+object StreamOps {
+
+  /** One event after timestamp normalization (micros keeps parity with the
+    * batch path, which reads the nanos column as BIGINT). */
+  case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+  /** A closed session emitted once its gap timeout has passed. */
+  case class Session(
+      user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, tot_value_fix6: Long)
+
+  /** Open-session accumulator (public: the state encoder's generated code
+    * must reach the accessors). */
+  case class SessState(
+      start_us: Long, last_us: Long, n: Long, totFix6: Long)
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
+    * the streaming twin of EventOps.hourlyStats. Late data beyond the
+    * watermark is dropped; results append once windows close. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(fix6(col("value"))).as("tot_value_fix6"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("tot_value_fix6"))
+
+  /** Gap-based sessionization (the streaming twin of EventOps.sessionize):
+    * per-user keyed state via flatMapGroupsWithState, closing a session
+    * when `gap` passes without events (event-time timeout). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, evs: Iterator[Ev], st: GroupState[SessState])
+        : Iterator[Session] = {
+      if (st.hasTimedOut) {
+        val s = st.get
+        st.remove()
+        return Iterator(Session(userId, s.start_us, s.last_us, s.n, s.totFix6))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us))
+      var closed = List.empty[Session]
+      var cur = st.getOption
+      sorted.foreach { e =>
+        val vFix = math.floor(e.value * 1e6 + 0.5).toLong
+        cur match {
+          case Some(s) if e.ts_us - s.last_us <= gapUs =>
+            cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1, totFix6 = s.totFix6 + vFix))
+          case Some(s) =>
+            closed ::= Session(userId, s.start_us, s.last_us, s.n, s.totFix6)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1, vFix))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1, vFix))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        st.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

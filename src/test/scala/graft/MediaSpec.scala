@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.MediaOps
+import graft.multimodal.MediaOps.MediaRow
+
+/** Multimodal plumbing specs: the stub decoder is deterministic, so
+  * features are hand-computable. */
+class MediaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("extractFeatures computes byte histogram + brightness per blob") {
+    // "AB" = bytes 65,66 -> bin 4 twice; brightness 65.5
+    val in = Seq(MediaRow(7L, "AB".getBytes("UTF-8"), "raw", 0, 0)).toDS()
+    val f = MediaOps.extractFeatures(in).collect().head
+    assert(f.doc_id === 7L)
+    assert(f.n_bytes === 2L)
+    assert(f.brightness === 65.5)
+    assert(f.hist16(4) === 2L && f.hist16.sum === 2L)
+  }
+
+  test("sampleFrames yields n frames with correct offsets") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val in = Seq(MediaRow(1L, bytes, "raw", 0, 0)).toDS()
+    val frames = MediaOps.sampleFrames(in, n = 4, frameBytes = 10)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    assert(frames.forall(_.frame.length === 10))
+    assert(frames.map(_.frame.head.toInt).toSeq === Seq(0, 25, 50, 75))
+  }
+
+  test("empty blob produces zero features and no frames") {
+    val in = Seq(MediaRow(1L, Array.empty[Byte], "raw", 0, 0)).toDS()
+    assert(MediaOps.extractFeatures(in).collect().head.brightness === 0.0)
+    assert(MediaOps.sampleFrames(in, 3, 8).count() === 0L)
+  }
+
+  test("m_media_features aggregates over the documents corpus") {
+    val out = Registry.byName("m_media_features").run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum === 500L) // all docs bucketed
+  }
+}

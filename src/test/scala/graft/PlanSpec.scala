@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.PlanDescriber
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions — the scale contract. These pin the properties
+  * that matter at 100 TB: pushdowns reach the parquet scan, small
+  * dimensions broadcast, per-row pipelines don't shuffle.
+  * (≡ the reference's physical-plan snapshot tests,
+  * tests/distributed_aggregation.rs:32-91.) */
+class PlanSpec extends SparkSpec {
+
+  private def q(name: String) = Registry.byName(name).run(spark, sf0001)
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val plan = PlanDescriber.formatted(q("q01_pricing_summary"))
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed:\n${plan.take(2000)}")
+    // column pruning: the scan must not read join keys the query never uses
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), "scan reads unused l_orderkey")
+    assert(readSchema.contains("l_returnflag"), "scan misses needed column")
+  }
+
+  test("q05: small dimensions join via broadcast, not shuffle") {
+    assert(PlanDescriber.broadcasts(q("q05_local_supplier_volume")) >= 2,
+      "nation/region should broadcast")
+  }
+
+  test("v_knn_native: native expression is codegen'd, query is broadcast-only") {
+    val df = q("v_knn_native")
+    df.collect() // finalize the adaptive plan so codegen annotations exist
+    val s = PlanDescriber.summary(df)
+    assert(PlanDescriber.simpleString(df).contains("cosine_sim"))
+    assert(s.wholeStageCodegen, "native expression fell out of codegen")
+    assert(s.sortMergeJoins === 0, "knn must not sort-merge join")
+  }
+
+  test("t_fingerprint: per-row pipeline has no pre-sort shuffle") {
+    // the only exchange allowed is the final ORDER BY range partitioning
+    val s = PlanDescriber.simpleString(q("t_fingerprint"))
+    val ex = "Exchange".r.findAllIn(s).length
+    assert(ex <= 1, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
+  }
+
+  test("t_exact_dedup: one hash shuffle, partial aggregation map-side") {
+    val s = PlanDescriber.summary(q("t_exact_dedup"))
+    assert(s.hashAggregates >= 2, "expected partial+final hash aggregate")
+  }
+
+  test("normalized plan text is machine-stable") {
+    val a = PlanDescriber.normalized(q("q06_scalar_agg"))
+    val b = PlanDescriber.normalized(q("q06_scalar_agg"))
+    assert(a === b)
+    assert(!a.matches("(?s).*#\\d+.*"), "attribute ids not normalized")
+  }
+}

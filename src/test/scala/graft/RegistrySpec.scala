@@ -11,6 +11,7 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   private val golden: Map[String, Long] = Map(
+    "m_media_features" -> 1,
     "e_funnel" -> 1, "e_hourly_stats" -> 868, "e_json_extract" -> 5,
     "e_sessionize" -> 15, "e_top_users" -> 10,
     "q01_pricing_summary" -> 6, "q02_min_within_group" -> 4,
@@ -27,7 +28,8 @@ class RegistrySpec extends SparkSpec {
     "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
     "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 1,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
-    "v_centroids" -> 640, "v_knn_brute" -> 15, "v_lsh_ann" -> 4,
+    "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
+    "v_lsh_ann" -> 4,
     "v_lsh_buckets" -> 204,
     "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
     "x_except" -> 0, "x_full_outer" -> 25, "x_intersect" -> 86,

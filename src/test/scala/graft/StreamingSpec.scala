@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming specs driven through MemoryStream — the streaming
+  * twins of the batch event ops. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val min = 60L * 1000000L
+
+  test("streaming hourlyStats emits closed windows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.hourlyStats(in.toDF())
+      .writeStream.format("memory").queryName("hs").outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData(
+        Ev(1, 5 * min, "click", 1.5), Ev(2, 10 * min, "click", 2.5),
+        Ev(1, 65 * min, "view", 1.0))
+      q.processAllAvailable()
+      // push watermark beyond hour 0 and 1 (wm = max event - 2h)
+      in.addData(Ev(9, 300 * min, "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hs").as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        (0L, "click", 2L, 4000000L),
+        (60L * 60L * 1000000L, "view", 1L, 1000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes sessions on gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user 1: two events 10min apart (one session), then 50min gap, one
+      // more. (Events are offset from t=0: a row whose event time equals
+      // the current watermark is dropped by the stateful-op late filter.)
+      in.addData(Ev(1, 100 * min, "a", 1.0), Ev(1, 110 * min, "b", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, 160 * min, "c", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out the open session
+      in.addData(Ev(2, 600 * min, "z", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, 1200 * min, "z", 0.0))
+      q.processAllAvailable()
+      val sess = spark.table("sess")
+        .as[StreamOps.Session].collect().filter(_.user_id == 1).sortBy(_.start_us)
+      assert(sess.length === 2)
+      assert(sess(0).n_events === 2 && sess(0).tot_value_fix6 === 3000000L)
+      assert(sess(0).start_us === 100 * min && sess(0).end_us === 110 * min)
+      assert(sess(1).n_events === 1 && sess(1).tot_value_fix6 === 3000000L)
+    } finally q.stop()
+  }
+}
