@@ -28,6 +28,16 @@ object TextOps {
     * string_split, so counts agree). */
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Spread a small-file scan across all cores before CPU-heavy per-row
+    * work. A single parquet file arrives as ONE input split, serializing
+    * the md5 pipelines onto one core; an explicit-count repartition (which
+    * AQE will not coalesce) buys full parallelism for the price of
+    * shuffling the raw text once. On a real cluster with many input files
+    * this is a no-op cost-wise — AQE-planned joins downstream are
+    * unaffected. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
   private def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
@@ -247,28 +257,27 @@ object TextOps {
     "t_minhash_lsh",
     "minhash(16) + 4-band LSH candidates, verified by exact jaccard",
     (spark, dir) => {
-      val d = Catalog.table(spark, dir, "documents")
-      val withSh = d
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .select(col("doc_id"), expr(
-          "CASE WHEN size(tk) < 3 THEN array() ELSE " +
-            "array_distinct(transform(sequence(0, size(tk) - 3)," +
-            " i -> array_join(slice(tk, i + 1, 3), ' '))) END").as("shs"))
-      // one md5 per shingle; the 16 per-seed hashes come from a universal
-      // integer family over the digest — md5 is the only portable-but-
-      // costly step, so it is not repeated per seed
-      val sig = withSh
-        .select(col("doc_id"), col("shs"), expr(
-          s"transform(shs, sh -> ${hvSqlSpark("sh")})").as("hv"))
-        .select(col("doc_id"), col("shs"), expr(
-          s"transform(sequence(0, 15)," +
-            s" s -> array_min(transform(hv, v -> (v * (2 * s + 1) + s * 7919) % $MinhashP)))")
-          .as("sig"))
-      val bands = sig.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band," +
-          " md5(cast(array_join(transform(slice(sig, b * 4 + 1, 4)," +
-          " x -> cast(x as string)), ',') as binary)) AS bh))"))
-        .as("bb"))
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      // Explode shingles and md5 them ONCE, then build the 16-seed
+      // signature as 16 codegen'd min-aggregates in a single groupBy
+      // (map-side partial min). Deliberately NOT a higher-order-function
+      // pipeline: HOFs skip whole-stage codegen, and CollapseProject
+      // inlines a hashed-array column into every consuming lambda —
+      // recomputing the md5 batch once per seed (measured 3x slower).
+      val hvRows = shingles(d)
+        .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))
+      val sigCols = (0 until 16).map(s =>
+        min(expr(s"(v * ${2 * s + 1} + ${s * 7919}) % $MinhashP")).as(s"s$s"))
+      val sig = hvRows
+        .groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail :+ collect_set(col("sh")).as("arr"): _*)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
+          .cast("binary")).as(s"bh$b"))
+      val bands = sig.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"), explode(expr(
+          "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
+            " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val cands = bands.as("x")
         .join(bands.as("y"),
@@ -279,7 +288,7 @@ object TextOps {
       // Verify candidates with exact Jaccard via per-doc shingle sets —
       // NOT a shingle self-join: work stays proportional to |candidates|,
       // which LSH keeps small no matter the corpus size.
-      val sets = withSh.select(col("doc_id"), col("shs").as("arr"))
+      val sets = sig.select(col("doc_id"), col("arr"))
       cands
         .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
@@ -328,7 +337,7 @@ object TextOps {
     "t_simhash",
     "per-doc 60-bit simhash fingerprint from token-hash bit votes",
     (spark, dir) => {
-      val d = Catalog.table(spark, dir, "documents")
+      val d = spread(Catalog.table(spark, dir, "documents"))
       val votes = (0 until 60).map(b =>
         sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
           .as(s"v$b"))
@@ -366,7 +375,7 @@ object TextOps {
     "t_fingerprint",
     "rolling 16-char-gram k-min-sketch fingerprint per doc",
     (spark, dir) => {
-      val d = Catalog.table(spark, dir, "documents")
+      val d = spread(Catalog.table(spark, dir, "documents"))
       d.select(col("doc_id"),
           expr("array_join(slice(array_sort(array_distinct(" +
             "transform(sequence(1, greatest(length(text) - 15, 1), 4)," +

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.LongType
   */
 object VectorOps {
 
-  def queries: Seq[GQuery] = Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn)
+  def queries: Seq[GQuery] =
+    Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, cosNearDup)
 
   /** Sequential double dot product of two float lists (DuckDB oracle side;
     * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
@@ -231,4 +232,42 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ cosine near-dup
+  /** Embedding-cosine near-dup: LSH buckets prefilter candidate pairs
+    * (work ∝ Σ bucket²/2, concentrated on similar vectors), exact cosine
+    * verifies. Recall is LSH-bounded by construction — the documented
+    * trade of every banded dedup at scale; raise nPlanes bands for higher
+    * recall. Threshold fits the synthetic corpus (max pairwise cos ≈ 0.48). */
+  val cosNearDup: GQuery = GQuery(
+    "v_cos_neardup",
+    "LSH-bucketed embedding pairs verified by exact cosine >= 0.35",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Catalog.table(spark, dir, "embeddings")
+      val b = bucketed(spark, e).select(col("vec_id"), col("bucket"))
+      val withB = e.join(b, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      withB.as("x")
+        .join(withB.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          expr("cosine_sim(x.embedding, y.embedding)").as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH b AS ($bucketedSql),
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket
+             FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+             ROUND(${dotSql("x.embedding", "y.embedding")} /
+               (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+                sqrt(${dotSql("y.embedding", "y.embedding")})), 6) AS sim
+      FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ${dotSql("x.embedding", "y.embedding")} /
+            (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+             sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.35
+      ORDER BY a_id, b_id"""))
 }

@@ -37,11 +37,13 @@ class PlanSpec extends SparkSpec {
     assert(s.sortMergeJoins === 0, "knn must not sort-merge join")
   }
 
-  test("t_fingerprint: per-row pipeline has no pre-sort shuffle") {
-    // the only exchange allowed is the final ORDER BY range partitioning
+  test("t_fingerprint: per-row pipeline has no mid-pipeline shuffle") {
+    // allowed exchanges: the deliberate scan-spread repartition and the
+    // final ORDER BY range partitioning — nothing in between
     val s = PlanDescriber.simpleString(q("t_fingerprint"))
     val ex = "Exchange".r.findAllIn(s).length
-    assert(ex <= 1, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
+    assert(ex <= 2, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
+    assert(!s.contains("HashAggregate"), "fingerprint must not aggregate")
   }
 
   test("t_exact_dedup: one hash shuffle, partial aggregation map-side") {

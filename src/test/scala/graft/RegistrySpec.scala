@@ -29,7 +29,7 @@ class RegistrySpec extends SparkSpec {
     "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 1,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
     "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
-    "v_lsh_ann" -> 4,
+    "v_lsh_ann" -> 4, "v_cos_neardup" -> 11,
     "v_lsh_buckets" -> 204,
     "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
     "x_except" -> 0, "x_full_outer" -> 25, "x_intersect" -> 86,

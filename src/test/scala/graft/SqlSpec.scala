@@ -1,0 +1,52 @@
+package graft
+
+import graft.plans.Partitioning
+import org.apache.spark.sql.functions._
+
+/** SQL script entry path + explicit partitioning control. */
+class SqlSpec extends SparkSpec {
+
+  test("splitStatements is quote-aware") {
+    assert(GraftSql.splitStatements("SELECT 1; SELECT 2;") ===
+      Seq("SELECT 1", "SELECT 2"))
+    assert(GraftSql.splitStatements("SELECT 'a;b'; SELECT ';'") ===
+      Seq("SELECT 'a;b'", "SELECT ';'"))
+    assert(GraftSql.splitStatements("SELECT 'it''s; fine'; SELECT 3") ===
+      Seq("SELECT 'it''s; fine'", "SELECT 3"))
+  }
+
+  test("q15-style 3-statement view flow runs end-to-end") {
+    Catalog.registerAll(spark, sf0001)
+    val script = """
+      CREATE OR REPLACE TEMP VIEW rev_t AS
+        SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey;
+      SELECT s_suppkey, n FROM supplier JOIN rev_t ON s_suppkey = l_suppkey
+        WHERE n = (SELECT MAX(n) FROM rev_t) ORDER BY s_suppkey;
+      DROP VIEW rev_t"""
+    val out = GraftSql.runScript(spark, script).collect()
+    assert(out.nonEmpty)
+    assert(intercept[Exception](spark.table("rev_t")).getMessage.contains("rev_t"))
+  }
+
+  test("SQL over registered views matches the DataFrame path") {
+    Catalog.registerAll(spark, sf0001)
+    val sql = spark.sql(
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val df = Catalog.table(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sql === df)
+  }
+
+  test("explicit hash/round-robin/range repartitioning takes effect") {
+    val l = Catalog.table(spark, sf0001, "lineitem")
+    assert(Partitioning.numPartitions(Partitioning.roundRobin(l, 7)) === 7)
+    val hashed = Partitioning.hash(l, 5, "l_orderkey")
+    assert(Partitioning.numPartitions(hashed) === 5)
+    assert(Partitioning.describe(hashed).toLowerCase.contains("hashpartitioning"))
+    val ranged = Partitioning.byRange(l, 3, col("l_orderkey"))
+    assert(Partitioning.numPartitions(ranged) === 3)
+  }
+}
