@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 object Extras {
 
   def queries: Seq[GQuery] = Seq(
-    windowRank, windowRunning, rollupAgg, unionDistinct, intersectKeys,
-    exceptKeys, fullOuter, crossJoinQ, distinctOrder, stringFuncs, dateFuncs)
+    windowRank, windowRunning, rollupAgg, cubeAgg, unionDistinct, intersectKeys,
+    exceptKeys, fullOuter, crossJoinQ, distinctOrder, stringFuncs, dateFuncs,
+    decimalArith)
 
   /** ROW_NUMBER ranking window — top-3 orders per customer. */
   val windowRank: GQuery = GQuery(
@@ -89,6 +90,60 @@ object Extras {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY flag, status"""))
+
+  /** CUBE grouping sets (all four combinations). */
+  val cubeAgg: GQuery = GQuery(
+    "x_cube",
+    "cube(flag, status): all grouping-set combinations",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy(col("flag"), col("status"))
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             COALESCE(l_linestatus, 'ALL') AS status,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY flag, status"""))
+
+  /** Exact decimal arithmetic — the reference's money type is
+    * Decimal128(15,2) (reference: benchmarks/src/tpch/mod.rs:62-72); the
+    * testdata carries doubles, so this query casts into DECIMAL(15,2) at
+    * the scan and aggregates in exact decimal the whole way (no double
+    * re-emission), proving the decimal surface end-to-end. */
+  val decimalArith: GQuery = GQuery(
+    "x_decimal_arith",
+    "decimal(15,2) cast + exact decimal sum/avg arithmetic",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.select(col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(15, 2)).as("price"),
+          col("l_discount").cast(DecimalType(15, 2)).as("disc"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("price")).as("sum_price"),
+          sum(expr("price * (1 - disc)")).cast(DecimalType(38, 6)).as("sum_disc_price"),
+          max(col("price")).as("max_price"), min(col("disc")).as("min_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             SUM(price) AS sum_price,
+             CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
+             MAX(price) AS max_price, MIN(disc) AS min_disc
+      FROM (SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(15,2)) AS price,
+                   CAST(l_discount AS DECIMAL(15,2)) AS disc
+            FROM lineitem) t
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** UNION with distinct semantics. */
   val unionDistinct: GQuery = GQuery(

@@ -28,6 +28,11 @@ class SqlSpec extends SparkSpec {
     assert(intercept[Exception](spark.table("rev_t")).getMessage.contains("rev_t"))
   }
 
+  test("ANSI substring(x FROM i FOR n) syntax parses (SURVEY risk item)") {
+    val r = spark.sql("SELECT substring('graft' FROM 1 FOR 2) AS s").head.getString(0)
+    assert(r === "gr")
+  }
+
   test("SQL over registered views matches the DataFrame path") {
     Catalog.registerAll(spark, sf0001)
     val sql = spark.sql(
