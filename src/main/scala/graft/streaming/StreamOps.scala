@@ -43,6 +43,17 @@ object StreamOps {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("tot_value_fix6"))
 
+  /** Streaming exact dedup: drop records whose key was already seen
+    * within the watermark horizon (state is keyed by the dedup key and
+    * expires with the watermark — a training-data ingest can run this
+    * continuously at any volume because retained state is bounded by
+    * `retention`, not by corpus size). */
+  def dedupByKey(events: DataFrame, retention: String): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", retention)
+      .dropDuplicatesWithinWatermark("event_key")
+
   /** Gap-based sessionization (the streaming twin of EventOps.sessionize):
     * per-user keyed state via flatMapGroupsWithState, closing a session
     * when `gap` passes without events (event-time timeout). */

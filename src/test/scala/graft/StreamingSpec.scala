@@ -34,6 +34,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.dedupByKey(
+        in.toDF().toDF("event_key", "ts_us"), retention = "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData(("a", 100 * min), ("b", 101 * min), ("a", 102 * min))
+      q.processAllAvailable()
+      in.addData(("a", 110 * min), ("c", 111 * min))
+      q.processAllAvailable()
+      val keys = spark.table("dd").select("event_key").as[String].collect().sorted
+      assert(keys.toSeq === Seq("a", "b", "c"), s"got ${keys.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
