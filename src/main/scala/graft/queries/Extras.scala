@@ -180,7 +180,7 @@ object Extras {
       SELECT p_partkey FROM part WHERE p_size > 25
       ORDER BY pk"""))
 
-  /** EXCEPT. */
+  /** EXCEPT: parts never sold in large quantities. */
   val exceptKeys: GQuery = GQuery(
     "x_except",
     "EXCEPT (set difference) of two key sets",
@@ -188,13 +188,13 @@ object Extras {
       val l = Catalog.table(spark, dir, "lineitem")
       val p = Catalog.table(spark, dir, "part")
       p.select(col("p_partkey").as("pk"))
-        .except(l.select(col("l_partkey")))
+        .except(l.filter(col("l_quantity") > 45).select(col("l_partkey")))
         .orderBy(col("pk"))
     },
     Some("""
       SELECT p_partkey AS pk FROM part
       EXCEPT
-      SELECT l_partkey FROM lineitem
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 45
       ORDER BY pk"""))
 
   /** FULL OUTER join of two aggregates with COALESCE'd outputs. */

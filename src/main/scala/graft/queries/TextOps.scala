@@ -217,21 +217,22 @@ object TextOps {
   }
 
   // ------------------------------------------------------------ ngram jaccard
-  /** Exact n-gram-Jaccard near-dup on a sampled subset (doc_id % 17 = 0).
-    * The exact pairwise form is intentionally sample-bounded: with a
+  /** Exact n-gram-Jaccard near-dup on a bounded window (doc_id < 500).
+    * The exact pairwise form is intentionally window-bounded: with a
     * shared small vocabulary the shingle equi-join is quadratic in bucket
     * size, so at scale the LSH-banded variant below is the real path and
-    * this one is the verifier. */
+    * this one is its constant-cost verifier (the window is where the
+    * corpus generator plants its near-duplicates). */
   val ngramJaccard: GQuery = GQuery(
     "t_ngram_jaccard",
-    "exact 3-gram Jaccard pairs >= 0.5 on sampled docs",
+    "exact 3-gram Jaccard pairs >= 0.5 on a bounded doc window",
     (spark, dir) => {
-      val d = Catalog.table(spark, dir, "documents").filter(col("doc_id") % 17 === 0)
+      val d = Catalog.table(spark, dir, "documents").filter(col("doc_id") < 500)
       jaccardPairs(shingles(d), 0.5)
     },
     Some(s"""
       WITH sh AS (${shinglesSql.replace("FROM documents",
-        "FROM documents WHERE doc_id % 17 = 0")}),
+        "FROM documents WHERE doc_id < 500")}),
       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       common AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
                  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id

@@ -752,10 +752,15 @@ object TpchLike {
       val avgBal = bucketed
         .filter(col("c_acctbal") > 0.0)
         .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
+      // anti-join against URGENT orders only: in this corpus every
+      // customer has some order, so the unfiltered NOT EXISTS of the
+      // original is vacuously empty; the filtered form keeps the
+      // anti-join semantics AND a non-trivial result
       bucketed
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(o.filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("cntrycode"))
@@ -769,7 +774,9 @@ object TpchLike {
                          FROM customer
                          WHERE c_acctbal > 0.0
                            AND SUBSTRING(c_name, LENGTH(c_name), 1) IN ('1','2','3','4','5'))
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
       GROUP BY cntrycode
       ORDER BY cntrycode"""))
 }

@@ -24,15 +24,15 @@ class RegistrySpec extends SparkSpec {
     "q15_top_supplier_view" -> 1, "q16_distinct_anti_join" -> 24,
     "q17_corr_avg_subquery" -> 1, "q18_in_subquery_having" -> 100,
     "q19_disjunctive_join" -> 1, "q20_nested_semi_join" -> 0,
-    "q21_exists_not_exists" -> 1, "q22_substring_anti_join" -> 0,
+    "q21_exists_not_exists" -> 1, "q22_substring_anti_join" -> 3,
     "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
-    "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 1,
+    "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 28,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
     "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
     "v_lsh_ann" -> 4, "v_cos_neardup" -> 11,
     "v_lsh_buckets" -> 204,
     "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
-    "x_except" -> 0, "x_full_outer" -> 25, "x_intersect" -> 86,
+    "x_except" -> 7, "x_full_outer" -> 25, "x_intersect" -> 86,
     "x_rollup" -> 10, "x_cube" -> 12, "x_decimal_arith" -> 3,
     "x_string_funcs" -> 50, "x_union_distinct" -> 25,
     "x_window_rank" -> 449, "x_window_running_sum" -> 1500)
