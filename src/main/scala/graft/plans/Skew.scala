@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling
+  * (`spark.sql.adaptive.skewJoin`, on in GraftSession) covers sort-merge
+  * joins at runtime; explicit salting is the deterministic fallback for
+  * the cases AQE can't split (e.g. skewed aggregation keys, or
+  * shuffled-hash joins against a replicable build side).
+  */
+object Skew {
+
+  /** Salted equi-join: each probe row takes one of `nSalts` sub-keys and
+    * the build side is replicated once per salt, so a hot key's rows
+    * spread over nSalts reducers. Join RESULTS are salt-placement-
+    * independent (every probe row meets exactly its key's build rows
+    * whatever salt it lands on), so the seeded-random salt is safe.
+    * Build side must tolerate replication (dimension-shaped). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    val salts = probe.sparkSession.range(nSalts)
+      .select(col("id").cast("int").as("__salt"))
+    val probeS = probe.withColumn("__salt",
+      (rand(42) * nSalts).cast("int"))
+    val buildS = build.crossJoin(broadcast(salts))
+    probeS.join(buildS,
+        probeS(probeKey) === buildS(buildKey) && probeS("__salt") === buildS("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key — caps any single reducer's input at
+    * ~1/nSalts of the hottest key. Caller supplies mergeable partials
+    * (sum/count/min/max style). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      nSalts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(nSalts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"), sum(col("__n")).as("n"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink + skew-mitigation specs (SURVEY §2b scans/sources/sinks). */
+class CatalogSpec extends SparkSpec {
+
+  test("declared-schema '|'-CSV registration round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.tbl"),
+      "0|ALPHA|10.5\n1|BETA|20.25\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val df = Catalog.registerCsv(spark, "csv_t", s"$dir/data.tbl", schema)
+    assert(spark.table("csv_t").count() === 2)
+    assert(df.filter(col("name") === "BETA").head.getDouble(2) === 20.25)
+  }
+
+  test("memtable preload caches and registers") {
+    val df = Catalog.cacheTable(spark, sf0001, "region")
+    assert(df.storageLevel.useMemory, "cacheTable should persist in memory")
+    assert(spark.table("region").count() === 5)
+    df.unpersist()
+  }
+
+  test("parquet sink honors compression codec and partition count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    Catalog.table(spark, sf0001, "nation")
+      .repartition(3)
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$dir/out")
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 3)
+    assert(files.forall(_.getName.contains("zstd")))
+    assert(spark.read.parquet(s"$dir/out").count() === 25)
+  }
+
+  test("salted join matches plain join exactly") {
+    val l = Catalog.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Catalog.table(spark, sf0001, "orders").select("o_orderkey", "o_orderstatus")
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Skew.saltedJoin(l, o, "l_orderkey", "o_orderkey", nSalts = 8)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted === plain)
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    val l = Catalog.table(spark, sf0001, "lineitem")
+    val direct = l.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val salted = Skew.saltedSum(l, "l_returnflag", "l_quantity", nSalts = 16)
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(salted === direct)
+  }
+}
