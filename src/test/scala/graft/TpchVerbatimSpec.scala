@@ -1,0 +1,41 @@
+package graft
+
+import graft.tpch.TpchAdapter
+
+/** Runs the reference repo's OWN q1-q22 SQL files verbatim against the
+  * adapter-derived reference schema — the "switch engines, keep your
+  * queries" proof (reference: tests/tpch.rs:21-131 runs the same files;
+  * q15 is the 3-statement view flow the reference must special-case and
+  * this engine runs through the ordinary script path). Skipped when the
+  * reference checkout isn't present. */
+class TpchVerbatimSpec extends SparkSpec {
+
+  private val queriesDir = "/root/reference/testdata/tpch/queries"
+  private def available = new java.io.File(queriesDir).isDirectory
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    if (available) TpchAdapter.registerReferenceSchema(spark, sf0001)
+  }
+
+  // row counts are data-dependent (synthetic corpus), so the contract is:
+  // executes, deterministic across runs, and — for the queries whose
+  // filters are date-window/aggregation-shaped rather than constant-
+  // lottery — non-empty output. (q11 filters n_name='GERMANY', absent
+  // from the synthetic nations; q22's NOT EXISTS(orders) is vacuous here
+  // because every customer has orders.)
+  private val expectNonEmpty = Set(1, 3, 4, 5, 6, 10, 12, 13, 15, 18)
+
+  (1 to 22).foreach { n =>
+    test(s"reference q$n.sql runs verbatim") {
+      assume(available, s"$queriesDir not present")
+      val df1 = TpchAdapter.runReferenceQuery(spark, queriesDir, n)
+      val r1 = df1.collect()
+      val r2 = TpchAdapter.runReferenceQuery(spark, queriesDir, n).collect()
+      assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+        "non-deterministic result")
+      if (expectNonEmpty(n))
+        assert(r1.nonEmpty, s"q$n expected rows on the adapted corpus")
+    }
+  }
+}
