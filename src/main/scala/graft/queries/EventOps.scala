@@ -17,7 +17,38 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
-  def queries: Seq[GQuery] = Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers)
+  def queries: Seq[GQuery] =
+    Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention)
+
+  /** Day-over-day retention: of the users active on day d, how many were
+    * also active on day d+1. One distinct-(user, day) projection, then a
+    * self-equi-join on user with a day offset — both sides shuffle once
+    * on the same key. */
+  val retention: GQuery = GQuery(
+    "e_retention",
+    "day-over-day active-user retention",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val days = e.select(col("user_id"),
+          expr("ts div 86400000000000").as("day")).distinct()
+      days.as("a")
+        .join(days.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.day") === col("a.day") + 1, "left_outer")
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("active"),
+          count(col("b.user_id")).as("retained"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events)
+      SELECT a.day AS day, COUNT(*) AS active, COUNT(b.user_id) AS retained
+      FROM days a LEFT OUTER JOIN days b
+        ON a.user_id = b.user_id AND b.day = a.day + 1
+      GROUP BY a.day
+      ORDER BY day"""))
 
   // ------------------------------------------------------------ sessionize
   /** Gap-based sessionization (30-min inactivity): lag + running flag-sum.

@@ -21,8 +21,31 @@ import org.apache.spark.sql.types.LongType
 object TextOps {
 
   def queries: Seq[GQuery] = Seq(
-    tokenCount, langProfile, qualityScore, langId,
+    tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint)
+
+  /** Corpus vocabulary statistics: global top-20 tokens by frequency —
+    * explode + one count shuffle + top-k (map-side partial counts make
+    * the shuffle proportional to |vocab| x partitions, not corpus size). */
+  val topTokens: GQuery = GQuery(
+    "t_top_tokens",
+    "global top-20 token frequencies",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 20"""))
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
