@@ -19,6 +19,12 @@ object Skew {
     * Build side must tolerate replication (dimension-shaped). */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit one null-padded copy of every unmatched
+    // build row PER SALT REPLICA — refuse rather than silently duplicate
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin replicates the build side; joinType '$joinType' would " +
+        "duplicate unmatched build rows — use inner/left variants")
     val salts = probe.sparkSession.range(nSalts)
       .select(col("id").cast("int").as("__salt"))
     val probeS = probe.withColumn("__salt",
@@ -32,11 +38,13 @@ object Skew {
 
   /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key — caps any single reducer's input at
-    * ~1/nSalts of the hottest key. Caller supplies mergeable partials
-    * (sum/count/min/max style). */
+    * ~1/nSalts of the hottest key. The salt carries per-row entropy
+    * (seeded random): deriving it from row VALUES would collapse a hot
+    * key with constant values onto one salt and mitigate nothing.
+    * Results are salt-placement-independent (sums re-merge). */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       nSalts: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(nSalts)))
+    df.withColumn("__salt", (rand(42) * nSalts).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))

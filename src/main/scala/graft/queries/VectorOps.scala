@@ -26,6 +26,19 @@ object VectorOps {
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, cosNearDup)
 
+  /** Composable-form cosine similarity between columns `embedding` and
+    * `q_emb`: three sequential double left-folds (dot + both norms) —
+    * the order the determinism contract depends on; shared by the brute
+    * and LSH-pruned searches so the oracle text stays in lockstep. */
+  private def cosineSim: Column =
+    expr("aggregate(zip_with(embedding, q_emb," +
+      " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+      " (acc, v) -> acc + v)") /
+      (sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+        sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
+
   /** Sequential double dot product of two float lists (DuckDB oracle side;
     * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
   private def dotSql(a: String, b: String): String =
@@ -44,14 +57,7 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          (expr("aggregate(zip_with(embedding, q_emb," +
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
-            " (acc, v) -> acc + v)") /
-            (sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
-              " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
-              sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))).as("sim"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -197,14 +203,7 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
       val scored = withB.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          (expr("aggregate(zip_with(embedding, q_emb," +
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
-            " (acc, v) -> acc + v)") /
-            (sqrt(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
-              " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
-              sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))).as("sim"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)

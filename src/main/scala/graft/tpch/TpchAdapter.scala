@@ -79,7 +79,7 @@ object TpchAdapter {
           syn(colors.size, colors, col("p_partkey") + 13)).as("p_name"),
         concat(lit("Manufacturer#"), (pmod(col("p_partkey"), lit(5)) + 1)).as("p_mfgr"),
         concat(lit("Brand#"), (pmod(col("p_partkey"), lit(5)) + 1),
-          (pmod(col("p_partkey") / 5, lit(5)) + 1)).as("p_brand"),
+          (pmod(expr("p_partkey div 5"), lit(5)) + 1)).as("p_brand"),
         concat_ws(" ",
           syn(types1.size, types1, col("p_partkey")),
           syn(types2.size, types2, col("p_partkey") + 3),

@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * count, any row order — which is also precisely the property that makes
   * results stable between a 32-thread local run and a 1000-executor cluster.
   *
-  * SQL mirror used in oracle text:
-  *   dsum(x)  = CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
-  *   davg(x)  = dsum(x) / COUNT(x)
+  * SQL mirror used in oracle text (keep in lockstep with dsumSql below):
+  *   dsum(x) = CAST(CAST(SUM(CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)) AS BIGINT)
+  *             AS DOUBLE) / 1e6
+  *   davg(x) = dsum(x) / COUNT(x)
   */
 object Num {
 

@@ -24,7 +24,7 @@ class TpchVerbatimSpec extends SparkSpec {
   // lottery — non-empty output. (q11 filters n_name='GERMANY', absent
   // from the synthetic nations; q22's NOT EXISTS(orders) is vacuous here
   // because every customer has orders.)
-  private val expectNonEmpty = Set(1, 3, 4, 5, 6, 10, 12, 13, 15, 18)
+  private val expectNonEmpty = Set(1, 3, 4, 5, 6, 10, 12, 13, 15, 16, 18)
 
   (1 to 22).foreach { n =>
     test(s"reference q$n.sql runs verbatim") {
