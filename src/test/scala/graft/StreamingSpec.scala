@@ -51,6 +51,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val m = min
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = in.toDF().join(broadcast(dim), Seq("user_id"), "left_outer")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .start()
+    try {
+      in.addData(Ev(1, m, "a", 1.0), Ev(1, 2 * m, "b", 1.0),
+        Ev(2, 3 * m, "c", 1.0), Ev(9, 4 * m, "d", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").as[(Option[String], Long)].collect().toMap
+      assert(rows === Map(Some("gold") -> 2L, Some("basic") -> 1L, None -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
