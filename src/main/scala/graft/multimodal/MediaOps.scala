@@ -71,6 +71,32 @@ object MediaOps {
     }
   }
 
+  /** Resize: downsample each blob to `targetBytes` by striding (the
+    * stub analog of an image resize — a real codec would decode, scale,
+    * re-encode; the metadata update and per-partition batch shape are
+    * the part that carries). */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.media.length
+        if (len <= targetBytes) r
+        else {
+          val out = new Array[Byte](targetBytes)
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = r.media((i.toLong * len / targetBytes).toInt)
+            i += 1
+          }
+          // metadata tracks the logical downscale factor
+          val f = math.max(len / targetBytes, 1)
+          r.copy(media = out,
+            width = math.max(r.width / f, 1), height = math.max(r.height / f, 1))
+        }
+      }
+    }
+  }
+
   /** Frame sampling: split each blob into `n` evenly-spaced fixed-size
     * frames (the video path). flatMap keeps it scan-parallel; output rows
     * carry (doc_id, frame_idx) for downstream per-frame feature joins. */
@@ -91,19 +117,32 @@ object MediaOps {
     * bucket of brightness. No SQL oracle (mapPartitions pipeline is not
     * SQL-expressible); correctness is pinned by MediaSpec's hand-computed
     * fixtures and the deterministic stub. */
-  def queries: Seq[GQuery] = Seq(GQuery(
-    "m_media_features",
-    "binary-column decode + feature extraction via mapPartitions",
-    (spark, dir) => {
-      import spark.implicits._
-      val feats = extractFeatures(attachMedia(spark, dir))
-      feats.select(col("doc_id"), col("n_bytes"),
-          floor(col("brightness") / 10).cast("int").as("bright_bucket"),
-          col("hist16")(0).as("h0"))
-        .groupBy(col("bright_bucket"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("tot_bytes"),
-          sum(col("h0")).as("tot_h0"))
-        .orderBy(col("bright_bucket"))
-    },
-    None))
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      "m_media_features",
+      "binary-column decode + feature extraction via mapPartitions",
+      (spark, dir) => {
+        import spark.implicits._
+        val feats = extractFeatures(attachMedia(spark, dir))
+        feats.select(col("doc_id"), col("n_bytes"),
+            floor(col("brightness") / 10).cast("int").as("bright_bucket"),
+            col("hist16")(0).as("h0"))
+          .groupBy(col("bright_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("tot_bytes"),
+            sum(col("h0")).as("tot_h0"))
+          .orderBy(col("bright_bucket"))
+      },
+      None),
+    GQuery(
+      "m_frame_stats",
+      "resize + frame-sample pipeline: per-frame-index byte stats",
+      (spark, dir) => {
+        import spark.implicits._
+        val frames = sampleFrames(resize(attachMedia(spark, dir), 256), 4, 32)
+        frames.select(col("frame_idx"), length(col("frame")).as("fb"))
+          .groupBy(col("frame_idx"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("fb")).as("tot_bytes"))
+          .orderBy(col("frame_idx"))
+      },
+      None))
 }

@@ -17,7 +17,28 @@ object Extras {
   def queries: Seq[GQuery] = Seq(
     windowRank, windowRunning, rollupAgg, cubeAgg, unionDistinct, intersectKeys,
     exceptKeys, fullOuter, crossJoinQ, distinctOrder, stringFuncs, dateFuncs,
-    decimalArith)
+    decimalArith, sqlPath)
+
+  private val sqlPathText = """
+      SELECT n_name, COUNT(*) AS n_suppliers,
+             CAST(CAST(SUM(CAST(FLOOR(s_acctbal * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS DOUBLE) / CAST(1000000 AS DOUBLE) AS tot_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING COUNT(*) > 0
+      ORDER BY n_name"""
+
+  /** The SQL-text entry path itself as a gated capability: view
+    * registration + `spark.sql` over the same ANSI text the oracle runs
+    * (reference's primary path is ctx.sql per SURVEY §3). */
+  val sqlPath: GQuery = GQuery(
+    "x_sql_path",
+    "ANSI SQL text through the session over registered views",
+    (spark, dir) => {
+      Catalog.registerAll(spark, dir)
+      spark.sql(sqlPathText)
+    },
+    Some(sqlPathText))
 
   /** ROW_NUMBER ranking window — top-3 orders per customer. */
   val windowRank: GQuery = GQuery(

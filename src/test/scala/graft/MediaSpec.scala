@@ -29,6 +29,18 @@ class MediaSpec extends SparkSpec {
     assert(frames.map(_.frame.head.toInt).toSeq === Seq(0, 25, 50, 75))
   }
 
+  test("resize strides blobs down to the target and rescales metadata") {
+    val bytes = (0 until 1000).map(_.toByte).toArray
+    val in = Seq(MediaRow(1L, bytes, "raw", 640, 480)).toDS()
+    val r = MediaOps.resize(in, targetBytes = 100).collect().head
+    assert(r.media.length === 100)
+    assert(r.media(0) === 0.toByte && r.media(50) === 500.toByte)
+    assert(r.width === 64 && r.height === 48)
+    // already-small blobs pass through untouched
+    val small = MediaOps.resize(in, targetBytes = 5000).collect().head
+    assert(small.media.length === 1000)
+  }
+
   test("empty blob produces zero features and no frames") {
     val in = Seq(MediaRow(1L, Array.empty[Byte], "raw", 0, 0)).toDS()
     assert(MediaOps.extractFeatures(in).collect().head.brightness === 0.0)

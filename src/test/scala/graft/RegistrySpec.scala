@@ -11,7 +11,7 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   private val golden: Map[String, Long] = Map(
-    "m_media_features" -> 1,
+    "m_media_features" -> 1, "m_frame_stats" -> 4, "x_sql_path" -> 10,
     "e_funnel" -> 1, "e_hourly_stats" -> 868, "e_json_extract" -> 5,
     "e_retention" -> 30, "t_top_tokens" -> 20,
     "e_sessionize" -> 15, "e_top_users" -> 10,
