@@ -7,7 +7,15 @@ object Verify {
     require(args.length == 2, s"usage: Verify <sfDir> <outDir> (got ${args.mkString(" ")})")
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get()
-    new java.io.File(outDir).mkdirs()
+    // clear any previous run first: stale outputs + a stale oracle_sql.json
+    // would make a crashed run look like a (false) pass downstream
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val out = new java.io.File(outDir)
+    if (out.exists()) rm(out)
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -22,30 +22,7 @@ object TextOps {
 
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
-    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint)
-
-  /** Corpus vocabulary statistics: global top-20 tokens by frequency —
-    * explode + one count shuffle + top-k (map-side partial counts make
-    * the shuffle proportional to |vocab| x partitions, not corpus size). */
-  val topTokens: GQuery = GQuery(
-    "t_top_tokens",
-    "global top-20 token frequencies",
-    (spark, dir) => {
-      val d = Catalog.table(spark, dir, "documents")
-      d.select(explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy(col("tok"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok"))
-        .limit(20)
-    },
-    Some("""
-      SELECT tok, COUNT(*) AS n
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      WHERE length(tok) > 0
-      GROUP BY tok
-      ORDER BY n DESC, tok
-      LIMIT 20"""))
+    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -277,56 +254,56 @@ object TextOps {
     * sizes concentrate on genuinely-similar docs (P[band match] = j^4).
     * (A first cut exploded (doc x shingle x seed) through two groupBys —
     * a 38M-row shuffle at sf0.1 and 23 s; this form is scan-bound.) */
-  val minhashLsh: GQuery = GQuery(
-    "t_minhash_lsh",
-    "minhash(16) + 4-band LSH candidates, verified by exact jaccard",
-    (spark, dir) => {
-      val d = spread(Catalog.table(spark, dir, "documents"))
-      // Explode shingles and md5 them ONCE, then build the 16-seed
-      // signature as 16 codegen'd min-aggregates in a single groupBy
-      // (map-side partial min). Deliberately NOT a higher-order-function
-      // pipeline: HOFs skip whole-stage codegen, and CollapseProject
-      // inlines a hashed-array column into every consuming lambda —
-      // recomputing the md5 batch once per seed (measured 3x slower).
-      val hvRows = shingles(d)
-        .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))
-      val sigCols = (0 until 16).map(s =>
-        min(expr(s"(v * ${2 * s + 1} + ${s * 7919}) % $MinhashP")).as(s"s$s"))
-      val sig = hvRows
-        .groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail :+ collect_set(col("sh")).as("arr"): _*)
-      val bandCols = (0 until 4).map(b =>
-        md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
-          .cast("binary")).as(s"bh$b"))
-      val bands = sig.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"), explode(expr(
-          "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
-            " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cands = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      // Verify candidates with exact Jaccard via per-doc shingle sets —
-      // NOT a shingle self-join: work stays proportional to |candidates|,
-      // which LSH keeps small no matter the corpus size.
-      val sets = sig.select(col("doc_id"), col("arr"))
-      cands
-        .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("a_arr"), col("b_arr"))).as("n_common"),
-          size(col("a_arr")).as("a_sz"), size(col("b_arr")).as("b_sz"))
-        .select(col("a_id"), col("b_id"),
-          round(col("n_common").cast("double") /
-            (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
-        .filter(col("jacc") >= 0.5)
-        .orderBy(col("a_id"), col("b_id"))
-    },
-    Some(s"""
-      WITH sh AS ($shinglesSql),
+  /** Verified near-dup pairs (jacc >= threshold) over any (doc_id, text)
+    * frame — the reusable core of minhashLsh and the cleaning pipeline.
+    *
+    * Shape: shingles are exploded and md5'd ONCE, the 16-seed signature
+    * is 16 codegen'd min-aggregates in a single groupBy (map-side partial
+    * min — deliberately NOT a higher-order-function pipeline: HOFs skip
+    * whole-stage codegen, and CollapseProject inlines a hashed-array
+    * column into every consuming lambda, recomputing the md5 batch once
+    * per seed; measured 3x slower). Band buckets join; candidates verify
+    * by exact Jaccard on per-doc shingle sets, so verify work scales with
+    * |candidates|, not corpus². */
+  private[queries] def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val hvRows = shingles(d)
+      .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))
+    val sigCols = (0 until 16).map(s =>
+      min(expr(s"(v * ${2 * s + 1} + ${s * 7919}) % $MinhashP")).as(s"s$s"))
+    val sig = hvRows
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail :+ collect_set(col("sh")).as("arr"): _*)
+    val bandCols = (0 until 4).map(b =>
+      md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
+        .cast("binary")).as(s"bh$b"))
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(expr(
+        "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
+          " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("arr"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_arr"), col("b_arr"))).as("n_common"),
+        size(col("a_arr")).as("a_sz"), size(col("b_arr")).as("b_sz"))
+      .select(col("a_id"), col("b_id"),
+        round(col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view
+    * (a_id, b_id, jacc >= threshold). `src` must select (doc_id, text). */
+  private[queries] def minhashPairsSql(src: String, threshold: Double): String = s"""
+      sh AS (${shinglesSql.replace("FROM documents", s"FROM ($src) src_t")}),
       hv AS (SELECT doc_id, sh, ${hvSqlDuck("sh")} AS v FROM sh),
       sigs AS (SELECT doc_id, seed,
                       MIN((v * (2 * seed + 1) + seed * 7919) % $MinhashP) AS mh
@@ -343,11 +320,22 @@ object TextOps {
                         len(list_intersect(a.arr, b.arr)) AS n_common,
                         len(a.arr) AS a_sz, len(b.arr) AS b_sz
                  FROM cands c JOIN sets a ON a.doc_id = c.a_id
-                 JOIN sets b ON b.doc_id = c.b_id)
-      SELECT a_id, b_id,
-             ROUND(CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common), 6) AS jacc
-      FROM scored
-      WHERE CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= 0.5
+                 JOIN sets b ON b.doc_id = c.b_id),
+      pairs AS (SELECT a_id, b_id,
+                       ROUND(CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common), 6) AS jacc
+                FROM scored
+                WHERE CAST(n_common AS DOUBLE) / (a_sz + b_sz - n_common) >= $threshold)"""
+
+  val minhashLsh: GQuery = GQuery(
+    "t_minhash_lsh",
+    "minhash(16) + 4-band LSH candidates, verified by exact jaccard",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      minhashPairs(d, 0.5).orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)}
+      SELECT a_id, b_id, jacc FROM pairs
       ORDER BY a_id, b_id"""))
 
   // ------------------------------------------------------------ simhash
@@ -422,4 +410,80 @@ object TextOps {
       FROM ranked WHERE rn <= 4
       GROUP BY doc_id
       ORDER BY doc_id"""))
+
+  /** The terminal training-data op: quality filter -> exact dedup ->
+    * LSH near-dup removal, materializing the surviving corpus (here
+    * summarized per source; swap the final agg for a `.write.parquet` in
+    * production). Every stage is the scale-shaped form proven above —
+    * scan-parallel filters, one hash shuffle for exact dedup, banded LSH
+    * with candidate-bounded verification — composed into one plan that
+    * Catalyst optimizes end to end. */
+  val cleanCorpus: GQuery = GQuery(
+    "p_clean_corpus",
+    "pipeline: quality filter -> exact dedup -> near-dup removal -> stats",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stops = "'the','a','of','and','to','in','is','on','for','with'"
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val q = d
+        .withColumn("tk", toks(col("text")))
+        .withColumn("n_tok", size(col("tk")))
+        .withColumn("n_stop", size(expr(s"filter(tk, x -> x IN ($stops))")))
+        .filter(col("n_tok") >= 10 &&
+          col("n_stop").cast("double") / col("n_tok") >= 0.02)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      val exact = q
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("keeper")
+      val losers = minhashPairs(exact.select(col("doc_id"), col("text")), 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+          AND CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS DOUBLE) / len(string_split(text, ' ')) >= 0.02),
+      exact AS (
+        SELECT doc_id, text, source, n_chars FROM (
+          SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q)
+        WHERE doc_id = keeper),
+      ${minhashPairsSql("SELECT doc_id, text FROM exact", 0.5)},
+      losers AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+      FROM exact
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Corpus vocabulary statistics: global top-20 tokens by frequency —
+    * explode + one count shuffle + top-k (map-side partial counts make
+    * the shuffle proportional to |vocab| x partitions, not corpus size). */
+  val topTokens: GQuery = GQuery(
+    "t_top_tokens",
+    "global top-20 token frequencies",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 20"""))
+
 }

@@ -28,6 +28,7 @@ class RegistrySpec extends SparkSpec {
     "q21_exists_not_exists" -> 1, "q22_substring_anti_join" -> 3,
     "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
     "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 28,
+    "p_clean_corpus" -> 20,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
     "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
     "v_lsh_ann" -> 4, "v_cos_neardup" -> 11,
