@@ -18,7 +18,76 @@ import org.apache.spark.sql.expressions.Window
 object EventOps {
 
   def queries: Seq[GQuery] =
-    Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention)
+    Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
+      asofJoin, rangeJoin)
+
+  /** Range join: each event lands in the value band containing it. With
+    * a small band dimension this is the broadcast-nested-loop pattern
+    * (scan-parallel, no shuffle of the fact side); banded equi-bucketing
+    * is the path when both sides are large. */
+  val rangeJoin: GQuery = GQuery(
+    "e_range_join",
+    "broadcast range join of events into value bands",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Catalog.table(spark, dir, "events")
+      val bands = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+        (150.0, 1.0e18, "high")).toDF("lo", "hi", "band")
+      e.join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tot"))
+        .orderBy(col("band"))
+    },
+    Some(s"""
+      SELECT band, COUNT(*) AS n, ${dsumSql("value")} AS tot
+      FROM events
+      JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                   (150.0, 1e18, 'high')) bands(lo, hi, band)
+        ON value >= lo AND value < hi
+      GROUP BY band
+      ORDER BY band"""))
+
+  /** As-of join, composed from existing operators (preference (a) of the
+    * custom-operator ladder: Spark has no AsOfJoinExec, but the
+    * sorted-carry-forward formulation — one hash shuffle on the key, one
+    * in-partition sort, last_value(IGNORE NULLS) — gives the same
+    * semantics with windowed state instead of a specialized operator,
+    * and scales as a single exchange). Each purchase is matched to the
+    * latest signup at-or-before it for the same user. */
+  val asofJoin: GQuery = GQuery(
+    "e_asof_join",
+    "as-of join: each purchase matched to the latest prior signup",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("last_signup_us",
+          last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" && col("last_signup_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matched"),
+          max(col("ts_us") - col("last_signup_us")).as("max_lag_us"),
+          min(col("ts_us") - col("last_signup_us")).as("min_lag_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_matched,
+             MAX(ts_us - last_signup_us) AS max_lag_us,
+             MIN(ts_us - last_signup_us) AS min_lag_us
+      FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   LAST_VALUE(CASE WHEN event_type = 'signup'
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS last_signup_us
+            FROM events) t
+      WHERE event_type = 'purchase' AND last_signup_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""))
 
   /** Day-over-day retention: of the users active on day d, how many were
     * also active on day d+1. One distinct-(user, day) projection, then a

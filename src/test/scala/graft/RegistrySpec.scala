@@ -13,7 +13,8 @@ class RegistrySpec extends SparkSpec {
   private val golden: Map[String, Long] = Map(
     "m_media_features" -> 1, "m_frame_stats" -> 4, "x_sql_path" -> 10,
     "e_funnel" -> 1, "e_hourly_stats" -> 868, "e_json_extract" -> 5,
-    "e_retention" -> 30, "t_top_tokens" -> 20,
+    "e_retention" -> 30, "t_top_tokens" -> 20, "e_asof_join" -> 15,
+    "e_range_join" -> 3,
     "e_sessionize" -> 15, "e_top_users" -> 10,
     "q01_pricing_summary" -> 6, "q02_min_within_group" -> 4,
     "q03_topk_revenue" -> 10, "q04_semi_join_exists" -> 5,
