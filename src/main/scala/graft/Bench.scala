@@ -12,21 +12,31 @@ object Bench {
     // one warm-up action so JVM/codegen startup isn't billed to query 1
     Catalog.table(spark, sfDir, "lineitem").count()
     var failed = List.empty[String]
+    // two iterations, min reported: a single-shot timing in a 32-thread
+    // shared JVM is vulnerable to one-off GC/compilation spikes (r1 showed
+    // a 50-row projection "taking" 65 s once and 0.4 s on re-run); min-of-2
+    // is the cheapest estimator that can't be fooled by a one-time stall
+    val iterations = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // "failed" distinguishes time-to-error from a real timing in the record
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

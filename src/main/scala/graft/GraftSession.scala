@@ -2,6 +2,52 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Engine tuning knobs — the Spark-native mirror of the reference's
+  * benchmark/engine options surface (reference:
+  * benchmarks/src/util/options.rs:34-64 memory-limit / partitions / batch
+  * size / prefer_hash_join, and options.rs:90-115 + tpch/run.rs:90-97,118
+  * fair-vs-greedy memory pool, sort-spill reservation, statistics toggle).
+  * Each reference knob maps to the Spark config that governs the same
+  * resource decision:
+  *
+  *  - memory limit → `spark.memory.fraction` (execution+storage share of
+  *    the heap; the heap itself is a deploy-time `--driver-memory` /
+  *    `--executor-memory` flag, like the reference's process rlimit)
+  *  - fair/greedy pool → `spark.scheduler.mode` FAIR vs FIFO
+  *  - sort-spill reservation → the operator buffer spill thresholds
+  *    (rows held in memory before an UnsafeExternalSorter spill)
+  *  - prefer_hash_join → `spark.sql.join.preferSortMergeJoin` (inverted)
+  *  - statistics toggle → `spark.sql.cbo.enabled` (+ join reorder)
+  *  - partitions / batch size → shuffle partitions, files.maxPartitionBytes,
+  *    parquet columnar reader batch size
+  */
+case class GraftTuning(
+    cpus: Int = GraftSession.defaultCpus,
+    /** Shuffle parallelism; defaults to `cpus` locally (a deploy-time
+      * setting on a real cluster — AQE coalesces down from it). */
+    shufflePartitions: Option[Int] = None,
+    /** Fraction of heap for execution+storage (reference: memory limit). */
+    memoryFraction: Double = 0.6,
+    /** true = FAIR scheduler pools (reference: FairSpillPool), false =
+      * FIFO (reference: GreedyMemoryPool). */
+    fairScheduling: Boolean = false,
+    /** Rows an operator buffer (sort-merge-join / window) may hold before
+      * spilling (reference: sort-spill reservation). None = Spark default
+      * (spill only under memory pressure). */
+    spillRowThreshold: Option[Int] = None,
+    /** false = broadcast/shuffled-hash preferred (reference default
+      * prefer_hash_join=true); true = sort-merge preferred. */
+    preferSortMergeJoin: Boolean = false,
+    /** Cost-based optimizer + join reorder from table stats (reference:
+      * `--disable-statistics` inverted). */
+    cboEnabled: Boolean = true,
+    broadcastThresholdBytes: Long = 64L << 20,
+    /** Max bytes per file-scan partition (reference: batch size analog at
+      * the scan; governs scan task granularity at 100 TB). */
+    maxPartitionBytes: Long = 128L << 20,
+    /** Vectorized parquet reader batch rows (reference: batch_size). */
+    columnarBatchSize: Int = 4096)
+
 /** Session construction for the graft engine.
   *
   * Mirrors the operational surface of the reference's `SessionBuilder`
@@ -23,20 +69,44 @@ object GraftSession {
   def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
   def builder(cpus: Int = defaultCpus): SparkSession.Builder =
-    SparkSession
+    builderWith(GraftTuning(cpus = cpus))
+
+  /** Fully-tunable builder (≡ reference options.rs:34-64,90-115). */
+  def builderWith(t: GraftTuning): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName("graft")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .master(s"local[${t.cpus}]")
+      .config("spark.sql.shuffle.partitions",
+        t.shufflePartitions.getOrElse(t.cpus).toString)
+      .config("spark.memory.fraction", t.memoryFraction.toString)
+      .config("spark.scheduler.mode", if (t.fairScheduling) "FAIR" else "FIFO")
+      .config("spark.sql.join.preferSortMergeJoin", t.preferSortMergeJoin.toString)
+      .config("spark.sql.cbo.enabled", t.cboEnabled.toString)
+      .config("spark.sql.cbo.joinReorder.enabled", t.cboEnabled.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", t.broadcastThresholdBytes.toString)
+      .config("spark.sql.files.maxPartitionBytes", t.maxPartitionBytes.toString)
+      .config("spark.sql.parquet.columnarReaderBatchSize", t.columnarBatchSize.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+    // in.memory.threshold moves rows into the UnsafeExternalSorter once
+    // exceeded; spill.threshold then forces that sorter to disk — both are
+    // needed for the reservation to actually bound memory (≡ the
+    // reference's sort_spill_reservation_bytes, options.rs:100-108)
+    t.spillRowThreshold.fold(b) { n =>
+      b.config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", n.toString)
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", n.toString)
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", n.toString)
+        .config("spark.sql.windowExec.buffer.spill.threshold", n.toString)
+        .config("spark.sql.sessionWindow.buffer.spill.threshold", n.toString)
+    }
+  }
 
   /** Build (or reuse) the engine session, with graft-native functions
     * registered (≡ the reference's per-request SessionBuilder hook,

@@ -12,27 +12,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  /** Split a SQL script on top-level ';' (quote-aware — a ';' inside a
-    * string literal does not split; ≡ mod.rs:148-161's splitter plus the
-    * quoting the reference's corpus never needed). */
+  /** Split a SQL script on top-level ';' (quote- and comment-aware: a ';'
+    * inside a string literal, a `--` line comment, or a `/* */` block
+    * comment does not split — ≡ mod.rs:148-161's splitter plus the
+    * quoting/commenting the reference's corpus never needed; external
+    * scripts fed through runScript routinely carry comments). */
   def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
     var i = 0
-    while (i < script.length) {
+    val n = script.length
+    def at(j: Int, c: Char): Boolean = j < n && script.charAt(j) == c
+    while (i < n) {
       val c = script.charAt(i)
-      c match {
-        case '\'' =>
-          cur.append(c)
-          if (inQuote && i + 1 < script.length && script.charAt(i + 1) == '\'') {
-            cur.append('\''); i += 1 // '' is an escaped quote inside a literal
-          } else inQuote = !inQuote
-        case ';' if !inQuote =>
-          out += cur.toString; cur.clear()
-        case other => cur.append(other)
+      if (!inQuote && c == '-' && at(i + 1, '-')) {
+        // line comment: copy verbatim through end-of-line (Spark accepts it)
+        while (i < n && script.charAt(i) != '\n') { cur.append(script.charAt(i)); i += 1 }
+      } else if (!inQuote && c == '/' && at(i + 1, '*')) {
+        // block comment, nestable (both engines nest /* */)
+        var depth = 0
+        do {
+          if (script.charAt(i) == '/' && at(i + 1, '*')) { depth += 1; cur.append("/*"); i += 2 }
+          else if (script.charAt(i) == '*' && at(i + 1, '/')) { depth -= 1; cur.append("*/"); i += 2 }
+          else { cur.append(script.charAt(i)); i += 1 }
+        } while (i < n && depth > 0)
+      } else {
+        c match {
+          case '\'' =>
+            cur.append(c)
+            if (inQuote && at(i + 1, '\'')) {
+              cur.append('\''); i += 1 // '' is an escaped quote inside a literal
+            } else inQuote = !inQuote
+          case ';' if !inQuote =>
+            out += cur.toString; cur.clear()
+          case other => cur.append(other)
+        }
+        i += 1
       }
-      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

@@ -8,13 +8,24 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get()
     // clear any previous run first: stale outputs + a stale oracle_sql.json
-    // would make a crashed run look like a (false) pass downstream
+    // would make a crashed run look like a (false) pass downstream.
+    // Deletion is guarded: only a directory that carries a prior run's
+    // oracle_sql.json (or is empty) is cleared — a mistyped outDir (e.g.
+    // the sfDir) must never be recursively removed.
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
     val out = new java.io.File(outDir)
-    if (out.exists()) rm(out)
+    if (out.exists()) {
+      val children = Option(out.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      val isPriorRun = children.isEmpty ||
+        children.exists(_.getName == "oracle_sql.json")
+      require(isPriorRun,
+        s"refusing to clear $outDir: non-empty and not a previous Verify output " +
+          "(no oracle_sql.json marker) — pass a fresh or previously-used outDir")
+      rm(out)
+    }
     out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -35,11 +35,21 @@ object Aggregators {
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       b.foldLeft(a)(insert)
     override def finish(b: Seq[Long]): Seq[Long] = b
+    /** Bounded binary insert: O(log k) search + O(k) splice, and an O(1)
+      * reject of any x ≥ max once the buffer is full — the common case in
+      * a long stream, where a full re-sort per element would be O(k²·n). */
     private def insert(b: Seq[Long], x: Long): Seq[Long] = {
-      if (b.contains(x)) b
+      val v = b.toIndexedSeq
+      if (v.size >= k && x >= v.last) return b
+      var lo = 0; var hi = v.size
+      while (lo < hi) { // lower-bound binary search on the sorted buffer
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < x) lo = mid + 1 else hi = mid
+      }
+      if (lo < v.size && v(lo) == x) b // distinct values only
       else {
-        val merged = (b :+ x).sorted
-        if (merged.size > k) merged.take(k) else merged
+        val inserted = (v.take(lo) :+ x) ++ v.drop(lo)
+        if (inserted.size > k) inserted.take(k) else inserted
       }
     }
     override def bufferEncoder: Encoder[Seq[Long]] =

@@ -21,11 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * SparkSessionExtensions — no wire codec needed, the class is on every
   * executor's classpath.
   *
-  * Semantics bit-match the composable form on equal-length inputs:
-  * sequential left-fold double accumulation of dot and both norms.
+  * Semantics bit-match the composable form: sequential left-fold double
+  * accumulation of dot and both norms on equal-length inputs, and NULL on
+  * mismatched lengths (zip_with null-pads the shorter side, which nulls
+  * the aggregate) — so a malformed embedding surfaces as a detectable
+  * null, never as a plausible-looking truncated similarity.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
@@ -41,7 +46,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -63,14 +69,18 @@ case class CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xv = (double) $a.getFloat($i);
-          double $yv = (double) $b.getFloat($i);
-          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xv = (double) $a.getFloat($i);
+            double $yv = (double) $b.getFloat($i);
+            $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+          }
+          ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
       """
     })
 

@@ -113,10 +113,15 @@ object MediaOps {
     }
   }
 
-  /** Registry entry: feature-extract all media, aggregate per histogram
-    * bucket of brightness. No SQL oracle (mapPartitions pipeline is not
-    * SQL-expressible); correctness is pinned by MediaSpec's hand-computed
-    * fixtures and the deterministic stub. */
+  /** Registry entries. The mapPartitions pipelines themselves are not
+    * SQL, but because `stubDecode` is byte-identity and the fixture media
+    * is the documents' UTF-8 text (pure ASCII in the testdata — verified:
+    * every char code in [32,121]), every extracted feature IS expressible
+    * over the text in DuckDB SQL: byte value = `ascii(char)`,
+    * n_bytes = `length(text)`. The oracles below recompute the features
+    * independently per-char in SQL, giving the media path the same full
+    * differential gate as every other query (swap in a real codec and
+    * these oracles are the only thing that stops applying). */
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "m_media_features",
@@ -132,7 +137,22 @@ object MediaOps {
             sum(col("h0")).as("tot_h0"))
           .orderBy(col("bright_bucket"))
       },
-      None),
+      Some("""
+        WITH feats AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_bytes,
+                 CAST(list_sum([ascii(c) FOR c IN string_split(text, '')]) AS BIGINT) AS bsum,
+                 CAST(len(list_filter(string_split(text, ''), c -> ascii(c) < 16)) AS BIGINT) AS h0
+          FROM documents
+        )
+        SELECT CAST(FLOOR((CASE WHEN n_bytes = 0 THEN 0.0
+                                ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END) / 10) AS INT) AS bright_bucket,
+               COUNT(*) AS n_docs,
+               SUM(n_bytes) AS tot_bytes,
+               SUM(h0) AS tot_h0
+        FROM feats
+        GROUP BY bright_bucket
+        ORDER BY bright_bucket""")),
     GQuery(
       "m_frame_stats",
       "resize + frame-sample pipeline: per-frame-index byte stats",
@@ -144,5 +164,16 @@ object MediaOps {
           .agg(count(lit(1)).as("n_frames"), sum(col("fb")).as("tot_bytes"))
           .orderBy(col("frame_idx"))
       },
-      None))
+      // Mirrors resize(256) then sampleFrames(4, 32): L = min(len, 256);
+      // frame k starts at min(L*k//4, L-1) and spans up to 32 bytes.
+      Some("""
+        WITH d AS (SELECT CAST(length(text) AS BIGINT) AS nb FROM documents),
+             r AS (SELECT CASE WHEN nb > 256 THEN 256 ELSE nb END AS L
+                   FROM d WHERE nb > 0),
+             f AS (SELECT CAST(k.k AS INT) AS frame_idx,
+                          least(least((L * k.k) // 4, L - 1) + 32, L)
+                            - least((L * k.k) // 4, L - 1) AS fb
+                   FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        SELECT frame_idx, COUNT(*) AS n_frames, SUM(fb) AS tot_bytes
+        FROM f GROUP BY frame_idx ORDER BY frame_idx""")))
 }

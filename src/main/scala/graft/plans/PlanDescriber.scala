@@ -27,9 +27,14 @@ object PlanDescriber {
       .replaceAll("file:[^,\\]\\s]+", "file:PATH")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
 
-  /** Count of exchange (shuffle/broadcast) boundaries = stage cuts. */
-  def exchanges(df: DataFrame): Int =
-    "(?m)^\\s*(\\+- |:- )?Exchange ".r.findAllIn(simpleString(df)).length
+  /** Count of SHUFFLE exchange boundaries = stage cuts. Broadcasts are
+    * counted separately ([[broadcasts]]/Summary.broadcastJoins) — one
+    * definition everywhere, so PLANS.md's `exchanges=` never overstates
+    * shuffles by folding broadcast exchanges in. */
+  def shuffleExchanges(s: String): Int =
+    "(?m)^[\\s:+-]*Exchange ".r.findAllIn(s).length
+
+  def exchanges(df: DataFrame): Int = shuffleExchanges(simpleString(df))
 
   def broadcasts(df: DataFrame): Int =
     "BroadcastExchange".r.findAllIn(simpleString(df)).length
@@ -47,7 +52,7 @@ object PlanDescriber {
     val s = simpleString(df)
     def n(pat: String) = pat.r.findAllIn(s).length
     Summary(
-      exchanges = n("Exchange "),
+      exchanges = shuffleExchanges(s),
       broadcastJoins = n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
       sortMergeJoins = n("SortMergeJoin"),
       hashAggregates = n("HashAggregate"),

@@ -41,12 +41,26 @@ object Skew {
     * ~1/nSalts of the hottest key. The salt carries per-row entropy
     * (seeded random): deriving it from row VALUES would collapse a hot
     * key with constant values onto one salt and mitigate nothing.
-    * Results are salt-placement-independent (sums re-merge). */
+    * Double values are accumulated via [[graft.util.Num.fix6]] fixed-point
+    * (exact, associative), so results are fully salt-placement- AND
+    * order-independent — a raw sum(double) would drift by re-association
+    * across salt layouts; other numeric types sum exactly as-is. */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
-      nSalts: Int): DataFrame =
-    df.withColumn("__salt", (rand(42) * nSalts).cast("int"))
+      nSalts: Int): DataFrame = {
+    val isDouble = df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.DoubleType
+    val partial =
+      if (isDouble) sum(graft.util.Num.fix6(col(valueCol)))
+      else sum(col(valueCol))
+    val out = df
+      .withColumn("__salt", (rand(42) * nSalts).cast("int"))
       .groupBy(col(key), col("__salt"))
-      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .agg(partial.as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))
-      .agg(sum(col("__partial")).as(s"sum_$valueCol"), sum(col("__n")).as("n"))
+      .agg(sum(col("__partial")).as("__total"), sum(col("__n")).as("n"))
+    val total =
+      if (isDouble) (col("__total").cast("double") / 1000000.0d)
+      else col("__total")
+    out.select(col(key), total.as(s"sum_$valueCol"), col("n"))
+  }
 }

@@ -138,15 +138,19 @@ object Extras {
     * Decimal128(15,2) (reference: benchmarks/src/tpch/mod.rs:62-72); the
     * testdata carries doubles, so this query casts into DECIMAL(15,2) at
     * the scan and aggregates in exact decimal the whole way (no double
-    * re-emission), proving the decimal surface end-to-end. */
+    * re-emission), proving the decimal surface end-to-end. The ingest cast
+    * goes through [[graft.util.Num.dec2]]: engines round double→decimal
+    * ties differently (Spark HALF_UP, DuckDB round-half-even), so the
+    * double is quantized in pure IEEE-754 first — after that, every
+    * decimal op here is exact and order-free on both engines. */
   val decimalArith: GQuery = GQuery(
     "x_decimal_arith",
     "decimal(15,2) cast + exact decimal sum/avg arithmetic",
     (spark, dir) => {
       val l = Catalog.table(spark, dir, "lineitem")
       l.select(col("l_returnflag"),
-          col("l_extendedprice").cast(DecimalType(15, 2)).as("price"),
-          col("l_discount").cast(DecimalType(15, 2)).as("disc"))
+          graft.util.Num.dec2(col("l_extendedprice")).as("price"),
+          graft.util.Num.dec2(col("l_discount")).as("disc"))
         .groupBy(col("l_returnflag"))
         .agg(
           sum(col("price")).as("sum_price"),
@@ -160,8 +164,8 @@ object Extras {
              CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
              MAX(price) AS max_price, MIN(disc) AS min_disc
       FROM (SELECT l_returnflag,
-                   CAST(l_extendedprice AS DECIMAL(15,2)) AS price,
-                   CAST(l_discount AS DECIMAL(15,2)) AS disc
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100.0 AS DECIMAL(15,2)) AS price,
+                   CAST(FLOOR(l_discount * 100 + 0.5) / 100.0 AS DECIMAL(15,2)) AS disc
             FROM lineitem) t
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))

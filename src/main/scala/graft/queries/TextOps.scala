@@ -422,7 +422,6 @@ object TextOps {
     "p_clean_corpus",
     "pipeline: quality filter -> exact dedup -> near-dup removal -> stats",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val stops = "'the','a','of','and','to','in','is','on','for','with'"
       val d = spread(Catalog.table(spark, dir, "documents"))
       val q = d
@@ -432,11 +431,16 @@ object TextOps {
         .filter(col("n_tok") >= 10 &&
           col("n_stop").cast("double") / col("n_tok") >= 0.02)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      val w = Window.partitionBy(md5(col("text").cast("binary")))
-      val exact = q
-        .withColumn("keeper", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("keeper"))
-        .drop("keeper")
+      // exact dedup as groupBy-digest + keeper semi-join (NOT a window):
+      // the agg shuffles only (digest, min doc_id) pairs — map-side
+      // partial min — and the semi-join is an unsorted hash join, so no
+      // full-row sort ever happens; at 100 TB the window form would carry
+      // every row through a sort on the digest.
+      val keepers = q
+        .groupBy(md5(col("text").cast("binary")).as("__digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exact = q.join(keepers, Seq("doc_id"), "left_semi")
       val losers = minhashPairs(exact.select(col("doc_id"), col("text")), 0.5)
         .select(col("b_id").as("doc_id")).distinct()
       exact.join(losers, Seq("doc_id"), "left_anti")

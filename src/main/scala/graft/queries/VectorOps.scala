@@ -138,12 +138,15 @@ object VectorOps {
   private val nPlanes = 8
 
   /** weight(p, d) in [-0.5, 0.5): md5-derived, identical in both engines. */
-  private def planes(spark: SparkSession, dim: Int): DataFrame =
-    spark.range(nPlanes).select(col("id").cast("int").as("p"))
+  private def planesN(spark: SparkSession, dim: Int, total: Int): DataFrame =
+    spark.range(total).select(col("id").cast("int").as("p"))
       .crossJoin(spark.range(dim).select((col("id") + 1).cast("int").as("pos")))
       .select(col("p"), col("pos"),
         (conv(substring(md5(concat_ws(":", col("p"), col("pos")).cast("binary")), 1, 15), 16, 10)
           .cast(LongType) % 1000000L / 1000000.0 - 0.5).as("w"))
+
+  private def planes(spark: SparkSession, dim: Int): DataFrame =
+    planesN(spark, dim, nPlanes)
 
   private val planesSql =
     s"""SELECT p, pos,
@@ -189,21 +192,68 @@ object VectorOps {
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
   // ------------------------------------------------------------ LSH ANN
-  /** ANN via LSH: query vectors search only their own bucket — candidate
-    * set shrinks by ~2^planes, the scale path when brute force won't fit.
-    * Top-3 per query within the bucket, exact cosine for ranking. */
+  /** Multi-table (banded) hyperplane LSH: `annTables` independent hash
+    * tables of `annPlanesPerTable` planes each; a corpus vector is a
+    * candidate if it shares a bucket with the query in ANY table. A single
+    * k-plane table has recall (1-θ/π)^k — measurably ~0 for cos≈0.4
+    * neighbors at k=8 — while L tables lift it to 1-(1-(1-θ/π)^k)^L
+    * (≈0.75 here) at candidate cost ∝ L·n/2^k. k tunes per corpus size
+    * (k ≈ log2(n/candidate_target)): at 100 TB raise k and L together —
+    * recall holds while each bucket stays reducer-sized. Recall vs the
+    * brute-force ground truth is pinned in DifferentialSpec. */
+  private val annTables = 16
+  private val annPlanesPerTable = 4
+
+  /** Per-(vector, table) bucket id: sign pattern of that table's planes. */
+  private def bandedBuckets(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
+      .join(broadcast(planesN(spark, 64, annTables * annPlanesPerTable)), "pos")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(fix6(col("w") * col("v").cast("double"))).as("proj"))
+      .groupBy(col("vec_id"), expr(s"p div $annPlanesPerTable").as("tbl"))
+      .agg(sum(when(col("proj") > 0,
+        expr(s"shiftleft(1L, p % $annPlanesPerTable)")).otherwise(0L)).as("bucket"))
+
+  private val bandedSql =
+    s"""SELECT vec_id, p // $annPlanesPerTable AS tbl,
+          CAST(SUM(CASE WHEN proj > 0
+                        THEN 1::BIGINT << (p % $annPlanesPerTable) ELSE 0 END)
+               AS BIGINT) AS bucket
+        FROM (SELECT vec_id, p,
+                     SUM(CAST(FLOOR(w * v * 1000000 + 0.5) AS BIGINT)) AS proj
+              FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings) t
+              JOIN (SELECT p, pos,
+                           (('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT
+                             % 1000000) / 1000000.0 - 0.5 AS w
+                    FROM (SELECT CAST(unnest(range(${annTables * annPlanesPerTable}))
+                                      AS INTEGER) AS p)
+                    CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos)) pl
+                USING (pos)
+              GROUP BY vec_id, p) s
+        GROUP BY vec_id, p // $annPlanesPerTable"""
+
   val lshAnn: GQuery = GQuery(
     "v_lsh_ann",
-    "bucket-restricted cosine top-3 (LSH candidate pruning)",
+    "multi-table LSH cosine top-3 (candidates = any shared band bucket)",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "embeddings")
-      val b = bucketed(spark, e).select(col("vec_id"), col("bucket"))
-      val withB = e.join(b, "vec_id")
-      val q = withB.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val scored = withB.join(broadcast(q), Seq("bucket"))
+      val bb = bandedBuckets(spark, e)
+      val qSet = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qBuckets = bb.join(qSet.select(col("q_id")),
+        bb("vec_id") === col("q_id")).select(col("q_id"), col("tbl"), col("bucket"))
+      // candidate = shares a (table, bucket) with the query in >=1 table;
+      // DISTINCT collapses multi-table hits before the (exact) scoring join
+      val cand = bb.join(broadcast(qBuckets), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
+        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+        .join(broadcast(qSet), "q_id")
+        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -211,18 +261,21 @@ object VectorOps {
         .orderBy(col("q_id"), col("rk"))
     },
     Some(s"""
-      WITH b AS ($bucketedSql),
-      wb AS (SELECT e.vec_id, e.embedding, b.bucket
-             FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM wb
+      WITH bb AS ($bandedSql),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
             WHERE vec_id < 3),
+      qb AS (SELECT q_id, tbl, bucket FROM bb JOIN q ON bb.vec_id = q.q_id),
+      cand AS (SELECT DISTINCT q_id, bb.vec_id AS n_id
+               FROM bb JOIN qb USING (tbl, bucket)
+               WHERE bb.vec_id <> qb.q_id),
       scored AS (
-        SELECT q_id, wb.vec_id AS n_id,
-               ${dotSql("wb.embedding", "q_emb")} /
-               (sqrt(${dotSql("wb.embedding", "wb.embedding")}) *
+        SELECT cand.q_id, cand.n_id,
+               ${dotSql("n.embedding", "q_emb")} /
+               (sqrt(${dotSql("n.embedding", "n.embedding")}) *
                 sqrt(${dotSql("q_emb", "q_emb")})) AS sim
-        FROM wb JOIN q USING (bucket)
-        WHERE wb.vec_id <> q_id),
+        FROM cand
+        JOIN embeddings n ON n.vec_id = cand.n_id
+        JOIN q ON q.q_id = cand.q_id),
       ranked AS (
         SELECT q_id, n_id, sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)

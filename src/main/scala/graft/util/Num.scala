@@ -44,6 +44,16 @@ object Num {
   /** Order-independent double mean: deterministic sum / count. */
   def davg(e: Column): Column = dsum(e) / count(e)
 
+  /** Deterministic double → DECIMAL(15,2) ingest: quantize in pure IEEE-754
+    * first (`floor(x*100+0.5)/100.0` — bit-identical in any engine), so the
+    * double handed to the decimal cast is within half an ulp of an exact
+    * 2-decimal value and never near a rounding tie. Spark's HALF_UP and
+    * DuckDB's tie rule then agree on every row. */
+  def dec2(e: Column): Column =
+    (floor(e * 100.0d + 0.5d) / 100.0d).cast(org.apache.spark.sql.types.DecimalType(15, 2))
+  def dec2Sql(expr: String): String =
+    s"CAST(FLOOR(($expr) * 100 + 0.5) / 100.0 AS DECIMAL(15,2))"
+
   /** SQL fragments for oracle text — keep in lockstep with the above.
     * DuckDB SUM(BIGINT) yields HUGEINT; the BIGINT cast keeps the
     * int->double step identical to Spark's long sum. */

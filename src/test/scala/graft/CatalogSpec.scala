@@ -55,13 +55,23 @@ class CatalogSpec extends SparkSpec {
 
   test("salted two-phase aggregation matches direct aggregation") {
     val l = Catalog.table(spark, sf0001, "lineitem")
+    // saltedSum accumulates doubles in Num.fix6 fixed-point, so it must
+    // EXACTLY equal the order-independent dsum form regardless of salt
+    // placement — that is the property the fixed-point path buys.
     val direct = l.groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .agg(graft.util.Num.dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
     val salted = Skew.saltedSum(l, "l_returnflag", "l_quantity", nSalts = 16)
       .orderBy(col("l_returnflag"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(salted === direct)
+    // and it stays within quantization tolerance of the raw double sum
+    val raw = l.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s")).orderBy(col("l_returnflag"))
+      .collect().map(r => r.getDouble(1)).toSeq
+    salted.map(_._2).zip(raw).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"fixed-point drifted: $a vs $b")
+    }
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch↔stream differentials: the SAME events through the batch EventOps
+  * query and its StreamOps twin must agree exactly — the reference's
+  * differential-testing philosophy (distributed-vs-single context compare,
+  * reference: tests/tpch.rs:168-194) applied to the streaming extension.
+  * Plus the ANN recall differential: the LSH-pruned search quantified
+  * against the brute-force ground truth it approximates. */
+class DifferentialSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** sf0.001 events as the streaming input type (ts truncated ns→us
+    * exactly like the batch path's `ts div 1000`). */
+  private def evRows(): Seq[Ev] =
+    Catalog.table(spark, sf0001, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+  test("streaming hourlyStats equals batch e_hourly_stats on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = evRows()
+    val maxUs = evs.map(_.ts_us).max
+    val in = MemoryStream[Ev]
+    val q = StreamOps.hourlyStats(in.toDF())
+      .writeStream.format("memory").queryName("diff_hs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two chunks: exercises incremental state, not single-batch replay
+      val (a, b) = evs.splitAt(evs.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // watermark flush: a sentinel far past every real window (its own
+      // window stays open and is never emitted)
+      in.addData(Ev(-1L, maxUs + 10L * 86400L * 1000000L, "__flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("diff_hs")
+        .filter(col("event_type") =!= "__flush")
+        .select((col("window_start_us") / 1000000L).cast("long").as("hour_epoch"),
+          col("event_type"), col("n"),
+          (col("tot_value_fix6").cast("double") / 1000000.0d).as("tot_value"))
+        .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = Registry.byName("e_hourly_stats").run(spark, sf0001)
+        .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed === batch,
+        s"stream/batch hourly divergence: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize equals batch e_sessionize on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = evRows()
+    val maxUs = evs.map(_.ts_us).max
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("diff_sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch (intra-batch ordering is handled by the op itself), then
+      // two sentinel advances: the first moves the watermark past every
+      // open session's timeout, the second triggers the timeout sweep
+      in.addData(evs); q.processAllAvailable()
+      in.addData(Ev(-1L, maxUs + 10L * 86400L * 1000000L, "__flush", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(-1L, maxUs + 20L * 86400L * 1000000L, "__flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("diff_sess")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = Registry.byName("e_sessionize").run(spark, sf0001)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch,
+        s"stream/batch session divergence: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("v_lsh_ann recall@3 vs brute-force ground truth is quantified") {
+    // ground truth: brute-force top-3 (v_knn_brute emits top-5; take rk<=3)
+    val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = Registry.byName("v_lsh_ann").run(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"LSH ANN recall@3 on sf0.001 = $recall%.3f " +
+      f"(${lsh.intersect(brute).size}/${brute.size} of brute-force neighbors)")
+    // 16 tables x 4 planes on the 64-dim synthetic corpus: expected recall
+    // 1-(1-(1-θ/π)^4)^16 ≈ 0.9 for cos≈0.4 neighbors — the floor below is
+    // the documented trade (VectorOps Scaladoc), and the measurement
+    // existing at all is the contract (reference-analog: the quantified
+    // distributed-vs-single agreement, tests/tpch.rs:168-194)
+    assert(recall >= 0.7, f"LSH recall collapsed: $recall%.3f")
+    // every LSH result must be a real corpus neighbor of its query, never
+    // an invented pair: sim values were oracle-checked, ids must be sane
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native expression semantics: cosine_sim must bit-match its composable
+  * `aggregate(zip_with(...))` form on well-formed input AND on malformed
+  * input (mismatched lengths → NULL, not a truncated similarity). */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val lambdaForm =
+    expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
+      " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") /
+      (sqrt(expr("aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+        sqrt(expr("aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
+
+  test("cosine_sim bit-matches the lambda form on equal-length arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f), Array(0.5f, -0.25f))).toDF("a", "b")
+    val rows = df.select(expr("cosine_sim(a, b)").as("native"),
+      lambdaForm.as("lambda")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("cosine_sim yields NULL on mismatched lengths and null inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Option(Array(1.0f, 2.0f, 3.0f)), Option(Array(1.0f, 2.0f))),
+      (Option(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(out.forall(_.isNullAt(0)),
+      "mismatched/missing embeddings must surface as NULL, not a truncated sim")
+    // interpreted path must agree with codegen
+    val one = df.limit(1).select(expr("cosine_sim(a, b)"))
+    assert(one.queryExecution.executedPlan != null && one.collect().head.isNullAt(0))
+  }
+}

@@ -32,7 +32,7 @@ class RegistrySpec extends SparkSpec {
     "p_clean_corpus" -> 20,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
     "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
-    "v_lsh_ann" -> 4, "v_cos_neardup" -> 11,
+    "v_lsh_ann" -> 9, "v_cos_neardup" -> 11,
     "v_lsh_buckets" -> 204,
     "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
     "x_except" -> 7, "x_full_outer" -> 25, "x_intersect" -> 86,

@@ -15,6 +15,24 @@ class SqlSpec extends SparkSpec {
       Seq("SELECT 'it''s; fine'", "SELECT 3"))
   }
 
+  test("splitStatements is comment-aware (';' in comments does not split)") {
+    assert(GraftSql.splitStatements("SELECT 1 -- no; split here\n; SELECT 2") ===
+      Seq("SELECT 1 -- no; split here", "SELECT 2"))
+    assert(GraftSql.splitStatements("SELECT /* a; b */ 1; SELECT 2") ===
+      Seq("SELECT /* a; b */ 1", "SELECT 2"))
+    assert(GraftSql.splitStatements("SELECT /* x /* ner;ted */ y; */ 1; SELECT 2") ===
+      Seq("SELECT /* x /* ner;ted */ y; */ 1", "SELECT 2"))
+    // a quoted '--' is NOT a comment; a commented quote does not open a string
+    assert(GraftSql.splitStatements("SELECT '--'; SELECT 2") ===
+      Seq("SELECT '--'", "SELECT 2"))
+    assert(GraftSql.splitStatements("SELECT 1 -- don't\n; SELECT 2") ===
+      Seq("SELECT 1 -- don't", "SELECT 2"))
+    // and a commented script still runs end-to-end through Spark
+    val out = GraftSql.runScript(spark,
+      "-- header comment; with semicolon\nSELECT 1 AS a; SELECT 2 AS b /* tail; */")
+    assert(out.head.getInt(0) === 2)
+  }
+
   test("q15-style 3-statement view flow runs end-to-end") {
     Catalog.registerAll(spark, sf0001)
     val script = """

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Engine tuning-knob surface + spill-under-pressure proof (≡ the
+  * reference's options.rs:34-64,90-115 memory/pool/spill/join-pref/stats
+  * surface and its FairSpillPool behavior under a memory cap). */
+class TuningSpec extends SparkSpec {
+
+  test("GraftTuning maps the reference's option surface onto Spark configs") {
+    // Apply a tuned builder against the shared context: runtime SQL confs
+    // land on the session (context-level ones like memory.fraction only
+    // apply to a fresh context — same as the reference, where the memory
+    // pool is fixed at engine start).
+    val s2 = GraftSession.builderWith(GraftTuning(
+      cpus = 4, shufflePartitions = Some(4), preferSortMergeJoin = true,
+      cboEnabled = false, spillRowThreshold = Some(128),
+      columnarBatchSize = 2048)).getOrCreate()
+    try {
+      assert(s2.conf.get("spark.sql.join.preferSortMergeJoin") === "true")
+      assert(s2.conf.get("spark.sql.cbo.enabled") === "false")
+      assert(s2.conf.get("spark.sql.cbo.joinReorder.enabled") === "false")
+      assert(s2.conf.get("spark.sql.windowExec.buffer.spill.threshold") === "128")
+      assert(s2.conf.get("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold") === "128")
+      assert(s2.conf.get("spark.sql.parquet.columnarReaderBatchSize") === "2048")
+      assert(s2.conf.get("spark.sql.shuffle.partitions") === "4")
+    } finally { // restore the shared session's defaults for other suites
+      val d = GraftTuning(cpus = 4)
+      s2.conf.set("spark.sql.join.preferSortMergeJoin", d.preferSortMergeJoin.toString)
+      s2.conf.set("spark.sql.cbo.enabled", d.cboEnabled.toString)
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", d.cboEnabled.toString)
+      s2.conf.set("spark.sql.parquet.columnarReaderBatchSize", d.columnarBatchSize.toString)
+      Seq("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+        "spark.sql.windowExec.buffer.in.memory.threshold",
+        "spark.sql.windowExec.buffer.spill.threshold",
+        "spark.sql.sessionWindow.buffer.spill.threshold").foreach(s2.conf.unset)
+    }
+  }
+
+  test("window buffers past the spill reservation spill to disk and stay correct") {
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
+        val m = end.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 32-row reservation: every window partition (~2k rows per
+      // l_returnflag at sf0.001) must overflow the in-memory buffer and
+      // force UnsafeExternalSorter spills — the 100 TB pressure path in
+      // miniature, gated on the oracle still matching.
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "32")
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "32")
+      val l = Catalog.table(spark, sf0001, "lineitem")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+      val res = l.select(col("l_returnflag"), count(lit(1)).over(w).as("n"))
+        .distinct().orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+      val expected = l.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(res === expected, "spilled window result must match the aggregate")
+      // task-end events arrive on the async listener bus
+      val deadline = System.nanoTime() + 15L * 1000L * 1000L * 1000L
+      while (spilled.get() == 0L && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(spilled.get() > 0L,
+        "expected task metrics to record spill bytes > 0 under the 32-row reservation")
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}
