@@ -30,6 +30,10 @@ object ScaleUp {
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.get()
+    // events.ts is TIMESTAMP(NANOS) — readable only as BIGINT epoch-nanos
+    // behind the legacy flag (same as Catalog.table); the replica then
+    // carries plain INT64, which Catalog reads identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def table(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 

@@ -22,7 +22,8 @@ object TextOps {
 
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
-    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus)
+    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus,
+    stratifiedSample, contamination, normalize)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -466,6 +467,112 @@ object TextOps {
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       GROUP BY source
       ORDER BY source"""))
+
+  // ------------------------------------------------------------ sampling
+  /** Deterministic stratified sampling: per-source keep-rates applied via
+    * a content-independent hash of doc_id (md5 — identical in any engine,
+    * any run, any partitioning; `rand()` would not be reproducible across
+    * a re-run or an engine swap, which breaks training-data lineage).
+    * Pure per-row filter: scan-parallel at any scale, and the sample of a
+    * 100 TB corpus is decided without a single shuffle. */
+  val stratifiedSample: GQuery = GQuery(
+    "t_sample_stratified",
+    "per-source deterministic hash sampling (src0 50%, src1 80%, else 25%)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val rate = when(col("source") === "src0", 500)
+        .when(col("source") === "src1", 800).otherwise(250)
+      d.filter(pmod(h60(col("doc_id").cast("string")), lit(1000)) < rate)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("tot_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      SELECT source, COUNT(*) AS n_sampled,
+             CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents
+      WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000 <
+            CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800 ELSE 250 END
+      GROUP BY source
+      ORDER BY source"""))
+
+  // ------------------------------------------------------------ contamination
+  /** Benchmark-contamination check: flag corpus documents sharing any
+    * word 5-gram with a benchmark set (here: doc_id < 20 stands in for
+    * the eval set). The benchmark side is tiny by construction, so its
+    * hashed gram set BROADCASTS and the corpus side never shuffles its
+    * text — per-row gram explosion, hash-join against the broadcast, one
+    * count aggregate keyed by doc_id. This is the shape that holds at
+    * 100 TB: cost is one corpus scan regardless of corpus size. */
+  val contamination: GQuery = GQuery(
+    "t_contamination",
+    "corpus docs sharing a word 5-gram with the benchmark set (doc_id<20)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("tk", toks(col("text")))
+        // CASE guard: Spark's sequence(1, 0) counts DOWN ([1,0]) rather
+        // than producing an empty range, so short docs need the explicit
+        // empty-array branch
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4)," +
+            " i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(tk, i, 5))" +
+            " as binary)), 1, 15), 16, 10) as bigint))" +
+            " ELSE cast(array() as array<bigint>) END")).as("g"))
+        .distinct()
+      val bench = grams(d.filter(col("doc_id") < 20))
+        .select(col("doc_id").as("bench_id"), col("g"))
+      grams(d.filter(col("doc_id") >= 20))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, g
+        FROM (SELECT doc_id,
+                     unnest([${h60Sql("array_to_string(tk[i:i+4], ' ')")}
+                             FOR i IN range(1, greatest(len(tk) - 3, 1))]) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents))
+        GROUP BY doc_id, g),
+      bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE bench_id < 20)
+      SELECT c.doc_id,
+             COUNT(DISTINCT c.g) AS n_shared_grams,
+             COUNT(DISTINCT bench_id) AS n_bench_docs
+      FROM grams c JOIN bench ON c.g = bench.g
+      WHERE c.doc_id >= 20
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""))
+
+  // ------------------------------------------------------------ normalize
+  /** Text normalization (lowercase, strip non-alphanumerics, collapse
+    * whitespace) with a content digest of the result — the canonical form
+    * exact dedup should key on in a real ingest. Pure per-row regex
+    * pipeline: scan-parallel, no shuffle before the final sort. */
+  val normalize: GQuery = GQuery(
+    "t_normalize",
+    "per-doc normalized text digest + length",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      d.select(col("doc_id"), md5(norm.cast("binary")).as("norm_md5"),
+          length(norm).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, md5(norm) AS norm_md5,
+             CAST(length(norm) AS INTEGER) AS norm_len
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+            FROM documents)
+      ORDER BY doc_id"""))
 
   /** Corpus vocabulary statistics: global top-20 tokens by frequency —
     * explode + one count shuffle + top-k (map-side partial counts make

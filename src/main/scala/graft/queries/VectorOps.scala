@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.LongType
 object VectorOps {
 
   def queries: Seq[GQuery] =
-    Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, cosNearDup)
+    Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -284,6 +284,102 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF-style ANN: the label partition is the inverted-file cell, its
+    * exact fixed-point centroid the coarse quantizer. A query ranks the
+    * (tiny, broadcast) centroid table, probes the `ivfNprobe` nearest
+    * cells, and scores only vectors in those cells — candidate cost
+    * nprobe/ncells of the corpus, the complementary scale path to LSH
+    * (data-adaptive cells vs data-oblivious hyperplanes). At 100 TB the
+    * cells would come from a k-means fit; the probe/score dataflow —
+    * broadcast quantizer, cell-restricted scan, exact re-rank — is
+    * identical and is what this query pins. */
+  private val ivfNprobe = 3
+
+  val ivfAnn: GQuery = GQuery(
+    "v_ivf_ann",
+    s"IVF ANN: probe $ivfNprobe nearest label-cells, exact re-rank top-3",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      // exact per-cell centroid as an ordered double array
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(davg(col("v").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("centroid"))
+      val qSet = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // rank cells per query against the broadcast quantizer
+      val cellRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("label"))
+      val probed = qSet.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("label"),
+          cosineSimCols("centroid", "q_emb").as("csim"))
+        .withColumn("cell_rk", row_number().over(cellRank))
+        .filter(col("cell_rk") <= ivfNprobe)
+        .select(col("q_id"), col("label"))
+      // score only vectors inside the probed cells
+      val scored = e.join(broadcast(probed), Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qSet), "q_id")
+        .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, ${davgSql("v")} AS c
+              FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings) t
+              GROUP BY label, pos)
+        GROUP BY label),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 3),
+      probed AS (
+        SELECT q_id, label FROM (
+          SELECT q_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                   ${dotSql("centroid", "q_emb")} /
+                   (sqrt(${dotSql("centroid", "centroid")}) *
+                    sqrt(${dotSql("q_emb", "q_emb")})) DESC, label) AS cell_rk
+          FROM q CROSS JOIN cent)
+        WHERE cell_rk <= $ivfNprobe),
+      scored AS (
+        SELECT q_id, e.vec_id AS n_id,
+               ${dotSql("e.embedding", "q_emb")} /
+               (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM embeddings e
+        JOIN probed ON e.label = probed.label
+        JOIN q USING (q_id)
+        WHERE e.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, n_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                    AS INTEGER) AS rk
+        FROM scored)
+      SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  /** cosineSim over arbitrary column names (centroid is double[], query is
+    * float[] — the CASTs make both folds double on both engines). */
+  private def cosineSimCols(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b," +
+      " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+      " (acc, v) -> acc + v)") /
+      (sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+        sqrt(expr(s"aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
 
   // ------------------------------------------------------------ cosine near-dup
   /** Embedding-cosine near-dup: LSH buckets prefilter candidate pairs
