@@ -23,7 +23,7 @@ object TextOps {
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus,
-    stratifiedSample, contamination, normalize)
+    stratifiedSample, contamination, normalize, packSequences)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -573,6 +573,54 @@ object TextOps {
                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
             FROM documents)
       ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ packing
+  /** Context-window packing (the concatenate-and-slice scheme LLM
+    * pretraining uses): per source, documents concatenate in doc_id order
+    * and slice into 2048-token windows; a doc's window is where its first
+    * token lands. Pure integer math over ONE running-sum window keyed by
+    * source — a single hash shuffle at any corpus size, and the window
+    * state is one long per partition. Reports per-source packing stats
+    * incl. how many docs straddle a window boundary (the attention-mask
+    * complexity a packer trades against padding waste). */
+  val packSequences: GQuery = GQuery(
+    "t_pack_sequences",
+    "2048-token concatenate-and-slice packing stats per source",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val d = Catalog.table(spark, dir, "documents")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("first_win", expr(s"start div $budget"))
+        .withColumn("last_win", expr(s"(start + n_tok - 1) div $budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tokens"),
+          expr(s"(sum(n_tok) + ${budget - 1}) div $budget").as("n_windows"),
+          sum(when(col("last_win") =!= col("first_win"), 1L).otherwise(0L))
+            .as("n_straddling"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH packed AS (
+        SELECT source, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM (SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tot_tokens,
+             CAST((SUM(n_tok) + 2047) // 2048 AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN (start + n_tok - 1) // 2048 <> start // 2048
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+      FROM packed
+      GROUP BY source
+      ORDER BY source"""))
 
   /** Corpus vocabulary statistics: global top-20 tokens by frequency —
     * explode + one count shuffle + top-k (map-side partial counts make

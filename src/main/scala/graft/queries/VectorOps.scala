@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.LongType
 object VectorOps {
 
   def queries: Seq[GQuery] =
-    Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup)
+    Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
+      quantize)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -369,6 +370,60 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ quantization
+  /** Int8 embedding quantization audit: per-dimension global [min,max]
+    * (the calibration a real int8 index ships with), affine-quantize every
+    * element to 0..255, dequantize, and report per-dimension reconstruction
+    * error. Two scan passes (one for calibration stats, one for the error
+    * audit) with a 64-row broadcast between them — at 100 TB both passes
+    * are scan-parallel and the quantizer table stays driver-tiny.
+    * Determinism: quantization uses floor(x+0.5) (not round() — engines
+    * disagree on half-even vs half-up at exact ties); error sums go
+    * through fixed-point dsum. */
+  val quantize: GQuery = GQuery(
+    "v_quantize",
+    "per-dim int8 quantization calibration + reconstruction-error audit",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val flat = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          col("v").cast("double").as("v"))
+      val calib = flat.groupBy(col("pos"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val err = flat.join(broadcast(calib), "pos")
+        .withColumn("q", when(col("hi") > col("lo"),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0d + 0.5d))
+          .otherwise(lit(0.0d)))
+        .withColumn("deq",
+          col("lo") + col("q") * (col("hi") - col("lo")) / 255.0d)
+        .withColumn("abs_err", abs(col("v") - col("deq")))
+      err.groupBy(col("pos"))
+        .agg(round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"),
+          round(davg(col("abs_err")), 6).as("avg_err"),
+          round(max(col("abs_err")), 6).as("max_err"),
+          count(lit(1)).as("n"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""
+      WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+      calib AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM flat GROUP BY pos),
+      err AS (
+        SELECT pos, lo, hi, v,
+               abs(v - (lo + (CASE WHEN hi > lo
+                      THEN FLOOR((v - lo) / (hi - lo) * 255.0 + 0.5)
+                      ELSE 0 END) * (hi - lo) / 255.0)) AS abs_err
+        FROM flat JOIN calib USING (pos))
+      SELECT pos, ROUND(MIN(lo), 6) AS lo, ROUND(MIN(hi), 6) AS hi,
+             ROUND(${davgSql("abs_err")}, 6) AS avg_err,
+             ROUND(MAX(abs_err), 6) AS max_err,
+             COUNT(*) AS n
+      FROM err
+      GROUP BY pos
+      ORDER BY pos"""))
 
   /** cosineSim over arbitrary column names (centroid is double[], query is
     * float[] — the CASTs make both folds double on both engines). */

@@ -83,6 +83,28 @@ class DifferentialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals batch dropDuplicates on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    // keys with repeats inside the watermark horizon, fed in two chunks
+    val rows = (1 to 500).map(i => (s"k${i % 120}", (100L * 60L + i) * 60L * 1000000L))
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamOps.dedupByKey(
+        in.toDF().toDF("event_key", "ts_us"), retention = "7 days")
+      .writeStream.format("memory").queryName("diff_dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = rows.splitAt(250)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val streamed = spark.table("diff_dd").select("event_key")
+        .as[String].collect().sorted.toSeq
+      val batch = rows.toDF("event_key", "ts_us")
+        .dropDuplicates("event_key").select("event_key")
+        .as[String].collect().sorted.toSeq
+      assert(streamed === batch, "stream dedup must keep exactly one row per key")
+    } finally q.stop()
+  }
+
   test("v_lsh_ann recall@3 vs brute-force ground truth is quantified") {
     // ground truth: brute-force top-3 (v_knn_brute emits top-5; take rk<=3)
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
