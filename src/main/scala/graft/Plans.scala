@@ -19,8 +19,9 @@ object Plans {
     val headline = Seq(
       "q01_pricing_summary", "q03_topk_revenue", "q05_local_supplier_volume",
       "q13_outer_join_distribution", "q18_in_subquery_having",
-      "t_exact_dedup", "t_minhash_lsh", "t_fingerprint",
-      "v_knn_native", "v_lsh_ann", "e_sessionize")
+      "t_exact_dedup", "t_minhash_lsh", "t_fingerprint", "t_contamination",
+      "t_pack_sequences", "p_clean_corpus",
+      "v_knn_native", "v_lsh_ann", "v_ivf_ann", "v_quantize", "e_sessionize")
     val md = new StringBuilder
     md ++= "# Physical plans (normalized) — headline queries\n\n"
     md ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n"
