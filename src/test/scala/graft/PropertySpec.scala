@@ -45,4 +45,38 @@ object PropertySpec extends Properties("graft.kernels") {
       h >= 0 && h < P
     }
   }
+
+  property("concat-and-slice packing laws (t_pack_sequences kernel)") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 5000L)),
+      Gen.chooseNum(64L, 4096L)) { (toks: List[Long], budget: Long) =>
+        // model the query's integer math: start = running sum before,
+        // window of a doc = start div budget, straddle iff last token's
+        // window differs
+        val starts = toks.scanLeft(0L)(_ + _).init
+        val firstW = starts.map(_ / budget)
+        val lastW = starts.zip(toks).map { case (s, n) => (s + n - 1) / budget }
+        val straddling = firstW.zip(lastW).count { case (a, b) => a != b }
+        val tot = toks.sum
+        val nWindows = (tot + budget - 1) / budget
+        val claims = Seq(
+          straddling <= toks.size, // a doc straddles at most once per count
+          nWindows >= 1 && nWindows <= tot, // ceil-division sanity
+          firstW.head == 0L, // first doc starts in window 0
+          // every doc's windows are within the total window count
+          lastW.forall(_ <= nWindows - 1 + 1), // last token may touch final window
+          firstW == firstW.sorted) // windows are monotone in doc order
+        claims.forall(identity)
+    }
+
+  property("affine int8 quantization error is bounded by half a step") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3))) { (xs: List[Double]) =>
+      val lo = xs.min
+      val hi = xs.max
+      xs.forall { v =>
+        val q = if (hi > lo) math.floor((v - lo) / (hi - lo) * 255.0 + 0.5) else 0.0
+        val deq = lo + q * (hi - lo) / 255.0
+        // floor(x+0.5) quantization ⇒ |err| ≤ step/2 (+ double round-off)
+        math.abs(v - deq) <= (if (hi > lo) (hi - lo) / 255.0 / 2.0 else 0.0) + 1e-9
+      }
+    }
 }

@@ -39,6 +39,55 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("sort-merge-join buffers past the spill reservation spill and stay correct") {
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
+        val m = end.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // force the SMJ path (no broadcast) with a 2-row buffer reservation:
+      // every multi-line order overflows the match buffer into the
+      // force-spilling sorter
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1")
+      spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2")
+      val o = Catalog.table(spark, sf0001, "orders")
+      val l = Catalog.table(spark, sf0001, "lineitem")
+      val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      val n = joined.count()
+      joined.collect() // finalize the adaptive plan before inspecting it
+      assert(graft.plans.PlanDescriber.simpleString(joined).contains("SortMergeJoin"),
+        "join did not take the sort-merge path")
+      restoreJoinConfs()
+      val expected = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      assert(n === expected, "spilled SMJ result must match the default-path join")
+      val deadline = System.nanoTime() + 15L * 1000L * 1000L * 1000L
+      while (spilled.get() == 0L && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(spilled.get() > 0L,
+        "expected SMJ buffer spill bytes > 0 under the 2-row reservation")
+    } finally {
+      restoreJoinConfs()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  /** Restore the GraftSession-pinned join/spill confs (a plain `unset`
+    * would fall back to Spark's stock defaults, e.g. a 10 MB broadcast
+    * threshold instead of the engine's pinned 64 MB). */
+  private def restoreJoinConfs(): Unit = {
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+    spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+  }
+
   test("window buffers past the spill reservation spill to disk and stay correct") {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
