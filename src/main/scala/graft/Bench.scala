@@ -18,18 +18,23 @@ object Bench {
     // is the cheapest estimator that can't be fooled by a one-time stall
     val iterations = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val attempts = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed ::= name
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
           }
-        }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only (a fast time-to-error must not stand
+      // in for a real timing); "failed" marks queries with NO good run, so
+      // a transient single-iteration failure neither poisons the timing
+      // nor falsely brands the query broken
+      val good = attempts.filter(_._2).map(_._1)
+      if (good.isEmpty) failed ::= name
+      name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -104,6 +104,7 @@ object GraftSession {
         .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", n.toString)
         .config("spark.sql.windowExec.buffer.in.memory.threshold", n.toString)
         .config("spark.sql.windowExec.buffer.spill.threshold", n.toString)
+        .config("spark.sql.sessionWindow.buffer.in.memory.threshold", n.toString)
         .config("spark.sql.sessionWindow.buffer.spill.threshold", n.toString)
     }
   }

@@ -52,7 +52,30 @@ object GraftSql {
       }
     }
     out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result().map(_.trim).filter(s => s.nonEmpty && !isCommentOnly(s))
+  }
+
+  /** True when a segment contains nothing but comments/whitespace — such
+    * a segment (e.g. a trailing `-- done` after the final ';') is not a
+    * statement and would make spark.sql throw a ParseException. */
+  private def isCommentOnly(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        var depth = 0
+        do {
+          if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (i + 1 < n && s.charAt(i) == '*' && s.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        } while (i < n && depth > 0)
+      } else return false
+    }
+    true
   }
 
   /** Execute every statement in order; return the LAST result that

@@ -19,14 +19,19 @@ object Verify {
     val out = new java.io.File(outDir)
     if (out.exists()) {
       val children = Option(out.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      // either marker proves a prior Verify owned this dir: the start
+      // marker is written FIRST so even a crashed run stays clearable
       val isPriorRun = children.isEmpty ||
-        children.exists(_.getName == "oracle_sql.json")
+        children.exists(f => f.getName == "oracle_sql.json" ||
+          f.getName == ".graft-verify")
       require(isPriorRun,
         s"refusing to clear $outDir: non-empty and not a previous Verify output " +
-          "(no oracle_sql.json marker) — pass a fresh or previously-used outDir")
+          "(no oracle_sql.json / .graft-verify marker) — pass a fresh or " +
+          "previously-used outDir")
       rm(out)
     }
     out.mkdirs()
+    Files.writeString(Paths.get(s"$outDir/.graft-verify"), "verify-run\n")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

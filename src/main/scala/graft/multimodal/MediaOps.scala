@@ -148,8 +148,8 @@ object MediaOps {
         SELECT CAST(FLOOR((CASE WHEN n_bytes = 0 THEN 0.0
                                 ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END) / 10) AS INT) AS bright_bucket,
                COUNT(*) AS n_docs,
-               SUM(n_bytes) AS tot_bytes,
-               SUM(h0) AS tot_h0
+               CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
+               CAST(SUM(h0) AS BIGINT) AS tot_h0
         FROM feats
         GROUP BY bright_bucket
         ORDER BY bright_bucket""")),
@@ -174,6 +174,7 @@ object MediaOps {
                           least(least((L * k.k) // 4, L - 1) + 32, L)
                             - least((L * k.k) // 4, L - 1) AS fb
                    FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
-        SELECT frame_idx, COUNT(*) AS n_frames, SUM(fb) AS tot_bytes
+        SELECT frame_idx, COUNT(*) AS n_frames,
+               CAST(SUM(fb) AS BIGINT) AS tot_bytes
         FROM f GROUP BY frame_idx ORDER BY frame_idx""")))
 }

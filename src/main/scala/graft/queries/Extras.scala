@@ -158,14 +158,14 @@ object Extras {
           max(col("price")).as("max_price"), min(col("disc")).as("min_disc"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag,
              SUM(price) AS sum_price,
              CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
              MAX(price) AS max_price, MIN(disc) AS min_disc
       FROM (SELECT l_returnflag,
-                   CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100.0 AS DECIMAL(15,2)) AS price,
-                   CAST(FLOOR(l_discount * 100 + 0.5) / 100.0 AS DECIMAL(15,2)) AS disc
+                   ${graft.util.Num.dec2Sql("l_extendedprice")} AS price,
+                   ${graft.util.Num.dec2Sql("l_discount")} AS disc
             FROM lineitem) t
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))

@@ -36,8 +36,18 @@ class FunctionsSpec extends SparkSpec {
     val out = df.select(expr("cosine_sim(a, b)")).collect()
     assert(out.forall(_.isNullAt(0)),
       "mismatched/missing embeddings must surface as NULL, not a truncated sim")
-    // interpreted path must agree with codegen
-    val one = df.limit(1).select(expr("cosine_sim(a, b)"))
-    assert(one.queryExecution.executedPlan != null && one.collect().head.isNullAt(0))
+    // interpreted path (nullSafeEval) must agree — actually disable
+    // whole-stage codegen and force the interpreted expression factory,
+    // otherwise this re-tests the same generated code
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(expr("cosine_sim(a, b)")).collect()
+      assert(interp.forall(_.isNullAt(0)), "interpreted path diverged from codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 }

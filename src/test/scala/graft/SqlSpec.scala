@@ -27,10 +27,15 @@ class SqlSpec extends SparkSpec {
       Seq("SELECT '--'", "SELECT 2"))
     assert(GraftSql.splitStatements("SELECT 1 -- don't\n; SELECT 2") ===
       Seq("SELECT 1 -- don't", "SELECT 2"))
+    // comment-only segments are dropped, not fed to the parser
+    assert(GraftSql.splitStatements("SELECT 1;\n-- done") === Seq("SELECT 1"))
+    assert(GraftSql.splitStatements("/* header */; SELECT 1; /* trailer */") ===
+      Seq("SELECT 1"))
     // and a commented script still runs end-to-end through Spark
     val out = GraftSql.runScript(spark,
       "-- header comment; with semicolon\nSELECT 1 AS a; SELECT 2 AS b /* tail; */")
     assert(out.head.getInt(0) === 2)
+    assert(GraftSql.runScript(spark, "SELECT 3 AS c;\n-- done").head.getInt(0) === 3)
   }
 
   test("q15-style 3-statement view flow runs end-to-end") {

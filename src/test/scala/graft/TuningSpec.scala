@@ -27,6 +27,7 @@ class TuningSpec extends SparkSpec {
       assert(s2.conf.get("spark.sql.shuffle.partitions") === "4")
     } finally { // restore the shared session's defaults for other suites
       val d = GraftTuning(cpus = 4)
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
       s2.conf.set("spark.sql.join.preferSortMergeJoin", d.preferSortMergeJoin.toString)
       s2.conf.set("spark.sql.cbo.enabled", d.cboEnabled.toString)
       s2.conf.set("spark.sql.cbo.joinReorder.enabled", d.cboEnabled.toString)
