@@ -24,11 +24,14 @@ object Verify {
       val isPriorRun = children.isEmpty ||
         children.exists(f => f.getName == "oracle_sql.json" ||
           f.getName == ".graft-verify")
-      require(isPriorRun,
-        s"refusing to clear $outDir: non-empty and not a previous Verify output " +
-          "(no oracle_sql.json / .graft-verify marker) — pass a fresh or " +
-          "previously-used outDir")
-      rm(out)
+      // not a prior run's dir: DON'T delete foreign content (a mistyped
+      // outDir must never be recursively removed) — but keep going; every
+      // query dir and oracle_sql.json below are full overwrites, so the
+      // dump itself is still complete and correct
+      if (isPriorRun) rm(out)
+      else System.err.println(
+        s"[verify] $outDir is non-empty without a Verify marker — " +
+          "leaving existing files in place, overwriting outputs only")
     }
     out.mkdirs()
     Files.writeString(Paths.get(s"$outDir/.graft-verify"), "verify-run\n")
