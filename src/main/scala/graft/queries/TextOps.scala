@@ -23,7 +23,7 @@ object TextOps {
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus,
-    stratifiedSample, contamination, normalize, packSequences)
+    stratifiedSample, contamination, normalize, packSequences, repetition)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -572,6 +572,49 @@ object TextOps {
                    trim(regexp_replace(regexp_replace(lower(text),
                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
             FROM documents)
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ repetition
+  /** Intra-document repetition (the Gopher-rule quality signal): share of
+    * duplicate word 3-grams per doc, reported in exact parts-per-million
+    * (integer division — a rounded double ratio can land exactly on a
+    * .5e-6 tie for power-of-two gram counts, where Spark HALF_UPs and
+    * DuckDB half-evens; ppm integers cannot disagree). Pure per-row array
+    * math: scan-parallel, no shuffle before the output sort. */
+  val repetition: GQuery = GQuery(
+    "t_repetition",
+    "per-doc duplicate-3-gram ratio (ppm) + Gopher-style repetition flag",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      d.withColumn("tk", toks(col("text")))
+        .withColumn("grams", expr(
+          "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2)," +
+            " i -> concat_ws(' ', slice(tk, i, 3)))" +
+            " ELSE cast(array() as array<string>) END"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ppm", when(col("n_grams") === 0L, 0L)
+          .otherwise(expr("((n_grams - n_distinct) * 1000000) div n_grams")))
+        .withColumn("flagged", col("rep_ppm") > 100000L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, n_grams, n_distinct,
+             CASE WHEN n_grams = 0 THEN 0
+                  ELSE (n_grams - n_distinct) * 1000000 // n_grams
+             END AS rep_ppm,
+             (CASE WHEN n_grams = 0 THEN 0
+                   ELSE (n_grams - n_distinct) * 1000000 // n_grams
+              END) > 100000 AS flagged
+      FROM (SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+            FROM (SELECT doc_id,
+                         [array_to_string(tk[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(tk) - 1, 1))] AS grams
+                  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                        FROM documents)))
       ORDER BY doc_id"""))
 
   // ------------------------------------------------------------ packing

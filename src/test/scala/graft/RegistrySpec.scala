@@ -32,7 +32,8 @@ class RegistrySpec extends SparkSpec {
     "p_clean_corpus" -> 20,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
     "t_sample_stratified" -> 20, "t_contamination" -> 6, "t_normalize" -> 500,
-    "t_pack_sequences" -> 20, "v_ivf_ann" -> 9, "v_quantize" -> 64,
+    "t_pack_sequences" -> 20, "t_repetition" -> 500,
+    "v_ivf_ann" -> 9, "v_quantize" -> 64,
     "v_centroids" -> 640, "v_knn_brute" -> 15, "v_knn_native" -> 15,
     "v_lsh_ann" -> 9, "v_cos_neardup" -> 11,
     "v_lsh_buckets" -> 204,
