@@ -22,7 +22,8 @@ object TextOps {
 
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
-    exactDedup, ngramJaccard, minhashLsh, simhash, fingerprint, cleanCorpus,
+    exactDedup, ngramJaccard, minhashLsh, simhash, simhashNearDup,
+    fingerprint, cleanCorpus,
     stratifiedSample, contamination, normalize, packSequences, repetition)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
@@ -346,37 +347,91 @@ object TextOps {
     * conditional sums — map-side partial aggregation collapses each doc
     * before the shuffle. (A first cut crossJoined 60 bit-rows per token —
     * a 150M-row stream at sf0.1 and 9 s; this is one pass.) */
-  val simhash: GQuery = GQuery(
-    "t_simhash",
-    "per-doc 60-bit simhash fingerprint from token-hash bit votes",
-    (spark, dir) => {
-      val d = spread(Catalog.table(spark, dir, "documents"))
-      val votes = (0 until 60).map(b =>
-        sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
-          .as(s"v$b"))
-      val simhashExpr = (0 until 60)
-        .map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")
-      d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .select(col("doc_id"), h60(col("tok")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH th AS (SELECT doc_id, ${h60Sql("tok")} AS h, COUNT(*) AS cnt
-                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                        FROM documents)
-                  GROUP BY doc_id, tok),
+  /** (doc_id, simhash) frame — shared by the fingerprint query and the
+    * simhash near-dup pairing below. */
+  private def simhashDf(d: DataFrame): DataFrame = {
+    val votes = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
+        .as(s"v$b"))
+    val simhashExpr = (0 until 60)
+      .map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")
+    d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+  }
+
+  /** SQL mirror of [[simhashDf]]: CTE block ending in an `sh` view. */
+  private val simhashCteSql = s"""
+      th AS (SELECT doc_id, ${h60Sql("tok")} AS h, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             GROUP BY doc_id, tok),
       votes AS (SELECT doc_id, b,
                        SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
                 FROM th CROSS JOIN (SELECT CAST(unnest(range(60)) AS INTEGER) AS b)
-                GROUP BY doc_id, b)
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
-      FROM votes
-      GROUP BY doc_id
+                GROUP BY doc_id, b),
+      sh AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END)
+                         AS BIGINT) AS simhash
+             FROM votes GROUP BY doc_id)"""
+
+  val simhash: GQuery = GQuery(
+    "t_simhash",
+    "per-doc 60-bit simhash fingerprint from token-hash bit votes",
+    (spark, dir) =>
+      simhashDf(spread(Catalog.table(spark, dir, "documents")))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $simhashCteSql
+      SELECT doc_id, simhash FROM sh
       ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ simhash near-dup
+  /** SimHash near-dup pairing: 60-bit fingerprints blocked into 4 bands
+    * of 15 bits — by pigeonhole, any pair within Hamming distance 3
+    * agrees on at least one full band, so the band equi-join finds ALL
+    * such pairs (exact recall, unlike probabilistic minhash banding) and
+    * candidates verify with one bit_count(xor). The scale shape matches
+    * t_minhash_lsh: per-row fingerprints, one band self-join whose
+    * buckets concentrate on near-identical docs, O(candidates) verify. */
+  val simhashNearDup: GQuery = GQuery(
+    "t_simhash_neardup",
+    "simhash pairs within Hamming<=3 via 4x15-bit band blocking",
+    (spark, dir) => {
+      val sh = simhashDf(spread(Catalog.table(spark, dir, "documents")))
+      val bands = sh
+        .select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bh", expr("shiftright(simhash, band * 15) & 32767"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.simhash").as("a_sh"), col("y.simhash").as("b_sh"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("cast(bit_count(a_sh ^ b_sh) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH $simhashCteSql,
+      bands AS (SELECT doc_id, simhash, band,
+                       (simhash >> (band * 15)) & 32767 AS bh
+                FROM sh CROSS JOIN
+                  (SELECT CAST(unnest(range(4)) AS INTEGER) AS band)),
+      cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                      x.simhash AS a_sh, y.simhash AS b_sh
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(a_sh, b_sh)) <= 3
+      ORDER BY a_id, b_id"""))
 
   // ------------------------------------------------------------ fingerprint
   /** Document fingerprinting: k-min sketch over rolling character

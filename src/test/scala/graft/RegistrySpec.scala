@@ -30,7 +30,8 @@ class RegistrySpec extends SparkSpec {
     "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
     "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 28,
     "p_clean_corpus" -> 20,
-    "t_quality_score" -> 500, "t_simhash" -> 500, "t_token_count" -> 500,
+    "t_quality_score" -> 500, "t_simhash" -> 500, "t_simhash_neardup" -> 25,
+    "t_token_count" -> 500,
     "t_sample_stratified" -> 20, "t_contamination" -> 6, "t_normalize" -> 500,
     "t_pack_sequences" -> 20, "t_repetition" -> 500,
     "v_ivf_ann" -> 9, "v_quantize" -> 64,
