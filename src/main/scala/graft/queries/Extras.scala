@@ -15,9 +15,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 object Extras {
 
   def queries: Seq[GQuery] = Seq(
-    windowRank, windowRunning, rollupAgg, cubeAgg, unionDistinct, intersectKeys,
-    exceptKeys, fullOuter, crossJoinQ, distinctOrder, stringFuncs, dateFuncs,
-    decimalArith, sqlPath)
+    windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
+    intersectKeys, exceptKeys, fullOuter, crossJoinQ, distinctOrder,
+    stringFuncs, dateFuncs, decimalArith, sqlPath)
 
   private val sqlPathText = """
       SELECT n_name, COUNT(*) AS n_suppliers,
@@ -133,6 +133,33 @@ object Extras {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY flag, status"""))
+
+  /** PIVOT: wide-format aggregate (one column per l_linestatus value) —
+    * the `.groupBy().pivot(col, values)` API with EXPLICIT pivot values:
+    * at 100 TB the implicit form first runs a distinct scan to discover
+    * values AND caps them at spark.sql.pivotMaxValues; pinning the value
+    * list keeps the plan a single two-phase aggregate. Oracle uses the
+    * equivalent manual CASE pivot (portable SQL). */
+  val pivotAgg: GQuery = GQuery(
+    "x_pivot",
+    "groupBy(flag).pivot(status) counts with explicit pivot values",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("flag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      SELECT l_returnflag AS flag,
+             COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY flag"""))
 
   /** Exact decimal arithmetic — the reference's money type is
     * Decimal128(15,2) (reference: benchmarks/src/tpch/mod.rs:62-72); the

@@ -266,7 +266,15 @@ object TextOps {
     * column into every consuming lambda, recomputing the md5 batch once
     * per seed; measured 3x slower). Band buckets join; candidates verify
     * by exact Jaccard on per-doc shingle sets, so verify work scales with
-    * |candidates|, not corpus². */
+    * |candidates|, not corpus².
+    *
+    * Known single-plan cost: the signature aggregate feeds 4 branches
+    * (band self-join × 2, set lookup × 2) and per-branch column pruning
+    * correctly splits it into 4 scan pipelines — the optimizer's right
+    * call at test scale. At real corpus scale the standard pattern is to
+    * MATERIALIZE signatures once (`sig.write.parquet(...)`) and run the
+    * band join off that table; one corpus scan, then joins touch only
+    * the (doc_id, sig, shingle-set) columns. */
   private[queries] def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
     val hvRows = shingles(d)
       .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))

@@ -40,7 +40,7 @@ class RegistrySpec extends SparkSpec {
     "v_lsh_buckets" -> 204,
     "x_cross_join" -> 125, "x_date_funcs" -> 100, "x_distinct" -> 6,
     "x_except" -> 7, "x_full_outer" -> 25, "x_intersect" -> 86,
-    "x_rollup" -> 10, "x_cube" -> 12, "x_decimal_arith" -> 3,
+    "x_rollup" -> 10, "x_cube" -> 12, "x_pivot" -> 3, "x_decimal_arith" -> 3,
     "x_string_funcs" -> 50, "x_union_distinct" -> 25,
     "x_window_rank" -> 449, "x_window_running_sum" -> 1500)
 
