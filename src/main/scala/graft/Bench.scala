@@ -12,11 +12,12 @@ object Bench {
     // one warm-up action so JVM/codegen startup isn't billed to query 1
     Catalog.table(spark, sfDir, "lineitem").count()
     var failed = List.empty[String]
-    // two iterations, min reported: a single-shot timing in a 32-thread
+    // three iterations, min reported: a single-shot timing in a 32-thread
     // shared JVM is vulnerable to one-off GC/compilation spikes (r1 showed
-    // a 50-row projection "taking" 65 s once and 0.4 s on re-run); min-of-2
-    // is the cheapest estimator that can't be fooled by a one-time stall
-    val iterations = 2
+    // a 50-row projection "taking" 65 s once and 0.4 s on re-run); min-of-3
+    // matches the repo's bench_results protocol so the driver artifact and
+    // the local record are directly comparable
+    val iterations = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
@@ -31,14 +32,17 @@ object Bench {
       // min over SUCCESSFUL runs only (a fast time-to-error must not stand
       // in for a real timing); "failed" marks queries with NO good run, so
       // a transient single-iteration failure neither poisons the timing
-      // nor falsely brands the query broken
+      // nor falsely brands the query broken. A query with zero good runs
+      // reports null and contributes NOTHING to total — mixing
+      // time-to-error into the headline would make failures look cheap.
       val good = attempts.filter(_._2).map(_._1)
       if (good.isEmpty) failed ::= name
-      name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     // "failed" distinguishes time-to-error from a real timing in the record
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")

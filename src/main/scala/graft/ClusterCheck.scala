@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Multi-JVM correctness proof: runs a representative slice of the query
+  * registry under `local-cluster[2,16,3072]` — Spark standalone with TWO
+  * SEPARATE EXECUTOR JVMs, so every task crosses a real process boundary
+  * (closure + row serialization, netty block transfer for every shuffle)
+  * exactly as on a 1000-executor cluster. This is the Spark-native analog
+  * of the reference's core claim — results are identical whether a plan
+  * runs in one process or is distributed over Arrow Flight workers
+  * (reference: README.md:11-19, src/flight_service/service.rs:17-22,
+  * src/plan/arrow_flight_read.rs:25-29).
+  *
+  * Output is Verify-shaped (per-query parquet + oracle_sql.json) so
+  * `tools/check_oracles.py` gives the same DuckDB equality gate the
+  * driver applies — multi-JVM results must hash-match the oracle.
+  *
+  * usage: ClusterCheck <sfDir> <outDir>
+  */
+object ClusterCheck {
+
+  /** One query per shuffling family: two-phase agg, broadcast join,
+    * multi-way shuffled join, SMJ-scale join, outer / semi / anti join,
+    * window, union-distinct, decimal over the wire, hash dedup, banded
+    * LSH self-join, custom codegen Expression on executors, as-of join,
+    * and the composed cleaning pipeline. */
+  val subset: Seq[String] = Seq(
+    "q01_pricing_summary",          // two-phase hash aggregate
+    "q03_topk_revenue",             // broadcast join + TakeOrderedAndProject
+    "q05_local_supplier_volume",    // 6-table shuffled join tree
+    "q09_product_profit",           // partitioned/SMJ-scale join
+    "q13_outer_join_distribution",  // left outer + count distribution
+    "q16_distinct_anti_join",       // anti join + count(distinct)
+    "q18_in_subquery_having",       // semi join + HAVING agg
+    "x_window_rank",                // window function state
+    "x_union_distinct",             // union + distinct shuffle
+    "x_decimal_arith",              // decimal repr across serialization
+    "t_exact_dedup",                // md5 hash-shuffle dedup
+    "t_minhash_lsh",                // banded LSH bucket self-join
+    "v_knn_native",                 // custom codegen Expression on executors
+    "e_asof_join",                  // range/as-of window carry-forward
+    "p_clean_corpus")               // composed multi-stage pipeline
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")
+    val Array(sfDir, outDir) = args
+    // executor JVMs are launched by the in-process Worker from SPARK_HOME;
+    // they need the application classes (graft.*, incl. codegen'd
+    // Expressions and closure classes) on their own classpath
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = GraftSession
+      .builderWith(GraftTuning(cpus = 32), master = Some("local-cluster[2,16,3072]"))
+      .config("spark.executor.memory", "2g")
+      .config("spark.executor.extraClassPath", classesDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val nExec = waitForExecutors(spark, want = 2)
+    require(nExec >= 2,
+      s"local-cluster brought up only $nExec executor JVM(s) — no process boundary to prove")
+    println(s"[cluster-check] $nExec executor JVMs up (driver pid ${ProcessHandle.current().pid()})")
+
+    val out = new java.io.File(outDir)
+    if (out.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(out) }
+    out.mkdirs()
+    var failed = List.empty[String]
+    subset.foreach { name =>
+      val q = Registry.byName(name)
+      try {
+        q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[cluster-check] $name OK")
+      } catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[cluster-check] $name FAILED: ${e.getMessage}")
+      }
+    }
+    // Verify-shaped oracle_sql.json restricted to the subset, so
+    // check_oracles.py applies the identical DuckDB gate to these outputs
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val json = subset.flatMap(n => Registry.byName(n).oracle.map(sql => s"${esc(n)}: ${esc(sql)}"))
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    require(failed.isEmpty, s"cluster-check failures: ${failed.sorted.mkString(", ")}")
+    spark.stop()
+  }
+
+  /** Standalone executor registration is async; poll until both workers'
+    * executors have joined (or time out and report what we got). */
+  private def waitForExecutors(spark: org.apache.spark.sql.SparkSession, want: Int): Int = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var n = 0
+    while (n < want && System.nanoTime() < deadline) {
+      // getExecutorMemoryStatus includes the driver; executors are the rest
+      n = spark.sparkContext.getExecutorMemoryStatus.size - 1
+      if (n < want) Thread.sleep(500)
+    }
+    n
+  }
+}

@@ -26,10 +26,15 @@ case class GraftTuning(
     /** Shuffle parallelism; defaults to `cpus` locally (a deploy-time
       * setting on a real cluster — AQE coalesces down from it). */
     shufflePartitions: Option[Int] = None,
-    /** Fraction of heap for execution+storage (reference: memory limit). */
+    /** Fraction of heap for execution+storage (reference: memory limit).
+      * STATIC (context-level) conf: only takes effect in the process that
+      * creates the SparkContext — `builderWith(...).getOrCreate()` against
+      * an already-running context silently ignores it (use
+      * [[GraftSession.sessionWith]] to get a loud warning instead). */
     memoryFraction: Double = 0.6,
     /** true = FAIR scheduler pools (reference: FairSpillPool), false =
-      * FIFO (reference: GreedyMemoryPool). */
+      * FIFO (reference: GreedyMemoryPool). STATIC conf — same caveat as
+      * [[memoryFraction]]: ignored when an existing context is reused. */
     fairScheduling: Boolean = false,
     /** Rows an operator buffer (sort-merge-join / window) may hold before
       * spilling (reference: sort-spill reservation). None = Spark default
@@ -71,12 +76,17 @@ object GraftSession {
   def builder(cpus: Int = defaultCpus): SparkSession.Builder =
     builderWith(GraftTuning(cpus = cpus))
 
-  /** Fully-tunable builder (≡ reference options.rs:34-64,90-115). */
-  def builderWith(t: GraftTuning): SparkSession.Builder = {
+  /** Fully-tunable builder (≡ reference options.rs:34-64,90-115).
+    *
+    * `master` defaults to in-process `local[cpus]`; [[ClusterCheck]] passes
+    * `local-cluster[...]` to get separate executor JVMs (real task
+    * serialization + netty shuffle — the reference's process-boundary
+    * claim, reference: src/flight_service/service.rs:17-22). */
+  def builderWith(t: GraftTuning, master: Option[String] = None): SparkSession.Builder = {
     val b = SparkSession
       .builder()
       .appName("graft")
-      .master(s"local[${t.cpus}]")
+      .master(master.getOrElse(s"local[${t.cpus}]"))
       .config("spark.sql.shuffle.partitions",
         t.shufflePartitions.getOrElse(t.cpus).toString)
       .config("spark.memory.fraction", t.memoryFraction.toString)
@@ -107,6 +117,36 @@ object GraftSession {
         .config("spark.sql.sessionWindow.buffer.in.memory.threshold", n.toString)
         .config("spark.sql.sessionWindow.buffer.spill.threshold", n.toString)
     }
+  }
+
+  /** Build (or reuse) a session under the given tuning, warning loudly
+    * when static knobs are being ignored. The runtime-SQL subset
+    * (shuffle partitions, join prefs, CBO, thresholds) always applies;
+    * the static subset — master/cpus, memoryFraction, fairScheduling —
+    * only takes effect in the process that CREATES the SparkContext.
+    * Spark silently drops static confs on an existing context; this
+    * surfaces each dropped knob on stderr so a tuning run can't silently
+    * measure the wrong configuration. */
+  def sessionWith(t: GraftTuning): SparkSession = {
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = builderWith(t).getOrCreate()
+    if (preExisting) {
+      val conf = spark.sparkContext.getConf
+      Seq(
+        "spark.master" -> s"local[${t.cpus}]",
+        "spark.memory.fraction" -> t.memoryFraction.toString,
+        "spark.scheduler.mode" -> (if (t.fairScheduling) "FAIR" else "FIFO"))
+        .foreach { case (k, v) =>
+          val got = conf.get(k, "")
+          if (got.nonEmpty && got != v) System.err.println(
+            s"[graft] static conf $k=$v IGNORED (existing context has $got)" +
+              " — stop the session first to apply it")
+        }
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark
   }
 
   /** Build (or reuse) the engine session, with graft-native functions

@@ -62,6 +62,21 @@ object ScaleUp {
     shifts.foreach { case (t, keyShifts) =>
       val src0 = table(t)
       val types = src0.schema.map(f => f.name -> f.dataType).toMap
+      // up-front overflow check: the max shifted key is factor*base - 1;
+      // a 32-bit key column under the session's ANSI mode would otherwise
+      // abort mid-write with an opaque cast-overflow. Fail fast, loudly,
+      // with the limit made explicit.
+      keyShifts.foreach { case (k, b) =>
+        val lim: Long = types(k) match {
+          case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+          case org.apache.spark.sql.types.ShortType   => Short.MaxValue.toLong
+          case _                                      => Long.MaxValue
+        }
+        require(factor.toLong * b - 1 <= lim,
+          s"factor=$factor overflows $t.$k (${types(k).simpleString}): " +
+            s"max shifted key ${factor.toLong * b - 1} > $lim — lower the " +
+            s"factor or widen $k to BIGINT in the source")
+      }
       val replicas = (0 until factor).map { i =>
         keyShifts.foldLeft(src0) { case (df, (k, b)) =>
           // cast back so replica schemas stay identical to the source's

@@ -17,6 +17,12 @@ object Verify {
       f.delete()
     }
     val out = new java.io.File(outDir)
+    // ownsDir: the dir is new, empty, or carries a prior Verify marker.
+    // Only then is it cleared — and only then is the ownership marker
+    // (re)written: writing the marker into a FOREIGN dir would make a
+    // rerun with the same mistyped outDir pass isPriorRun and recursively
+    // delete the very content this guard protects.
+    var ownsDir = true
     if (out.exists()) {
       val children = Option(out.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       // either marker proves a prior Verify owned this dir: the start
@@ -29,12 +35,16 @@ object Verify {
       // query dir and oracle_sql.json below are full overwrites, so the
       // dump itself is still complete and correct
       if (isPriorRun) rm(out)
-      else System.err.println(
-        s"[verify] $outDir is non-empty without a Verify marker — " +
-          "leaving existing files in place, overwriting outputs only")
+      else {
+        ownsDir = false
+        System.err.println(
+          s"[verify] $outDir is non-empty without a Verify marker — " +
+            "leaving existing files in place, overwriting outputs only")
+      }
     }
     out.mkdirs()
-    Files.writeString(Paths.get(s"$outDir/.graft-verify"), "verify-run\n")
+    if (ownsDir)
+      Files.writeString(Paths.get(s"$outDir/.graft-verify"), "verify-run\n")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

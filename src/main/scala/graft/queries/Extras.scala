@@ -180,16 +180,18 @@ object Extras {
           graft.util.Num.dec2(col("l_discount")).as("disc"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("price")).as("sum_price"),
+          sum(col("price")).cast(DecimalType(38, 2)).as("sum_price"),
           sum(expr("price * (1 - disc)")).cast(DecimalType(38, 6)).as("sum_disc_price"),
-          max(col("price")).as("max_price"), min(col("disc")).as("min_disc"))
+          max(col("price")).cast(DecimalType(38, 2)).as("max_price"),
+          min(col("disc")).cast(DecimalType(38, 2)).as("min_disc"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""
       SELECT l_returnflag,
-             SUM(price) AS sum_price,
+             CAST(SUM(price) AS DECIMAL(38,2)) AS sum_price,
              CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
-             MAX(price) AS max_price, MIN(disc) AS min_disc
+             CAST(MAX(price) AS DECIMAL(38,2)) AS max_price,
+             CAST(MIN(disc) AS DECIMAL(38,2)) AS min_disc
       FROM (SELECT l_returnflag,
                    ${graft.util.Num.dec2Sql("l_extendedprice")} AS price,
                    ${graft.util.Num.dec2Sql("l_discount")} AS disc

@@ -34,11 +34,14 @@ object TextOps {
     * work. A single parquet file arrives as ONE input split, serializing
     * the md5 pipelines onto one core; an explicit-count repartition (which
     * AQE will not coalesce) buys full parallelism for the price of
-    * shuffling the raw text once. On a real cluster with many input files
-    * this is a no-op cost-wise — AQE-planned joins downstream are
-    * unaffected. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * shuffling the raw text once. Guarded: when the scan already produced
+    * >= defaultParallelism splits (the normal many-file cluster case) this
+    * is the identity — no exchange is inserted, so a 100 TB corpus is
+    * never shuffled just to "spread" it. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
   private def h60(c: Column): Column =
