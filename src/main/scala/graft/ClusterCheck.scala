@@ -16,7 +16,10 @@ import java.nio.file.{Files, Paths}
   * `tools/check_oracles.py` gives the same DuckDB equality gate the
   * driver applies — multi-JVM results must hash-match the oracle.
   *
-  * usage: ClusterCheck <sfDir> <outDir>
+  * usage: SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ClusterCheck <sfDir> <outDir>"
+  * (the env var is required: outside spark-submit the in-process Worker's
+  * command builder cannot infer the Scala version when launching executor
+  * JVMs — "Cannot find any build directories" otherwise)
   */
 object ClusterCheck {
 
