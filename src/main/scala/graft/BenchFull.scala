@@ -8,26 +8,46 @@ import java.nio.file.{Files, Paths}
   * benchmarks/src/util/run.rs:64-132 JSON shape, 197-260 compare;
   * iterations default 3 per options.rs:36-37).
   *
-  * usage: BenchFull <sfDir> <resultsPath> [iterations]
+  * usage: BenchFull <sfDir> <resultsPath> [iterations] [q1,q2,...]
+  * (the optional comma-separated name list restricts the run — used for
+  * the heavy-query-only scale-headroom runs on 10×/30× replicas)
   */
 object BenchFull {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchFull <sfDir> <resultsPath> [iterations]")
+    require(args.length >= 2, "usage: BenchFull <sfDir> <resultsPath> [iterations] [q1,q2,...]")
     val sfDir = args(0)
     val outPath = args(1)
     val iterations = if (args.length > 2) args(2).toInt else 3
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = GraftSession.get()
     Catalog.table(spark, sfDir, "lineitem").count() // warm-up
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { o =>
+      val missing = o -- queries.map(_._1).toSet
+      require(missing.isEmpty, s"unknown query names: ${missing.mkString(",")}")
+    }
     val results = queries.map { case (name, fn) =>
       val qStart = System.currentTimeMillis()
       var success = true
+      // row count for the record is taken ONCE, untimed: the timed body
+      // is a noop-format write that materializes EVERY output column.
+      // (Timing a bare count() lets Catalyst prune the computed columns —
+      // a per-row pipeline (fingerprints, signatures) would be "timed"
+      // without ever computing its results, under-measuring scan-heavy
+      // queries ~2×. Same protocol as Bench, so the driver artifact and
+      // this record are comparable.)
+      val rowCount = try fn(spark, sfDir).count()
+      catch { case e: Throwable => success = false; -1L }
       val iters = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
-        val rows = try fn(spark, sfDir).count()
-        catch { case e: Throwable => success = false; -1L }
+        val rows = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          rowCount
+        } catch { case e: Throwable => success = false; -1L }
         (System.nanoTime() - t0) / 1e6 -> rows
       }
       (name, qStart, success, iters)

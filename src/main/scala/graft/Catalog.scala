@@ -65,6 +65,36 @@ object Catalog {
     df
   }
 
+  /** External-table registration + REAL statistics collection — the Spark
+    * analog of the reference's `with_collect_statistics(true)` /
+    * `--disable-statistics` toggle (reference:
+    * benchmarks/src/tpch/run.rs:90-92,118). Temp views carry no stats, so
+    * `GraftTuning.cboEnabled` is only substance when tables live in the
+    * catalog WITH analyzed stats: this registers each parquet dir as an
+    * external table under the `dbName` database and runs
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` (row count +
+    * per-column NDV/min/max/null-count — what the CBO join reorder and
+    * filter-selectivity estimates consume). At 100 TB this is the
+    * difference between a cost-based join order and SQL-text order.
+    *
+    * `events` is excluded by default: its TIMESTAMP(NANOS) column needs
+    * the legacy read flag and event queries use the DataFrame path.
+    */
+  def registerAnalyzed(
+      spark: SparkSession,
+      sfDir: String,
+      names: Seq[String] = tableNames.filterNot(_ == "events"),
+      dbName: String = "graft_stats"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$dbName`")
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS `$dbName`.`$n`")
+      spark.sql(
+        s"CREATE TABLE `$dbName`.`$n` USING parquet LOCATION '$sfDir/$n.parquet'")
+      spark.sql(
+        s"ANALYZE TABLE `$dbName`.`$n` COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+  }
+
   /** Bucketed + sorted managed table — the Spark analog of the
     * reference's sorted-file declaration (`file_sort_order`, reference:
     * benchmarks/src/tpch/run.rs:334-339) and the scale path for repeated

@@ -22,7 +22,7 @@ object TextOps {
 
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
-    exactDedup, ngramJaccard, minhashLsh, simhash, simhashNearDup,
+    exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus,
     stratifiedSample, contamination, normalize, packSequences, repetition)
 
@@ -274,18 +274,29 @@ object TextOps {
     * Known single-plan cost: the signature aggregate feeds 4 branches
     * (band self-join × 2, set lookup × 2) and per-branch column pruning
     * correctly splits it into 4 scan pipelines — the optimizer's right
-    * call at test scale. At real corpus scale the standard pattern is to
-    * MATERIALIZE signatures once (`sig.write.parquet(...)`) and run the
-    * band join off that table; one corpus scan, then joins touch only
-    * the (doc_id, sig, shingle-set) columns. */
-  private[queries] def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
+    * call at test scale. At real corpus scale use [[minhashLshMat]],
+    * which materializes the signature table once and runs the band join
+    * off it: one corpus scan, then joins touch only the
+    * (doc_id, sig, shingle-set) columns. */
+  private[queries] def minhashPairs(d: DataFrame, threshold: Double): DataFrame =
+    pairsFromSig(minhashSig(d), threshold)
+
+  /** The signature table: one row per doc carrying the 16 min-hashes and
+    * the exact shingle set — everything the band join + verify needs, so
+    * a consumer that materializes THIS table never rescans the corpus. */
+  private[queries] def minhashSig(d: DataFrame): DataFrame = {
     val hvRows = shingles(d)
       .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))
     val sigCols = (0 until 16).map(s =>
       min(expr(s"(v * ${2 * s + 1} + ${s * 7919}) % $MinhashP")).as(s"s$s"))
-    val sig = hvRows
+    hvRows
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail :+ collect_set(col("sh")).as("arr"): _*)
+  }
+
+  /** Band join + exact-Jaccard verify over a (doc_id, s0..s15, arr)
+    * signature frame — the post-signature half of the LSH pipeline. */
+  private[queries] def pairsFromSig(sig: DataFrame, threshold: Double): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
         .cast("binary")).as(s"bh$b"))
@@ -345,6 +356,32 @@ object TextOps {
     (spark, dir) => {
       val d = spread(Catalog.table(spark, dir, "documents"))
       minhashPairs(d, 0.5).orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)}
+      SELECT a_id, b_id, jacc FROM pairs
+      ORDER BY a_id, b_id"""))
+
+  /** Corpus-scale variant of [[minhashLsh]]: the signature table is
+    * MATERIALIZED to parquet first (an explicit stage boundary, the
+    * reference's analog being a stage split at a flight boundary), then
+    * the band join + verify run off that table. The single-plan form
+    * above feeds the signature aggregate into 4 branches, and per-branch
+    * column pruning re-scans the corpus ~4×; here the corpus is scanned
+    * exactly ONCE (during the write), after which every join touches only
+    * (doc_id, s0..s15, arr). At 100 TB the signature table is ~3 orders
+    * smaller than the text — this is the standard production shape.
+    * Same oracle as t_minhash_lsh: materialization must not change
+    * results. */
+  val minhashLshMat: GQuery = GQuery(
+    "t_minhash_lsh_mat",
+    "minhash LSH off a materialized signature table (one corpus scan)",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val matDir = s"/tmp/graft-mat/minhash_sig_${Integer.toHexString(dir.hashCode)}"
+      minhashSig(d).write.mode("overwrite").parquet(matDir)
+      pairsFromSig(spark.read.parquet(matDir), 0.5)
+        .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""
       WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)}

@@ -51,6 +51,16 @@ class PlanSpec extends SparkSpec {
     assert(s.hashAggregates >= 2, "expected partial+final hash aggregate")
   }
 
+  test("t_minhash_lsh_mat: band join reads only the signature table, not the corpus") {
+    // the returned plan is the post-materialization half: every scan must
+    // be over the written signature parquet — zero documents re-scans
+    // (the single-plan variant re-scans the corpus once per branch)
+    val s = PlanDescriber.formatted(q("t_minhash_lsh_mat"))
+    assert(!s.contains("documents.parquet"),
+      s"materialized variant still scans the corpus:\n${s.take(2000)}")
+    assert(s.contains("minhash_sig_"), "expected signature-table scans")
+  }
+
   test("normalized plan text is machine-stable") {
     val a = PlanDescriber.normalized(q("q06_scalar_agg"))
     val b = PlanDescriber.normalized(q("q06_scalar_agg"))

@@ -28,7 +28,8 @@ class RegistrySpec extends SparkSpec {
     "q19_disjunctive_join" -> 1, "q20_nested_semi_join" -> 0,
     "q21_exists_not_exists" -> 1, "q22_substring_anti_join" -> 3,
     "t_exact_dedup" -> 500, "t_fingerprint" -> 500, "t_lang_profile" -> 5,
-    "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_ngram_jaccard" -> 28,
+    "t_langid" -> 10, "t_minhash_lsh" -> 28, "t_minhash_lsh_mat" -> 28,
+    "t_ngram_jaccard" -> 28,
     "p_clean_corpus" -> 20,
     "t_quality_score" -> 500, "t_simhash" -> 500, "t_simhash_neardup" -> 25,
     "t_token_count" -> 500,
