@@ -18,6 +18,7 @@ object Registry {
   lazy val all: Seq[GQuery] =
     graft.queries.TpchLike.queries ++
       graft.queries.Extras.queries ++
+      graft.queries.SqlFuncs.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++

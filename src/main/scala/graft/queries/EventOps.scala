@@ -19,7 +19,7 @@ object EventOps {
 
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
-      asofJoin, rangeJoin)
+      asofJoin, rangeJoin, intervalJoin)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -244,4 +244,36 @@ object EventOps {
       GROUP BY user_id
       ORDER BY spend DESC, user_id
       LIMIT 10"""))
+
+  /** Interval (event-time) join: every purchase within 30 minutes AFTER a
+    * click by the same user — the batch twin of the stream-stream interval
+    * join in [[graft.streaming.StreamOps.clickPurchaseJoin]] (differential
+    * proof in DifferentialSpec). Equi-key on user_id carries the shuffle;
+    * the time band is a residual filter on the joined pairs, so at 100 TB
+    * this is one hash exchange per side, no range-partitioning needed.
+    * The streaming form bounds state by watermark + the 30-minute band. */
+  val intervalJoin: GQuery = GQuery(
+    "e_interval_join",
+    "click->purchase pairs within 30 minutes, per-user counts",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val bandNs = 30L * 60L * 1000000000L
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value"))
+      c.join(p, col("user_id") === col("p_uid") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + bandNs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("tot_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT c.user_id, COUNT(*) AS n_pairs, ${dsumSql("p.value")} AS tot_value
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.user_id
+      ORDER BY c.user_id"""))
 }

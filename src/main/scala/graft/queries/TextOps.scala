@@ -24,7 +24,8 @@ object TextOps {
     tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus,
-    stratifiedSample, contamination, normalize, packSequences, repetition)
+    stratifiedSample, contamination, normalize, packSequences, repetition,
+    chunkDedup, tfIdf)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -790,5 +791,101 @@ object TextOps {
       GROUP BY tok
       ORDER BY n DESC, tok
       LIMIT 20"""))
+
+  /** Chunk-level (sub-document) duplication audit — the line/paragraph
+    * dedup step of CCNet/RefinedWeb-style pipelines, at chunk granularity:
+    * split each document into non-overlapping 20-token chunks, hash each
+    * chunk, and surface chunks shared by more than one document. Scale
+    * shape: explode to ~rows x (len/20) chunk hashes (32-byte md5 each,
+    * NOT the chunk text), then ONE shuffle keyed by chunk hash with
+    * map-side partial counts — at 100 TB the shuffled payload is the hash
+    * space, orders of magnitude below the corpus. */
+  val chunkDedup: GQuery = GQuery(
+    "t_chunk_dedup",
+    "duplicated 20-token chunks across documents (sub-doc dedup)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      spread(d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 20)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(floor(size(l) / 20) AS INT) - 1)," +
+            " c -> md5(concat_ws(' ', slice(l, c * 20 + 1, 20))))")).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("chunk_hash"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      ), chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(l[(c * 20 + 1):(c * 20 + 20)], ' ')) AS chunk_hash
+        FROM toks,
+             LATERAL (SELECT unnest(range(CAST(floor(len(l) / 20) AS BIGINT))) AS c) g
+        WHERE len(l) >= 20
+      )
+      SELECT chunk_hash, COUNT(*) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunks
+      GROUP BY chunk_hash
+      HAVING COUNT(DISTINCT doc_id) > 1
+      ORDER BY n_docs DESC, chunk_hash
+      LIMIT 20"""))
+
+  /** TF-IDF-style salience: document frequency over the FULL corpus, term
+    * frequency over the queried documents, scored tf/df (one IEEE division
+    * — deterministic; no ln(), whose libm rounding is engine-specific) and
+    * the top term per document selected by window rank. Scale shape: the
+    * df branch is a vocabulary-sized two-phase count (map-side partials);
+    * the tf branch is pruned to the target docs BEFORE any shuffle; the
+    * join is keyed on token (vocabulary-sized build side — broadcastable
+    * when the vocab fits, AQE decides). */
+  val tfIdf: GQuery = GQuery(
+    "t_tfidf",
+    "top TF-IDF (tf/df) token per document, corpus-wide document frequency",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val tok = spread(d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = tok.filter(col("doc_id") < 10)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+          col("tok"))
+      tf.join(dfreq, "tok")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          (col("tf").cast("double") / col("df").cast("double")).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), tokf AS (SELECT * FROM tok WHERE length(tok) > 0),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tokf WHERE doc_id < 10 GROUP BY doc_id, tok
+      ), df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tokf GROUP BY tok
+      )
+      SELECT doc_id, tok, tf, df,
+             CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                     ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                              tf.tok) AS rn
+            FROM tf JOIN df USING (tok)) t
+      WHERE rn = 1
+      ORDER BY doc_id"""))
 
 }

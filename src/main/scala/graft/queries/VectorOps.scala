@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize)
+      quantize, mrlAnn, dimStats)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -477,4 +477,103 @@ object VectorOps {
             (sqrt(${dotSql("x.embedding", "x.embedding")}) *
              sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.35
       ORDER BY a_id, b_id"""))
+
+  // ------------------------------------------------------------ MRL rerank
+  /** Matryoshka-style truncated-dimension ANN: shortlist by cosine on the
+    * FIRST 16 of 64 dimensions (4x less arithmetic and — in a column-sliced
+    * layout — 4x less I/O per candidate), then exact-rerank the top-20
+    * shortlist on all 64 dims. The standard two-stage retrieval shape for
+    * MRL-trained embedders; on a 100 TB corpus stage 1 is the only full
+    * scan and stage 2 touches 20 rows per query. Deterministic: both
+    * stages are the same sequential double folds as v_knn_brute. */
+  val mrlAnn: GQuery = GQuery(
+    "v_mrl_ann",
+    "truncated-dim (16 of 64) cosine shortlist + exact 64-dim rerank top-3",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          slice(col("embedding"), 1, 16).as("q_emb16"))
+      val short = e.select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, 16).as("emb16"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim16", cosineSimCols("emb16", "q_emb16"))
+      val w16 = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim16").desc, col("vec_id"))
+      val rerank = short.withColumn("rk16", row_number().over(w16))
+        .filter(col("rk16") <= 20)
+        .withColumn("sim", cosineSimCols("embedding", "q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      rerank.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id").as("n_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                        embedding[1:16] AS q_emb16
+                 FROM embeddings WHERE vec_id < 3),
+      short AS (
+        SELECT q_id, e.vec_id, e.embedding, q_emb,
+               ${dotSql("e.embedding[1:16]", "q_emb16")} /
+               (sqrt(${dotSql("e.embedding[1:16]", "e.embedding[1:16]")}) *
+                sqrt(${dotSql("q_emb16", "q_emb16")})) AS sim16
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q_id),
+      shortlisted AS (
+        SELECT q_id, vec_id, embedding, q_emb,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim16 DESC, vec_id)
+                 AS rk16
+        FROM short),
+      rerank AS (
+        SELECT q_id, vec_id,
+               ${dotSql("embedding", "q_emb")} /
+               (sqrt(${dotSql("embedding", "embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM shortlisted WHERE rk16 <= 20),
+      ranked AS (
+        SELECT q_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                    AS INTEGER) AS rk
+        FROM rerank)
+      SELECT q_id, rk, vec_id AS n_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ dim stats
+  /** Per-dimension corpus statistics — the embedding-QA pass (dead dims,
+    * scale drift, outliers) run before building any index: mean / min /
+    * max / fixed-point mean of squares per dimension. One posexplode
+    * + one 64-group two-phase aggregate; map-side partials make the
+    * shuffle 64 rows per partition regardless of corpus size. */
+  val dimStats: GQuery = GQuery(
+    "v_dim_stats",
+    "per-dimension embedding mean/min/max/ms audit",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      e.select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select((col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
+        .groupBy(col("pos"))
+        .agg(
+          round(davg(col("v")), 6).as("mean"),
+          round(min(col("v")), 6).as("vmin"),
+          round(max(col("v")), 6).as("vmax"),
+          round(davg(col("v") * col("v")), 6).as("mean_sq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""
+      WITH flat AS (SELECT generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings)
+      SELECT pos, ROUND(${davgSql("v")}, 6) AS mean,
+             ROUND(MIN(v), 6) AS vmin,
+             ROUND(MAX(v), 6) AS vmax,
+             ROUND(${davgSql("v * v")}, 6) AS mean_sq,
+             COUNT(*) AS n
+      FROM flat
+      GROUP BY pos
+      ORDER BY pos"""))
 }

@@ -54,6 +54,27 @@ object StreamOps {
       .withWatermark("ts", retention)
       .dropDuplicatesWithinWatermark("event_key")
 
+  /** Stream-stream event-time interval join (the streaming twin of
+    * EventOps.intervalJoin): purchases within 30 minutes after a click by
+    * the same user. Both sides carry watermarks and the join predicate
+    * carries the time band, so Spark can expire join state on both sides
+    * — the state bound that makes a continuous 100 TB/day ingest feasible.
+    * Inner-join matches emit eagerly (no watermark wait). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("c_ts", "1 hour")
+      .select(col("user_id"), col("c_ts"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("p_ts", "1 hour")
+      .select(col("user_id").as("p_uid"), col("p_ts"), col("value"))
+    c.join(p, expr(
+      "user_id = p_uid AND p_ts >= c_ts AND p_ts < c_ts + interval 30 minutes"))
+      .select(col("user_id"), unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"), col("value"))
+  }
+
   /** Gap-based sessionization (the streaming twin of EventOps.sessionize):
     * per-user keyed state via flatMapGroupsWithState, closing a session
     * when `gap` passes without events (event-time timeout). */

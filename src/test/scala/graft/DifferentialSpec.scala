@@ -105,6 +105,42 @@ class DifferentialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals independently-computed batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = evRows()
+    val cIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = StreamOps.clickPurchaseJoin(
+        cIn.toDF().filter(col("event_type") === "click"),
+        pIn.toDF().filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("diff_ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two chunks per side, offset so matches cross micro-batch boundaries
+      // (exercises buffered join state, not single-batch co-arrival)
+      val (c1, c2) = evs.splitAt(evs.length / 3)
+      val (p1, p2) = evs.splitAt(2 * evs.length / 3)
+      cIn.addData(c1); pIn.addData(p1); q.processAllAvailable()
+      cIn.addData(c2); pIn.addData(p2); q.processAllAvailable()
+      val streamed = spark.table("diff_ssj")
+        .select(col("user_id"), col("c_ts_us"), col("p_ts_us"), col("value"))
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      // independent in-memory re-implementation of the same interval join
+      val bandUs = 30L * 60L * 1000000L
+      val clicks = evs.filter(_.event_type == "click")
+      val purchases = evs.filter(_.event_type == "purchase")
+        .groupBy(_.user_id).withDefaultValue(Seq.empty)
+      val expected = (for {
+        c <- clicks
+        p <- purchases(c.user_id)
+        if p.ts_us >= c.ts_us && p.ts_us < c.ts_us + bandUs
+      } yield (c.user_id, c.ts_us, p.ts_us, p.value)).sorted
+      assert(expected.nonEmpty, "fixture must produce at least one joined pair")
+      assert(streamed === expected,
+        s"stream/batch interval-join divergence: ${streamed.diff(expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("v_lsh_ann recall@3 vs brute-force ground truth is quantified") {
     // ground truth: brute-force top-3 (v_knn_brute emits top-5; take rk<=3)
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)

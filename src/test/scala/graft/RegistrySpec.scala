@@ -43,7 +43,12 @@ class RegistrySpec extends SparkSpec {
     "x_except" -> 7, "x_full_outer" -> 25, "x_intersect" -> 86,
     "x_rollup" -> 10, "x_cube" -> 12, "x_pivot" -> 3, "x_decimal_arith" -> 3,
     "x_string_funcs" -> 50, "x_union_distinct" -> 25,
-    "x_window_rank" -> 449, "x_window_running_sum" -> 1500)
+    "x_window_rank" -> 449, "x_window_running_sum" -> 1500,
+    "x_grouping_sets" -> 6, "x_array_funcs" -> 5, "x_percentiles" -> 3,
+    "x_regex_funcs" -> 30, "x_lateral_explode" -> 166, "x_bitwise" -> 40,
+    "x_scalar_funcs" -> 60,
+    "t_chunk_dedup" -> 20, "t_tfidf" -> 10, "e_interval_join" -> 2,
+    "v_mrl_ann" -> 9, "v_dim_stats" -> 64)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
