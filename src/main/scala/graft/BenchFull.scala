@@ -41,13 +41,13 @@ object BenchFull {
       // queries ~2×. Same protocol as Bench, so the driver artifact and
       // this record are comparable.)
       val rowCount = try fn(spark, sfDir).count()
-      catch { case e: Throwable => success = false; -1L }
+      catch { case e: Throwable => success = false; logFail(name, e); -1L }
       val iters = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         val rows = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           rowCount
-        } catch { case e: Throwable => success = false; -1L }
+        } catch { case e: Throwable => success = false; logFail(name, e); -1L }
         (System.nanoTime() - t0) / 1e6 -> rows
       }
       (name, qStart, success, iters)
@@ -79,6 +79,11 @@ object BenchFull {
     }
     spark.stop()
   }
+
+  /** A swallowed failure is undiagnosable after the fact — always leave
+    * the root cause on stderr next to the query name. */
+  private def logFail(name: String, e: Throwable): Unit =
+    System.err.println(s"[benchfull] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
 
   /** Per-query average elapsed from a previous results file (minimal
     * parser for our own output shape — no JSON lib on the classpath). */

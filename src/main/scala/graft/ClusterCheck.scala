@@ -27,7 +27,11 @@ object ClusterCheck {
     * multi-way shuffled join, SMJ-scale join, outer / semi / anti join,
     * window, union-distinct, decimal over the wire, hash dedup, banded
     * LSH self-join, custom codegen Expression on executors, as-of join,
-    * and the composed cleaning pipeline. */
+    * the composed cleaning pipeline, and (round 3) grouping sets,
+    * explode+countDistinct sub-doc dedup, the two-stage MRL rerank,
+    * the equi-key + time-band interval join, and the iterative
+    * connected-components loop (multi-round shuffles + convergence
+    * counts across the process boundary). */
   val subset: Seq[String] = Seq(
     "q01_pricing_summary",          // two-phase hash aggregate
     "q03_topk_revenue",             // broadcast join + TakeOrderedAndProject
@@ -43,7 +47,12 @@ object ClusterCheck {
     "t_minhash_lsh",                // banded LSH bucket self-join
     "v_knn_native",                 // custom codegen Expression on executors
     "e_asof_join",                  // range/as-of window carry-forward
-    "p_clean_corpus")               // composed multi-stage pipeline
+    "p_clean_corpus",               // composed multi-stage pipeline
+    "x_grouping_sets",              // Expand + grouping_id over the wire
+    "t_chunk_dedup",                // explode + countDistinct shuffle
+    "v_mrl_ann",                    // two-stage window rerank
+    "e_interval_join",              // equi+band residual join
+    "t_dedup_clusters")             // iterative CC label propagation
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")

@@ -73,6 +73,27 @@ object GraftSession {
   /** Default parallelism for the local test harness. */
   def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+  /** Shuffle/spill scratch directory. Prefer RAM-backed tmpfs when
+    * present and big: this sandbox's kernel throttles page-cache
+    * writeback to single-digit MB/s once a few GB are dirty (measured:
+    * 2.8 GB/s for the first 2 GB of buffered writes, then 8.9 MB/s —
+    * while O_DIRECT sustains 514 MB/s), which turns shuffle-heavy stages
+    * CPU-idle and syscall-bound (jstack: every executor thread inside
+    * FileChannel write/transferTo). Shuffle files are short-lived scratch
+    * — exactly what tmpfs is for; on a production cluster this maps to
+    * local NVMe `spark.local.dir`, and tmpfs only when the shuffle
+    * working set is known to fit in RAM. Overridable via
+    * SPARK_GRAFT_LOCAL_DIR; falls back to the JVM default (/tmp) when no
+    * tmpfs is writable. */
+  def scratchDir: Option[String] = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-scratch")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
   def builder(cpus: Int = defaultCpus): SparkSession.Builder =
     builderWith(GraftTuning(cpus = cpus))
 
@@ -83,7 +104,7 @@ object GraftSession {
     * serialization + netty shuffle — the reference's process-boundary
     * claim, reference: src/flight_service/service.rs:17-22). */
   def builderWith(t: GraftTuning, master: Option[String] = None): SparkSession.Builder = {
-    val b = SparkSession
+    val b1 = SparkSession
       .builder()
       .appName("graft")
       .master(master.getOrElse(s"local[${t.cpus}]"))
@@ -105,12 +126,18 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // stream-copy instead of mmap'd FileChannel.transferTo for shuffle
+      // merges: with 32 task threads the map/unmap cycle is a TLB-shootdown
+      // storm on VM kernels (measured here: q18 at 30x data 11 s vs 123 s),
+      // and the copy itself is not the bottleneck for 32 MB-scale spills
+      .config("spark.file.transferTo", "false")
+    val b2 = scratchDir.fold(b1)(d => b1.config("spark.local.dir", d))
     // in.memory.threshold moves rows into the UnsafeExternalSorter once
     // exceeded; spill.threshold then forces that sorter to disk — both are
     // needed for the reservation to actually bound memory (≡ the
     // reference's sort_spill_reservation_bytes, options.rs:100-108)
-    t.spillRowThreshold.fold(b) { n =>
-      b.config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", n.toString)
+    t.spillRowThreshold.fold(b2) { n =>
+      b2.config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", n.toString)
         .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", n.toString)
         .config("spark.sql.windowExec.buffer.in.memory.threshold", n.toString)
         .config("spark.sql.windowExec.buffer.spill.threshold", n.toString)

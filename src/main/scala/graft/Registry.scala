@@ -20,6 +20,7 @@ object Registry {
       graft.queries.Extras.queries ++
       graft.queries.SqlFuncs.queries ++
       graft.queries.TextOps.queries ++
+      graft.queries.GraphOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++
       graft.multimodal.MediaOps.queries

@@ -39,7 +39,7 @@ object TextOps {
     * >= defaultParallelism splits (the normal many-file cluster case) this
     * is the identity — no exchange is inserted, so a 100 TB corpus is
     * never shuffled just to "spread" it. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[queries] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
@@ -279,7 +279,7 @@ object TextOps {
     * which materializes the signature table once and runs the band join
     * off it: one corpus scan, then joins touch only the
     * (doc_id, sig, shingle-set) columns. */
-  private[queries] def minhashPairs(d: DataFrame, threshold: Double): DataFrame =
+  private[graft] def minhashPairs(d: DataFrame, threshold: Double): DataFrame =
     pairsFromSig(minhashSig(d), threshold)
 
   /** The signature table: one row per doc carrying the 16 min-hashes and
@@ -327,7 +327,7 @@ object TextOps {
 
   /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view
     * (a_id, b_id, jacc >= threshold). `src` must select (doc_id, text). */
-  private[queries] def minhashPairsSql(src: String, threshold: Double): String = s"""
+  private[graft] def minhashPairsSql(src: String, threshold: Double): String = s"""
       sh AS (${shinglesSql.replace("FROM documents", s"FROM ($src) src_t")}),
       hv AS (SELECT doc_id, sh, ${hvSqlDuck("sh")} AS v FROM sh),
       sigs AS (SELECT doc_id, seed,

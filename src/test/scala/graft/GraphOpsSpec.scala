@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Connected-components dedup clustering: structural properties that the
+  * DuckDB hash gate can't see — convergence on adversarial shapes and
+  * transitive consistency of the labeling. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = pairs.toDF("a_id", "b_id")
+    GraphOps.ccLabels(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain graph collapses to one component labeled by its min id") {
+    // a path 1-2-3-4-5 needs label propagation across 4 hops — the
+    // worst diameter-per-edge shape for min-label
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("disjoint components keep distinct min-id labels") {
+    val labels = cc(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L)))
+    assert(labels(10L) == 10L && labels(11L) == 10L && labels(12L) == 10L)
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+  }
+
+  test("t_dedup_clusters labels are transitively consistent with the pair graph") {
+    val d = Catalog.table(spark, sf0001, "documents")
+    val pairs = queries.TextOps.minhashPairs(d.select(col("doc_id"), col("text")), 0.5)
+      .select(col("a_id"), col("b_id"))
+    val labels = Registry.byName("t_dedup_clusters").run(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // every label is the min doc_id of its member set
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
+  test("p_dedup_canonical keeps the longest member of every cluster") {
+    val d = Catalog.table(spark, sf0001, "documents")
+    val nTok = d.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusters = Registry.byName("t_dedup_clusters").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verdicts = Registry.byName("p_dedup_canonical").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = clusters.groupBy(_._2)
+    assert(verdicts.length == byCluster.size)
+    verdicts.foreach { case (cid, kept, n) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.length == n)
+      assert(members.contains(kept))
+      // kept is max-token (ties min id)
+      val best = members.maxBy(m => (nTok(m), -m))
+      assert(kept == best, s"cluster $cid kept $kept, expected $best")
+    }
+  }
+}

@@ -48,7 +48,8 @@ class RegistrySpec extends SparkSpec {
     "x_regex_funcs" -> 30, "x_lateral_explode" -> 166, "x_bitwise" -> 40,
     "x_scalar_funcs" -> 60,
     "t_chunk_dedup" -> 20, "t_tfidf" -> 10, "e_interval_join" -> 2,
-    "v_mrl_ann" -> 9, "v_dim_stats" -> 64)
+    "v_mrl_ann" -> 9, "v_dim_stats" -> 64,
+    "t_dedup_clusters" -> 45, "p_dedup_canonical" -> 21)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
