@@ -55,6 +55,31 @@ object Catalog {
     df
   }
 
+  /** JSON-lines registration with a declared schema (schema-on-read, no
+    * inference pass over the data — at 100 TB an inference scan would cost
+    * as much as the query). Columns absent from a line read as null;
+    * `columnNameOfCorruptRecord` is left at Spark's default PERMISSIVE
+    * handling so one bad line cannot kill an ingest.
+    */
+  def registerJson(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = spark.read.schema(schema).json(path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** ORC registration — same footer-driven pruning/pushdown properties as
+    * parquet (Spark's native vectorized ORC reader).
+    */
+  def registerOrc(spark: SparkSession, name: String, path: String): DataFrame = {
+    val df = spark.read.orc(path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** In-memory preload (reference: benchmarks/src/tpch/run.rs:225-235
     * `--mem-table`): cache + materialize.
     */

@@ -61,6 +61,14 @@ object Convert {
         df.write.mode("overwrite").option("compression", compression).parquet(outPath)
       case "csv" =>
         df.write.mode("overwrite").option("delimiter", "|").csv(outPath)
+      case "json" =>
+        // JSON-lines sink: splittable text, one object per line — the
+        // interchange format for downstream training-data tooling
+        df.write.mode("overwrite").option("compression", compression).json(outPath)
+      case "orc" =>
+        df.write.mode("overwrite").option("compression",
+          // orc names zstd/zlib differently from parquet's zstd/gzip
+          if (compression == "gzip") "zlib" else compression).orc(outPath)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
     spark.stop()

@@ -17,7 +17,7 @@ object Extras {
   def queries: Seq[GQuery] = Seq(
     windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
     intersectKeys, exceptKeys, fullOuter, crossJoinQ, distinctOrder,
-    stringFuncs, dateFuncs, decimalArith, sqlPath)
+    stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask)
 
   private val sqlPathText = """
       SELECT n_name, COUNT(*) AS n_suppliers,
@@ -371,4 +371,89 @@ object Extras {
       FROM orders
       WHERE o_orderkey < 100
       ORDER BY o_orderkey"""))
+
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * quartile pipeline. Per-customer aggregate (one shuffle on o_custkey),
+    * then NTILE(4) per metric with ties broken by custkey (total order ⇒
+    * deterministic buckets on both engines), then a segment roll-up.
+    * Monetary sums use the fix6 order-free accumulation ([[Num.dsum]]) so
+    * doubles hash-match across engines.
+    *
+    * Scale note: the three NTILEs are GLOBAL windows — Spark executes an
+    * unpartitioned window in a single task, fine for |customers| rows
+    * (already aggregated, ~1/40th of orders) but the 100 TB form computes
+    * quartile BOUNDARIES via approx_percentile and joins them back — same
+    * output, no single-task sort; the pinned-oracle form here proves the
+    * semantics. */
+  val rfmSegments: GQuery = GQuery(
+    "a_rfm_segments",
+    "RFM quartile segmentation of customers from their order history",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("freq"),
+          dsum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_order")).as("recency"),
+          col("freq"), col("monetary"))
+      val rq = Window.orderBy(col("recency"), col("o_custkey"))
+      val fq = Window.orderBy(col("freq").desc, col("o_custkey"))
+      val mq = Window.orderBy(col("monetary").desc, col("o_custkey"))
+      rfm.select(col("o_custkey"), col("monetary"),
+          ntile(4).over(rq).as("rq"),
+          ntile(4).over(fq).as("fq"),
+          ntile(4).over(mq).as("mq"))
+        .groupBy(col("rq"), col("fq"), col("mq"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("monetary")).as("seg_value"))
+        .orderBy(col("rq"), col("fq"), col("mq"))
+    },
+    Some(s"""
+      WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+      rfm AS (SELECT o_custkey,
+                     date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                               (SELECT mx FROM m)) AS recency,
+                     COUNT(*) AS freq,
+                     ${dsumSql("o_totalprice")} AS monetary
+              FROM orders GROUP BY o_custkey),
+      q AS (SELECT o_custkey, monetary,
+                   CAST(NTILE(4) OVER (ORDER BY recency, o_custkey) AS INTEGER) AS rq,
+                   CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS fq,
+                   CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS mq
+            FROM rfm)
+      SELECT rq, fq, mq, COUNT(*) AS n_cust, ${dsumSql("monetary")} AS seg_value
+      FROM q GROUP BY rq, fq, mq
+      ORDER BY rq, fq, mq"""))
+
+  /** PII handling for a training-data pipeline: deterministic
+    * pseudonymization (md5 surrogate key), masking (digit redaction), and
+    * generalization (balance → coarse bucket, k-anonymity style). All
+    * per-row codegen'd expressions — a 100 TB scrub is one scan, no
+    * shuffle, and the surrogate key is stable across runs/engines so
+    * downstream joins survive re-scrubs. */
+  val piiMask: GQuery = GQuery(
+    "p_pii_mask",
+    "pseudonymize + mask + generalize customer PII",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      c.filter(col("c_custkey") < 25)
+        .select(
+          col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("pseud"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          floor(col("c_acctbal") / 1000.0d).cast(IntegerType).as("bal_bucket"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             md5(c_name) AS pseud,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS bal_bucket,
+             c_mktsegment
+      FROM customer
+      WHERE c_custkey < 25
+      ORDER BY c_custkey"""))
 }

@@ -37,7 +37,8 @@ import org.apache.spark.sql.DataFrame
   */
 object GraphOps {
 
-  def queries: Seq[GQuery] = Seq(dedupClusters, dedupCanonical)
+  def queries: Seq[GQuery] = Seq(
+    dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks)
 
   /** Connected-component labels (id, lbl) for every node of the
     * undirected pair graph. One (node,label)-shuffle join per round;
@@ -128,4 +129,137 @@ object GraphOps {
       SELECT r.lbl AS cluster_id, r.id AS kept_doc, s.n_members
       FROM ranked r JOIN sizes s ON s.lbl = r.lbl
       WHERE r.rn = 1 ORDER BY cluster_id"""))
+
+  // ----- general graph analytics over a derived relation graph -----
+  //
+  // Edge source: the supplier co-purchase graph — an undirected edge (u<v)
+  // between two suppliers whose items appear in the same order, restricted
+  // to high-quantity lineitems (l_quantity > 45) so the graph stays SPARSE
+  // under scale-up: unfiltered, random supplier assignment makes the graph
+  // complete once |orders| >> |suppliers|² (measured: 453k of 500k possible
+  // edges at sf0.1), and every graph algorithm degenerates to O(V³). The
+  // hot-item restriction keeps avg degree ~20 at both sf0.01 and sf0.1, so
+  // each query's cost tracks |E|·degree — the realistic shape for
+  // co-occurrence graphs at 100 TB (items-per-basket is scale-free, not
+  // corpus-sized).
+  //
+  // Scale shapes: edge derivation = one self-join shuffle on l_orderkey
+  // (both sides identically partitioned) + one distinct shuffle on (u,v);
+  // triangle counting = the standard distributed edge-iterator (Suri &
+  // Vassilvitskii, WWW'11): paths u-v-w from edges joined on the shared
+  // middle node, closed against a third edge copy — cost Σ d(v)², never
+  // all-triples; Jaccard = neighbor-list join bounded by Σ d(v)².
+
+  /** Undirected (u<v) distinct supplier pairs co-occurring in an order,
+    * both lineitems high-quantity. */
+  private[graft] def coSupplyEdges(l: DataFrame): DataFrame = {
+    val hot = l.filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    hot.select(col("ok"), col("s").as("u"))
+      .join(hot.select(col("ok"), col("s").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Oracle twin of [[coSupplyEdges]] as a CTE body named `edges`. */
+  private val edgesSql = """
+      edges AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity > 45 AND b.l_quantity > 45)"""
+
+  /** Global triangle count: edges e1(a,b) ⋈ e2(b,c) gives length-2 paths,
+    * closed by e3(a,c). All three legs carry the u<v orientation, so each
+    * triangle a<b<c is counted exactly once. Spark reuses the distinct's
+    * exchange across the three scans (ReusedExchange), so the edge list is
+    * derived once. */
+  val triangleCount: GQuery = GQuery(
+    "g_triangle_count",
+    "triangle count over the supplier co-purchase graph",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      val paths = e.select(col("u").as("a"), col("v").as("b"))
+        .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      val tri = paths.join(
+        e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    },
+    Some(s"""
+      WITH $edgesSql,
+      nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+      tri AS (SELECT count(*) AS n_triangles
+              FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+             (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT n_triangles FROM tri) AS n_triangles"""))
+
+  /** Degree distribution: per-node degree (UNION ALL of both endpoints →
+    * one group-by), then a histogram over degrees — two narrow shuffles,
+    * both on already-small data. */
+  val degreeHist: GQuery = GQuery(
+    "g_degree_hist",
+    "degree histogram of the supplier co-purchase graph",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("d"))
+    },
+    Some(s"""
+      WITH $edgesSql,
+      deg AS (SELECT n, count(*) AS d
+              FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+              GROUP BY n)
+      SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d"""))
+
+  /** Link prediction: neighbor-overlap Jaccard per existing edge, top-10.
+    * jaccard = |N(u)∩N(v)| / (d(u)+d(v)-|N(u)∩N(v)|) — one integer
+    * division, bit-identical IEEE-754 on both engines; round(·,6) of a
+    * small-integer ratio can never land on a digit-7 tie (that would need
+    * a denominator ≥ 2·10⁶), so the hash compare is safe. */
+  val jaccardLinks: GQuery = GQuery(
+    "g_jaccard_links",
+    "top-10 co-purchase edges by neighbor Jaccard overlap",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      val nbr = e.select(col("u").as("n"), col("v").as("m"))
+        .union(e.select(col("v").as("n"), col("u").as("m")))
+      val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val common = e
+        .join(nbr.select(col("n").as("u"), col("m").as("w")), "u")
+        .join(nbr.select(col("n").as("v"), col("m").as("w")), Seq("v", "w"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+          round(col("common").cast("double") / (col("du") + col("dv") - col("common")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH $edgesSql,
+      nbr AS (SELECT u AS n, v AS m FROM edges
+              UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT n, count(*) AS d FROM nbr GROUP BY n),
+      common AS (SELECT e.u, e.v, count(*) AS common
+                 FROM edges e
+                 JOIN nbr a ON a.n = e.u
+                 JOIN nbr b ON b.n = e.v AND b.m = a.m
+                 GROUP BY e.u, e.v)
+      SELECT c.u, c.v, c.common, du.d AS du, dv.d AS dv,
+             ROUND(CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common), 6) AS jaccard
+      FROM common c
+      JOIN deg du ON du.n = c.u
+      JOIN deg dv ON dv.n = c.v
+      ORDER BY jaccard DESC, c.u, c.v
+      LIMIT 10"""))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Catalog, GQuery}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -19,7 +20,7 @@ object SqlFuncs {
 
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
-    bitwiseFuncs, scalarFuncs)
+    bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag)
 
   /** GROUPING SETS beyond rollup/cube: an explicit irregular set list plus
     * `grouping_id()` disambiguation (rollup/cube are proved separately in
@@ -221,4 +222,129 @@ object SqlFuncs {
       FROM part
       WHERE p_partkey < 60
       ORDER BY p_partkey"""))
+
+  /** MAP column surface: construct / element_at / cardinality. Spark's MAP
+    * and DuckDB's MAP differ in subscript semantics (DuckDB `m[k]` yields a
+    * LIST), so the oracle pins `m[k][1]`; outputs are scalars on both sides
+    * so the hash compare sees identical shapes. Per-row only — maps ride
+    * inside Tungsten rows, no shuffle. */
+  val mapFuncs: GQuery = GQuery(
+    "x_map_funcs",
+    "map_from_arrays, element_at, map cardinality",
+    (spark, dir) => {
+      val p = Catalog.table(spark, dir, "part")
+      p.filter(col("p_partkey") < 20)
+        .select(col("p_partkey"),
+          map_from_arrays(
+            array(lit("brand"), lit("type")),
+            array(col("p_brand"), col("p_type"))).as("m"))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("brand"),
+          element_at(col("m"), "type").as("typ"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             m['brand'][1] AS brand,
+             m['type'][1] AS typ,
+             CAST(cardinality(m) AS INTEGER) AS n_keys
+      FROM (SELECT p_partkey, map(['brand','type'], [p_brand, p_type]) AS m
+            FROM part WHERE p_partkey < 20) t
+      ORDER BY p_partkey"""))
+
+  /** Conditional aggregation surface: count_if, the SQL:2003 FILTER clause,
+    * bool_and/bool_or. One two-phase hash aggregate — the FILTER predicates
+    * evaluate map-side inside codegen, so conditional aggs cost the same as
+    * unconditional ones at 100 TB. `l_quantity` is integer-valued, so the
+    * filtered SUM is exact on both engines. */
+  val condAgg: GQuery = GQuery(
+    "x_cond_agg",
+    "count_if, aggregate FILTER clause, bool_and/bool_or",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      l.groupBy(col("l_returnflag"))
+        .agg(
+          expr("count_if(l_discount > 0.05)").as("n_disc"),
+          expr("sum(l_quantity) FILTER (WHERE l_tax > 0.04)")
+            .cast("decimal(38,2)").as("qty_taxed"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_big"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             CAST(SUM(l_quantity) FILTER (WHERE l_tax > 0.04) AS DECIMAL(38,2)) AS qty_taxed,
+             bool_and(l_quantity > 0) AS all_pos,
+             bool_or(l_discount > 0.09) AS any_big
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Statistical aggregate surface: stddev/variance/correlation/covariance.
+    * Inputs are integer-valued doubles (quantity 1..50, linenumber 1..7),
+    * so every internal sum (Σx, Σx², Σxy) is an exactly-representable
+    * integer regardless of accumulation order; both engines' single-pass
+    * moment formulas then agree to the last ulp and round(·,6) is stable.
+    * Distribution: all four are algebraic aggregates (constant-size state,
+    * partial+final merge) — same two-phase shuffle as SUM at any scale. */
+  val statsAgg: GQuery = GQuery(
+    "x_stats_agg",
+    "stddev_samp, var_samp, corr, covar_samp per group",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val q = col("l_quantity").cast("double")
+      val n = col("l_linenumber").cast("double")
+      l.groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(q), 6).as("sd_qty"),
+          round(var_samp(q), 6).as("var_qty"),
+          round(corr(q, n), 6).as("corr_qn"),
+          round(covar_samp(q, n), 6).as("cov_qn"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             ROUND(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd_qty,
+             ROUND(var_samp(CAST(l_quantity AS DOUBLE)), 6) AS var_qty,
+             ROUND(corr(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE)), 6) AS corr_qn,
+             ROUND(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE)), 6) AS cov_qn
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Offset/value window functions: lag, lead, first_value, nth_value. The
+    * window order (o_orderdate, o_orderkey) is a total order (orderkey
+    * unique), so no peer-group ambiguity; default RANGE-to-current frame
+    * semantics then agree between engines (nth_value is NULL until the
+    * frame holds n rows — pinned by the oracle). One shuffle on the
+    * partition key, sort within partitions. */
+  val windowLeadLag: GQuery = GQuery(
+    "x_window_lead_lag",
+    "lag/lead/first_value/nth_value over a per-customer order timeline",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.filter(col("o_custkey") < 30)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             first_value(o_totalprice) OVER w AS first_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders
+      WHERE o_custkey < 30
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
 }

@@ -60,7 +60,9 @@ object StreamOps {
     * carries the time band, so Spark can expire join state on both sides
     * — the state bound that makes a continuous 100 TB/day ingest feasible.
     * Inner-join matches emit eagerly (no watermark wait). */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withColumn("c_ts", timestamp_micros(col("ts_us")))
       .withWatermark("c_ts", "1 hour")
@@ -69,8 +71,12 @@ object StreamOps {
       .withColumn("p_ts", timestamp_micros(col("ts_us")))
       .withWatermark("p_ts", "1 hour")
       .select(col("user_id").as("p_uid"), col("p_ts"), col("value"))
+    // leftOuter: an unmatched click emits (nulls on the purchase side) only
+    // once the watermark proves no in-band purchase can still arrive — the
+    // state-expiry semantics that keep a continuous outer join bounded
     c.join(p, expr(
-      "user_id = p_uid AND p_ts >= c_ts AND p_ts < c_ts + interval 30 minutes"))
+      "user_id = p_uid AND p_ts >= c_ts AND p_ts < c_ts + interval 30 minutes"),
+      joinType)
       .select(col("user_id"), unix_micros(col("c_ts")).as("c_ts_us"),
         unix_micros(col("p_ts")).as("p_ts_us"), col("value"))
   }

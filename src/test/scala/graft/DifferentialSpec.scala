@@ -141,6 +141,52 @@ class DifferentialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks with nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = evRows()
+    val maxUs = evs.map(_.ts_us).max
+    val cIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = StreamOps.clickPurchaseJoin(
+        cIn.toDF().filter(col("event_type") === "click"),
+        pIn.toDF().filter(col("event_type") === "purchase"),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("diff_ssj_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cIn.addData(evs); pIn.addData(evs); q.processAllAvailable()
+      // advance BOTH watermarks far past every click's join band so every
+      // unmatched click's state expires and its null row is emitted
+      val flush = Ev(-1L, maxUs + 10L * 86400L * 1000000L, "click", 0.0)
+      cIn.addData(flush); pIn.addData(flush.copy(event_type = "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("diff_ssj_outer")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("c_ts_us"), col("p_ts_us"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      // independent in-memory outer join on the same events
+      val bandUs = 30L * 60L * 1000000L
+      val clicks = evs.filter(_.event_type == "click")
+      val purchases = evs.filter(_.event_type == "purchase")
+        .groupBy(_.user_id).withDefaultValue(Seq.empty)
+      val expected = clicks.flatMap { c =>
+        val hits = purchases(c.user_id)
+          .filter(p => p.ts_us >= c.ts_us && p.ts_us < c.ts_us + bandUs)
+        if (hits.isEmpty) Seq((c.user_id, c.ts_us, -1L, Double.NaN))
+        else hits.map(p => (c.user_id, c.ts_us, p.ts_us, p.value))
+      }.sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(expected.exists(_._3 == -1L), "fixture must have unmatched clicks")
+      assert(expected.exists(_._3 != -1L), "fixture must have matched clicks")
+      // NaN == NaN is false; compare on a canonical rendering
+      assert(streamed.map(_.toString) === expected.map(_.toString),
+        s"outer-join divergence: ${streamed.map(_.toString).diff(expected.map(_.toString)).take(3)}")
+    } finally q.stop()
+  }
+
   test("v_lsh_ann recall@3 vs brute-force ground truth is quantified") {
     // ground truth: brute-force top-3 (v_knn_brute emits top-5; take rk<=3)
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)

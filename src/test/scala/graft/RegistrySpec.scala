@@ -49,7 +49,10 @@ class RegistrySpec extends SparkSpec {
     "x_scalar_funcs" -> 60,
     "t_chunk_dedup" -> 20, "t_tfidf" -> 10, "e_interval_join" -> 2,
     "v_mrl_ann" -> 9, "v_dim_stats" -> 64,
-    "t_dedup_clusters" -> 45, "p_dedup_canonical" -> 21)
+    "t_dedup_clusters" -> 45, "p_dedup_canonical" -> 21,
+    "g_triangle_count" -> 1, "g_degree_hist" -> 3, "g_jaccard_links" -> 10,
+    "x_map_funcs" -> 20, "x_cond_agg" -> 3, "x_stats_agg" -> 3,
+    "x_window_lead_lag" -> 306, "a_rfm_segments" -> 38, "p_pii_mask" -> 25)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
