@@ -20,7 +20,8 @@ object SqlFuncs {
 
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
-    bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag)
+    bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
+    lateralJoin)
 
   /** GROUPING SETS beyond rollup/cube: an explicit irregular set list plus
     * `grouping_id()` disambiguation (rollup/cube are proved separately in
@@ -347,4 +348,28 @@ object SqlFuncs {
       WHERE o_custkey < 30
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
+
+  /** Correlated LATERAL subquery — the per-row subquery surface beyond
+    * scalar subqueries (proved in TpchLike q02/q17): a per-customer
+    * aggregate over their own orders. Catalyst decorrelates this into a
+    * single aggregate + join (no per-row re-execution), so the 100 TB
+    * plan is one shuffle on the correlation key — pinned here through the
+    * SQL-text path since LATERAL has no DataFrame-API spelling.
+    * `max(double)` is order-free, so no fix6 needed. */
+  val lateralJoin: GQuery = GQuery(
+    "x_lateral_join",
+    "correlated LATERAL subquery (decorrelated to join + aggregate)",
+    (spark, dir) => {
+      graft.Catalog.registerAll(spark, dir)
+      spark.sql(lateralSql)
+    },
+    Some(lateralSql))
+
+  private lazy val lateralSql = """
+      SELECT c.c_custkey, t.n_orders, t.max_price
+      FROM customer c,
+      LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+               FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      WHERE c.c_custkey < 20
+      ORDER BY c.c_custkey"""
 }
