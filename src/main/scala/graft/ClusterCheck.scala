@@ -52,7 +52,10 @@ object ClusterCheck {
     "t_chunk_dedup",                // explode + countDistinct shuffle
     "v_mrl_ann",                    // two-stage window rerank
     "e_interval_join",              // equi+band residual join
-    "t_dedup_clusters")             // iterative CC label propagation
+    "t_dedup_clusters",             // iterative CC label propagation
+    "g_triangle_count",             // 3-way self-join closure (edge iterator)
+    "a_rfm_segments",               // global NTILE windows + re-aggregation
+    "x_lateral_join")               // decorrelated LATERAL through SQL text
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")

@@ -21,7 +21,8 @@ object Plans {
       "q13_outer_join_distribution", "q18_in_subquery_having",
       "t_exact_dedup", "t_minhash_lsh", "t_fingerprint", "t_contamination",
       "t_pack_sequences", "p_clean_corpus",
-      "v_knn_native", "v_lsh_ann", "v_ivf_ann", "v_quantize", "e_sessionize")
+      "v_knn_native", "v_lsh_ann", "v_ivf_ann", "v_quantize", "e_sessionize",
+      "g_triangle_count", "a_rfm_segments", "x_lateral_join")
     val md = new StringBuilder
     md ++= "# Physical plans (normalized) — headline queries\n\n"
     md ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n"
