@@ -55,6 +55,17 @@ object Catalog {
     df
   }
 
+  /** Hive-layout partitioned write: `<path>/<col>=<value>/part-*.parquet`.
+    * THE layout decision at 100 TB — a time- or tenant-partitioned fact
+    * table lets a filtered query touch only matching directories (static
+    * partition pruning) and lets a join against a filtered dimension skip
+    * fact partitions at runtime (dynamic partition pruning); both proven
+    * in PartitionPruningSpec. Partition columns should be low-cardinality
+    * (days, not user ids): each value is a directory, and a high-card
+    * partition column produces the classic million-small-files failure. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** JSON-lines registration with a declared schema (schema-on-read, no
     * inference pass over the data — at 100 TB an inference scan would cost
     * as much as the query). Columns absent from a line read as null;

@@ -17,7 +17,8 @@ object Extras {
   def queries: Seq[GQuery] = Seq(
     windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
     intersectKeys, exceptKeys, fullOuter, crossJoinQ, distinctOrder,
-    stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask)
+    stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
+    dailyRollup)
 
   private val sqlPathText = """
       SELECT n_name, COUNT(*) AS n_suppliers,
@@ -456,4 +457,40 @@ object Extras {
       FROM customer
       WHERE c_custkey < 25
       ORDER BY c_custkey"""))
+
+  /** Two-level re-aggregation — the pre-aggregation pattern every 100 TB
+    * warehouse lives on: daily partial aggregates (count + fix6-scaled
+    * revenue) roll up to monthly totals with NO rescan of the fact table.
+    * Works only because the partial states are associative: counts and
+    * scaled-int64 sums merge exactly, so daily→monthly equals a direct
+    * monthly aggregation (the oracle computes the same two levels — and
+    * fix6 makes the double revenue identical regardless of merge order or
+    * engine). AVG-style partials would need (sum, count) pairs, never
+    * pre-divided averages. */
+  val dailyRollup: GQuery = GQuery(
+    "a_daily_rollup",
+    "daily partial aggregates re-aggregated to monthly (partial-merge pattern)",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val daily = o
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(fix6(col("o_totalprice"))).as("tot_fix6"))
+      daily
+        .groupBy(trunc(col("day"), "month").as("mon"))
+        .agg(
+          sum(col("n")).as("n_orders"),
+          count(lit(1)).as("n_days"),
+          (sum(col("tot_fix6")).cast(DoubleType) / 1000000.0d).as("revenue"))
+        .orderBy(col("mon"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS tot_fix6
+        FROM orders GROUP BY 1)
+      SELECT CAST(date_trunc('month', day) AS DATE) AS mon,
+             CAST(SUM(n) AS BIGINT) AS n_orders,
+             COUNT(*) AS n_days,
+             CAST(CAST(SUM(tot_fix6) AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue
+      FROM daily GROUP BY 1 ORDER BY 1"""))
 }
