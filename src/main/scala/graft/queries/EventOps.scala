@@ -19,7 +19,7 @@ object EventOps {
 
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
-      asofJoin, rangeJoin, intervalJoin)
+      asofJoin, rangeJoin, intervalJoin, upsertCompact)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -276,4 +276,37 @@ object EventOps {
        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
       GROUP BY c.user_id
       ORDER BY c.user_id"""))
+
+  /** CDC-style upsert compaction: per entity keep only the LATEST record
+    * (max event time, ties to highest event_id) — the "current state"
+    * materialization every changelog-consuming pipeline runs. The
+    * row_number window is NOT a full per-partition sort at scale: Spark's
+    * WindowGroupLimit pushes the rank<=1 limit below the sort as a
+    * partial+final group-limit, so each task retains one row per key
+    * before any shuffle (pinned in PlanSpec). At 100 TB this is one
+    * key-shuffle of pre-compacted partials — the same shape as a MAX
+    * aggregate. */
+  val upsertCompact: GQuery = GQuery(
+    "e_upsert_compact",
+    "latest record per entity (CDC changelog -> current state)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"),
+          col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, ts_us, event_type, event_id, value
+      FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id"""))
 }

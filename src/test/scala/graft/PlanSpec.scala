@@ -61,6 +61,19 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("minhash_sig_"), "expected signature-table scans")
   }
 
+  test("rank<=k filters compile to WindowGroupLimit (no full per-group sort at scale)") {
+    // Spark pushes a partial+final group-limit below the window sort for
+    // row_number()<=k filters: each map task retains at most k rows per
+    // key BEFORE the shuffle. This is what makes window-based top-k
+    // (knn ranking, CDC latest-by-key compaction) a MAX-aggregate-shaped
+    // plan at 100 TB instead of a full per-group sort.
+    Seq("e_upsert_compact", "v_knn_brute").foreach { name =>
+      val s = PlanDescriber.simpleString(q(name))
+      assert(s.contains("WindowGroupLimit"),
+        s"$name: rank filter did not become a group limit:\n${s.take(1500)}")
+    }
+  }
+
   test("normalized plan text is machine-stable") {
     val a = PlanDescriber.normalized(q("q06_scalar_agg"))
     val b = PlanDescriber.normalized(q("q06_scalar_agg"))
