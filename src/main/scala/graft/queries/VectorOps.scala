@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, dimStats)
+      quantize, mrlAnn, dimStats, pqAnn)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -576,4 +576,146 @@ object VectorOps {
       FROM flat
       GROUP BY pos
       ORDER BY pos"""))
+
+  // ------------------------------------------------------------ PQ ANN
+  private val pqM = 8     // subspaces (64 dims / 8)
+  private val pqDsub = 8  // dims per subspace
+  private val pqK = 16    // centroids per subspace
+
+  /** fix6-scaled squared-L2 between two float lists: the per-row fold is
+    * sequential IEEE doubles (engine-identical), then one quantization to
+    * a BIGINT — so argmin ties and ADC SUMS are pure integer ops with no
+    * accumulation-order sensitivity. */
+  private def l2fix6(a: String, b: String): Column =
+    floor(expr(s"aggregate(zip_with($a, $b," +
+      " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *" +
+      " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))," +
+      " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") * 1000000.0d + 0.5d)
+      .cast(LongType)
+  private def l2fix6Sql(a: String, b: String): String =
+    s"CAST(FLOOR(list_reduce(list_transform(list_zip($a, $b)," +
+      s" x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *" +
+      s" (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)" +
+      s" * 1000000 + 0.5) AS BIGINT)"
+
+  /** Product-quantization ANN — the fits-in-RAM path at 100 TB: each
+    * 64-float (256 B) vector compresses to M=8 centroid codes (8 B, 32×),
+    * so the candidate scan touches only the code table; full vectors are
+    * read ONLY for the exact re-rank of a 10-deep shortlist.
+    *
+    * Deterministic codebook (no k-means RNG): the 16 anchor vectors
+    * vec_id ∈ [3,18] donate their subvectors as centroids — the
+    * quantization quality of a trained codebook is not the point here;
+    * the plan shape and the exactness discipline are. Encoding = argmin
+    * over (fix6 L2², j) pairs — integer lexicographic min, tie-stable on
+    * any engine. ADC = one broadcast of M×K query-to-centroid integer
+    * distances, joined to the code table and integer-summed (exact,
+    * order-free). Distribution: encode is corpus-scan × broadcast(128
+    * centroids); search shuffles only (q, vec, est) partials; the
+    * re-rank reads ≤ 10 full vectors per query via a semi-join. */
+  val pqAnn: GQuery = GQuery(
+    "v_pq_ann",
+    "product-quantization ANN: 8x16 codebook, integer ADC, exact re-rank top-3",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val subIdx = explode(sequence(lit(0), lit(pqM - 1))).as("m")
+      // codebook (m, j, cent): subvectors of the 16 anchor vectors
+      val codebook = e.filter(col("vec_id").between(3, 3 + pqK - 1))
+        .select((col("vec_id") - 3).as("j"), col("embedding"))
+        .select(col("j"), subIdx, col("embedding"))
+        .select(col("m"), col("j"),
+          expr(s"slice(embedding, m * $pqDsub + 1, $pqDsub)").as("cent"))
+      // corpus subvectors -> nearest centroid per subspace (integer argmin)
+      val sub = e.select(col("vec_id"), subIdx, col("embedding"))
+        .select(col("vec_id"), col("m"),
+          expr(s"slice(embedding, m * $pqDsub + 1, $pqDsub)").as("sv"))
+      val codes = sub.join(broadcast(codebook), Seq("m"))
+        .select(col("vec_id"), col("m"), col("j"), l2fix6("sv", "cent").as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("j"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.j").as("j"))
+      // ADC table: query-subvector to EVERY centroid (M*K rows per query)
+      val qSet = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qDist = qSet
+        .select(col("q_id"), subIdx, col("q_emb"))
+        .select(col("q_id"), col("m"),
+          expr(s"slice(q_emb, m * $pqDsub + 1, $pqDsub)").as("qsv"))
+        .join(broadcast(codebook), Seq("m"))
+        .select(col("q_id"), col("m"), col("j"), l2fix6("qsv", "cent").as("qd"))
+      // estimate = exact integer sum of the M looked-up distances
+      val est = codes.join(broadcast(qDist), Seq("m", "j"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("est"))
+      val wS = Window.partitionBy(col("q_id")).orderBy(col("est"), col("vec_id"))
+      val shortlist = est.withColumn("srk", row_number().over(wS))
+        .filter(col("srk") <= 10)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      // exact cosine re-rank of the shortlist
+      val scored = shortlist
+        .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+        .join(broadcast(qSet), "q_id")
+        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk").cast("int").as("rk"), col("n_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH ms AS (SELECT unnest(range(0, $pqM)) AS m),
+      codebook AS (
+        SELECT m, vec_id - 3 AS j,
+               embedding[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS cent
+        FROM embeddings CROSS JOIN ms
+        WHERE vec_id BETWEEN 3 AND ${3 + pqK - 1}),
+      sub AS (
+        SELECT vec_id, m,
+               embedding[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS sv
+        FROM embeddings CROSS JOIN ms),
+      coded AS (
+        SELECT s.vec_id, s.m, c.j, ${l2fix6Sql("s.sv", "c.cent")} AS d
+        FROM sub s JOIN codebook c ON c.m = s.m),
+      codes AS (
+        SELECT vec_id, m, j
+        FROM (SELECT vec_id, m, j,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY d, j) AS rn
+              FROM coded) t
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 3),
+      qdist AS (
+        SELECT q_id, c.m, c.j,
+               ${l2fix6Sql(s"q_emb[c.m * $pqDsub + 1 : c.m * $pqDsub + $pqDsub]", "c.cent")} AS qd
+        FROM q CROSS JOIN codebook c),
+      est AS (
+        SELECT qd.q_id, co.vec_id, CAST(SUM(qd.qd) AS BIGINT) AS est
+        FROM codes co JOIN qdist qd ON qd.m = co.m AND qd.j = co.j
+        WHERE co.vec_id <> qd.q_id
+        GROUP BY qd.q_id, co.vec_id),
+      shortlist AS (
+        SELECT q_id, vec_id AS n_id
+        FROM (SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY est, vec_id) AS srk
+              FROM est) t
+        WHERE srk <= 10),
+      scored AS (
+        SELECT s.q_id, s.n_id,
+               ${dotSql("e.embedding", "q.q_emb")} /
+               (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS sim
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.n_id
+        JOIN q ON q.q_id = s.q_id)
+      SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
+      FROM (SELECT q_id, n_id, sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 3
+      ORDER BY q_id, rk"""))
 }

@@ -211,6 +211,26 @@ class DifferentialSpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("v_pq_ann recall@3 vs brute-force ground truth is quantified") {
+    val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val pq = Registry.byName("v_pq_ann").run(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ ANN recall@3 on sf0.001 = $recall%.3f " +
+      f"(${pq.intersect(brute).size}/${brute.size} of brute-force neighbors)")
+    // the codebook is 16 untrained anchor donations, not k-means — the
+    // measurement (not a high bar) is the contract, exactly as for IVF.
+    // The ADC shortlist is 10 deep with exact re-rank, so anything the
+    // coarse codes rank into the top-10 is recovered exactly.
+    assert(recall >= 0.2, f"PQ recall collapsed below coarse-code floor: $recall%.3f")
+    assert(pq.forall { case (q, n) => q != n })
+  }
+
   test("v_ivf_ann recall@3 vs brute-force ground truth is quantified") {
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
       .filter(col("rk") <= 3)

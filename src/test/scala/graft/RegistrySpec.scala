@@ -53,7 +53,8 @@ class RegistrySpec extends SparkSpec {
     "g_triangle_count" -> 1, "g_degree_hist" -> 3, "g_jaccard_links" -> 10,
     "x_map_funcs" -> 20, "x_cond_agg" -> 3, "x_stats_agg" -> 3,
     "x_window_lead_lag" -> 306, "a_rfm_segments" -> 38, "p_pii_mask" -> 25,
-    "x_lateral_join" -> 20, "a_daily_rollup" -> 80, "e_upsert_compact" -> 15)
+    "x_lateral_join" -> 20, "a_daily_rollup" -> 80, "e_upsert_compact" -> 15,
+    "v_pq_ann" -> 9)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
