@@ -76,9 +76,28 @@ object ClusterCheck {
       s"local-cluster brought up only $nExec executor JVM(s) — no process boundary to prove")
     println(s"[cluster-check] $nExec executor JVMs up (driver pid ${ProcessHandle.current().pid()})")
 
+    // same ownership guard as Verify: only clear a dir that is empty or
+    // provably a prior run's dump — a mistyped outDir (e.g. a home or
+    // results dir) must never be recursively deleted
     val out = new java.io.File(outDir)
-    if (out.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(out) }
+    var ownsDir = true
+    if (out.exists()) {
+      val children = Option(out.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      val isPriorRun = children.isEmpty || children.exists(f =>
+        f.getName == "oracle_sql.json" || f.getName == ".graft-verify")
+      if (isPriorRun) {
+        def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+        rm(out)
+      } else {
+        ownsDir = false
+        System.err.println(
+          s"[cluster-check] $outDir is non-empty without a prior-run marker — " +
+            "leaving existing files in place, overwriting outputs only")
+      }
+    }
     out.mkdirs()
+    if (ownsDir)
+      Files.writeString(Paths.get(s"$outDir/.graft-verify"), "cluster-check-run\n")
     var failed = List.empty[String]
     subset.foreach { name =>
       val q = Registry.byName(name)

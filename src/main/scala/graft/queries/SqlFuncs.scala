@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Catalog, GQuery}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -284,36 +285,61 @@ object SqlFuncs {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  /** Statistical aggregate surface: stddev/variance/correlation/covariance.
-    * Inputs are integer-valued doubles (quantity 1..50, linenumber 1..7),
-    * so every internal sum (Σx, Σx², Σxy) is an exactly-representable
-    * integer regardless of accumulation order; both engines' single-pass
-    * moment formulas then agree to the last ulp and round(·,6) is stable.
-    * Distribution: all four are algebraic aggregates (constant-size state,
-    * partial+final merge) — same two-phase shuffle as SUM at any scale. */
+  /** Statistical aggregate surface: stddev/variance/correlation/covariance
+    * from EXACT integer moments. The builtins (Spark's Welford-style
+    * CentralMomentAgg, DuckDB's streaming formula) keep non-integer
+    * intermediate means merged in shuffle-fetch order — engines agree only
+    * to ~1e-9, which a hash gate cannot tolerate. Here the five moments
+    * (n, Σx, Σx², Σxy, …) are BIGINT sums over integer-valued columns
+    * (quantity 1..50, linenumber 1..7) — exact under any merge order —
+    * and the closed forms then do identical IEEE-754 arithmetic on
+    * identical integers: bit-equal on any engine. (The builtins are
+    * separately proven ≈ these closed forms in ApproxSpec.) Distribution:
+    * the moment sums are plain algebraic aggregates — same two-phase
+    * shuffle as SUM at any scale; closed-form doubles stay exact while
+    * n·Σx² < 2^53, i.e. comfortably past 10⁹ rows at these domains. */
   val statsAgg: GQuery = GQuery(
     "x_stats_agg",
-    "stddev_samp, var_samp, corr, covar_samp per group",
+    "stddev_samp, var_samp, corr, covar_samp via exact integer moments",
     (spark, dir) => {
       val l = Catalog.table(spark, dir, "lineitem")
-      val q = col("l_quantity").cast("double")
-      val n = col("l_linenumber").cast("double")
-      l.groupBy(col("l_returnflag"))
-        .agg(
-          round(stddev_samp(q), 6).as("sd_qty"),
-          round(var_samp(q), 6).as("var_qty"),
-          round(corr(q, n), 6).as("corr_qn"),
-          round(covar_samp(q, n), 6).as("cov_qn"))
+      val x = col("l_quantity").cast(LongType)
+      val y = col("l_linenumber").cast(LongType)
+      val d = (c: Column) => c.cast("double")
+      val g = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+      val nD = d(col("n"))
+      val vx = (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (nD * (nD - 1))
+      val vy = (nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (nD * (nD - 1))
+      val cxy = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (nD * (nD - 1))
+      g.select(col("l_returnflag"),
+          round(sqrt(vx), 6).as("sd_qty"),
+          round(vx, 6).as("var_qty"),
+          round(cxy / sqrt(vx * vy), 6).as("corr_qn"),
+          round(cxy, 6).as("cov_qn"))
         .orderBy(col("l_returnflag"))
     },
     Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag,
-             ROUND(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd_qty,
-             ROUND(var_samp(CAST(l_quantity AS DOUBLE)), 6) AS var_qty,
-             ROUND(corr(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE)), 6) AS corr_qn,
-             ROUND(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE)), 6) AS cov_qn
-      FROM lineitem
-      GROUP BY l_returnflag
+             ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS sd_qty,
+             ROUND((n * sxx - sx * sx) / (n * (n - 1)), 6) AS var_qty,
+             ROUND(((n * sxy - sx * sy) / (n * (n - 1))) /
+                   sqrt(((n * sxx - sx * sx) / (n * (n - 1))) *
+                        ((n * syy - sy * sy) / (n * (n - 1)))), 6) AS corr_qn,
+             ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS cov_qn
+      FROM m
       ORDER BY l_returnflag"""))
 
   /** Offset/value window functions: lag, lead, first_value, nth_value. The

@@ -379,7 +379,13 @@ object TextOps {
     "minhash LSH off a materialized signature table (one corpus scan)",
     (spark, dir) => {
       val d = spread(Catalog.table(spark, dir, "documents"))
-      val matDir = s"/tmp/graft-mat/minhash_sig_${Integer.toHexString(dir.hashCode)}"
+      // per-invocation unique dir: a fixed shared path would let two JVMs
+      // running the registry concurrently (bench + verify) overwrite each
+      // other's part files mid-read; createTempDirectory is collision-free
+      // and the handful of signature dirs a bench run leaves in /tmp are
+      // bounded by iteration count
+      val matDir = java.nio.file.Files
+        .createTempDirectory("graft-mat-").toString + "/minhash_sig_data"
       minhashSig(d).write.mode("overwrite").parquet(matDir)
       pairsFromSig(spark.read.parquet(matDir), 0.5)
         .orderBy(col("a_id"), col("b_id"))

@@ -53,6 +53,34 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("builtin stddev/var/corr/covar agree with x_stats_agg's exact-moment closed forms") {
+    // x_stats_agg computes the statistics from exact BIGINT moments (the
+    // only hash-gateable form); the BUILTIN aggregates use Welford-style
+    // merges whose result is merge-order-dependent at the ulp level. This
+    // pins the builtins to the exact closed forms within a float tolerance
+    // — proving the builtin surface without putting its nondeterminism
+    // behind the oracle hash gate.
+    val exact = Registry.byName("x_stats_agg").run(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val l = Catalog.table(spark, sf0001, "lineitem")
+    val q = col("l_quantity").cast("double")
+    val n = col("l_linenumber").cast("double")
+    val builtin = l.groupBy(col("l_returnflag"))
+      .agg(stddev_samp(q).as("sd"), var_samp(q).as("vr"),
+        corr(q, n).as("cr"), covar_samp(q, n).as("cv"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet === builtin.keySet)
+    exact.foreach { case (k, (sd, vr, cr, cv)) =>
+      val (bsd, bvr, bcr, bcv) = builtin(k)
+      assert(math.abs(sd - bsd) < 2e-6, s"$k stddev: $sd vs $bsd")
+      assert(math.abs(vr - bvr) < 2e-5, s"$k var: $vr vs $bvr")
+      assert(math.abs(cr - bcr) < 2e-6, s"$k corr: $cr vs $bcr")
+      assert(math.abs(cv - bcv) < 2e-6, s"$k covar: $cv vs $bcv")
+    }
+  }
+
   test("runtime bloom filter injects on a selective join (row-level runtime pruning)") {
     // At 100 TB the probe side of a selective join should not shuffle rows
     // the build side will discard: Spark's InjectRuntimeFilter plants a

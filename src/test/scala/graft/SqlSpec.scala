@@ -51,6 +51,28 @@ class SqlSpec extends SparkSpec {
     assert(intercept[Exception](spark.table("rev_t")).getMessage.contains("rev_t"))
   }
 
+  test("CTAS + INSERT INTO flow through the script path (DDL/DML surface)") {
+    // the warehouse write path: CREATE TABLE AS SELECT materializes a
+    // parquet-backed managed table, INSERT INTO appends — both through
+    // the same multi-statement script entry as the query path
+    Catalog.registerAll(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS ctas_nation")
+    val script = """
+      CREATE TABLE ctas_nation USING parquet AS
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10;
+      INSERT INTO ctas_nation
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10;
+      SELECT COUNT(*) AS n FROM ctas_nation"""
+    val out = GraftSql.runScript(spark, script).head.getLong(0)
+    assert(out === Catalog.table(spark, sf0001, "nation").count())
+    // appended rows are readable with full fidelity, not just countable
+    assert(spark.table("ctas_nation").orderBy("n_nationkey")
+      .collect().map(_.getString(1)).toSeq ===
+      Catalog.table(spark, sf0001, "nation").orderBy("n_nationkey")
+        .collect().map(r => r.getString(r.fieldIndex("n_name"))).toSeq)
+    spark.sql("DROP TABLE ctas_nation")
+  }
+
   test("ANSI substring(x FROM i FOR n) syntax parses (SURVEY risk item)") {
     val r = spark.sql("SELECT substring('graft' FROM 1 FOR 2) AS s").head.getString(0)
     assert(r === "gr")

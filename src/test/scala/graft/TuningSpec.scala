@@ -40,6 +40,26 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("sessionWith warns loudly when static confs are ignored by an existing context") {
+    // spark.memory.fraction is context-level: applying a different value
+    // against the already-running shared context is silently dropped by
+    // Spark — sessionWith must surface that on stderr so a tuning run
+    // can't measure the wrong configuration unaware.
+    spark.sparkContext // ensure the shared context exists
+    val buf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      GraftSession.sessionWith(GraftTuning(cpus = 4, memoryFraction = 0.31))
+    } finally {
+      System.setErr(saved)
+      spark.sparkContext.setLogLevel("ERROR") // sessionWith raises it to WARN
+    }
+    val err = buf.toString
+    assert(err.contains("spark.memory.fraction") && err.contains("IGNORED"),
+      s"expected a static-conf warning, got: ${err.take(400)}")
+  }
+
   test("sort-merge-join buffers past the spill reservation spill and stay correct") {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
