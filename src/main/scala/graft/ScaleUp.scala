@@ -26,9 +26,10 @@ object ScaleUp {
     "embeddings" -> "vec_id")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor]")
+    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor] [saltText]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val saltText = args.length > 3 && args(3) == "saltText"
     val spark = GraftSession.get()
     // events.ts is TIMESTAMP(NANOS) — readable only as BIGINT epoch-nanos
     // behind the legacy flag (same as Catalog.table); the replica then
@@ -78,10 +79,22 @@ object ScaleUp {
             s"factor or widen $k to BIGINT in the source")
       }
       val replicas = (0 until factor).map { i =>
-        keyShifts.foldLeft(src0) { case (df, (k, b)) =>
+        val shifted = keyShifts.foldLeft(src0) { case (df, (k, b)) =>
           // cast back so replica schemas stay identical to the source's
           df.withColumn(k, (col(k) + lit(i * b)).cast(types(k)))
         }
+        // saltText mode: make replica text genuinely DISSIMILAR (interleave
+        // a replica token after every second token — most shingles
+        // perturbed, cross-replica Jaccard far below the 0.5 near-dup
+        // threshold) so near-dup queries measure pipeline scaling rather
+        // than the Θ(replicas²) true-pair output that verbatim copies
+        // legitimately produce — the control experiment for
+        // SCALING_r3.md's output-bound claim
+        if (saltText && t == "documents" && i > 0)
+          shifted.withColumn("text", concat_ws(" ",
+            expr(s"flatten(transform(split(text, ' '), " +
+              s"(x, j) -> IF(j % 2 = 1, array(x, 'r$i'), array(x))))")))
+        else shifted
       }
       replicas.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Catalog, GQuery}
 import graft.util.Num._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,7 +20,7 @@ object EventOps {
 
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
-      asofJoin, rangeJoin, intervalJoin, upsertCompact)
+      asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -309,4 +310,69 @@ object EventOps {
             FROM events) t
       WHERE rn = 1
       ORDER BY user_id"""))
+
+  /** Time-series anomaly detection: per event type, flag hours whose
+    * count deviates ≥2σ from the trailing-24-observation baseline.
+    * Determinism discipline: the window moments are INTEGER sums (S, Q
+    * over BIGINT counts, exact under any accumulation order), and the
+    * z-score is one closed-form IEEE expression over those integers —
+    * engine-identical, so even a 2.0000001σ edge case hashes equal. The
+    * frame is rows-based (24 trailing observations, not wall-hours):
+    * gap-tolerant and identically defined on both engines; rows with
+    * fewer than 24 predecessors are not scored. Scale: one shuffle on
+    * event_type for the hourly rollup, then a per-key sorted window —
+    * state is 24 integers per key regardless of corpus size. */
+  val anomalyZscore: GQuery = GQuery(
+    "e_anomaly_zscore",
+    "hours whose event count deviates >=2 sigma from the trailing-24h baseline",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val hourly = e
+        .select(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      val d = (c: Column) => c.cast("double")
+      val scored = hourly
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("q", sum(col("c") * col("c")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .filter(col("k") === 24)
+      val varE = (lit(24.0) * d(col("q")) - d(col("s")) * d(col("s"))) /
+        (lit(24.0) * lit(23.0))
+      scored
+        // zero-variance baselines are unscorable (and ANSI-mode division
+        // errors): integer guard identical on both engines
+        .filter(lit(24L) * col("q") - col("s") * col("s") > 0L)
+        .withColumn("z", round((d(col("c")) - d(col("s")) / 24.0d) / sqrt(varE), 6))
+        .filter(abs(col("z")) >= 2.0d)
+        .select(col("event_type"), col("hour"), col("c"), col("z"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hour, c,
+               SUM(c) OVER w AS s,
+               SUM(c * c) OVER w AS q,
+               COUNT(*) OVER w AS k
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, hour, c,
+             ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / 24.0) /
+                   sqrt((24.0 * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+                        (24.0 * 23.0)), 6) AS z
+      FROM scored
+      WHERE k = 24
+        AND 24 * q - s * s > 0
+        AND ABS((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / 24.0) /
+                sqrt((24.0 * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+                     (24.0 * 23.0))) >= 2.0
+      ORDER BY event_type, hour"""))
 }

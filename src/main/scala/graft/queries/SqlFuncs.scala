@@ -22,7 +22,7 @@ object SqlFuncs {
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
-    lateralJoin)
+    lateralJoin, unpivotQ)
 
   /** GROUPING SETS beyond rollup/cube: an explicit irregular set list plus
     * `grouping_id()` disambiguation (rollup/cube are proved separately in
@@ -398,4 +398,35 @@ object SqlFuncs {
                FROM orders o WHERE o.o_custkey = c.c_custkey) t
       WHERE c.c_custkey < 20
       ORDER BY c.c_custkey"""
+
+  /** UNPIVOT / melt — wide-to-long reshaping, the inverse of x_pivot:
+    * three per-group measures become (group, metric, value) rows. Spark's
+    * `Dataset.unpivot` is a zero-shuffle Expand (each input row emits one
+    * row per measure), so at 100 TB the reshape costs one scan. Measures
+    * are exact BIGINTs, so the long form hash-compares cleanly. */
+  val unpivotQ: GQuery = GQuery(
+    "x_unpivot",
+    "UNPIVOT (wide measures -> long metric/value rows)",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val wide = l.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(LongType)).as("qty"),
+          count(lit(1)).as("cnt"),
+          sum(col("l_linenumber").cast(LongType)).as("lines"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("cnt"), col("lines")),
+          "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some("""
+      WITH w AS (SELECT l_returnflag,
+                        CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS BIGINT) AS qty,
+                        CAST(COUNT(*) AS BIGINT) AS cnt,
+                        CAST(CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS BIGINT) AS lines
+                 FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, metric, val FROM w
+      UNPIVOT (val FOR metric IN (qty, cnt, lines))
+      ORDER BY l_returnflag, metric"""))
 }

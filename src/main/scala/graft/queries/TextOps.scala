@@ -25,7 +25,7 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus,
     stratifiedSample, contamination, normalize, packSequences, repetition,
-    chunkDedup, tfIdf)
+    chunkDedup, tfIdf, bigramLm)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -894,4 +894,43 @@ object TextOps {
       WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** Bigram language-model statistics: adjacent-token pairs across the
+    * corpus, unigram-conditioned probability P(w2|w1) = c(w1,w2)/c(w1·) —
+    * the count-based n-gram LM a data pipeline uses for perplexity-ish
+    * quality scoring and domain drift checks. All counts are exact
+    * integers; the probability is one IEEE division. Top-10 pairs with
+    * full tie-break. Scale: pair emission is a per-row array transform
+    * (no shuffle); the two count aggregates shuffle (w1,w2)/(w1) tokens
+    * — vocabulary-sized, not corpus-sized; the conditioning join is on
+    * the unigram table, broadcast-able at any corpus size. */
+  val bigramLm: GQuery = GQuery(
+    "t_bigram_lm",
+    "bigram counts + conditional probability P(w2|w1), top-10",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val pairs = d
+        .select(split(col("text"), " ").as("l"))
+        .select(explode(expr(
+          "transform(slice(l, 1, size(l)-1), (x, i) -> struct(x AS w1, l[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .join(uni, "w1")
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(10)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      pairs AS (SELECT l[i] AS w1, l[i+1] AS w2
+                FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) t),
+      uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+      bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2)
+      SELECT b.w1, b.w2, b.c12, u.c1,
+             ROUND(CAST(b.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE), 6) AS p
+      FROM bi b JOIN uni u USING (w1)
+      ORDER BY b.c12 DESC, b.w1, b.w2
+      LIMIT 10"""))
 }
