@@ -23,7 +23,7 @@ object TextOps {
   def queries: Seq[GQuery] = Seq(
     tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
-    fingerprint, cleanCorpus,
+    fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, contamination, normalize, packSequences, repetition,
     chunkDedup, tfIdf, bigramLm)
 
@@ -559,7 +559,9 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
         .orderBy(col("source"))
     },
-    Some(s"""
+    Some(cleanCorpusSql))
+
+  private lazy val cleanCorpusSql = s"""
       WITH q AS (
         SELECT doc_id, text, source, n_chars FROM documents
         WHERE len(string_split(text, ' ')) >= 10
@@ -576,7 +578,48 @@ object TextOps {
       FROM exact
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       GROUP BY source
-      ORDER BY source"""))
+      ORDER BY source"""
+
+  /** Staged form of [[cleanCorpus]] — the production shape at 100 TB:
+    * quality-filtered, exact-deduped SURVIVORS are materialized to
+    * parquet once (an explicit stage boundary, like t_minhash_lsh_mat's),
+    * then the expensive near-dup stage and the final decision read only
+    * the materialized table. The single-plan form recomputes the
+    * filter+tokenize+digest chain in every branch Catalyst can't merge
+    * (~6 corpus scans); here the corpus is scanned once, the survivor
+    * table ~once per downstream branch — and a crashed near-dup stage
+    * restarts from the checkpoint instead of the raw corpus. Same oracle:
+    * staging must not change results. */
+  val cleanCorpusMat: GQuery = GQuery(
+    "p_clean_corpus_mat",
+    "cleaning pipeline off materialized exact-dedup survivors (staged form)",
+    (spark, dir) => {
+      val stops = "'the','a','of','and','to','in','is','on','for','with'"
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val q = d
+        .withColumn("tk", toks(col("text")))
+        .withColumn("n_tok", size(col("tk")))
+        .withColumn("n_stop", size(expr(s"filter(tk, x -> x IN ($stops))")))
+        .filter(col("n_tok") >= 10 &&
+          col("n_stop").cast("double") / col("n_tok") >= 0.02)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val keepers = q
+        .groupBy(md5(col("text").cast("binary")).as("__digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-clean-").toString + "/survivors"
+      q.join(keepers, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(stage)
+      val exact = spark.read.parquet(stage)
+      val losers = minhashPairs(exact.select(col("doc_id"), col("text")), 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        .orderBy(col("source"))
+    },
+    Some(cleanCorpusSql))
 
   // ------------------------------------------------------------ sampling
   /** Deterministic stratified sampling: per-source keep-rates applied via
