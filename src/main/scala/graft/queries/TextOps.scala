@@ -24,8 +24,8 @@ object TextOps {
     tokenCount, langProfile, qualityScore, langId, topTokens,
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
-    stratifiedSample, contamination, normalize, packSequences, repetition,
-    chunkDedup, tfIdf, bigramLm)
+    stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
+    repetition, chunkDedup, tfIdf, bigramLm)
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */
@@ -650,6 +650,50 @@ object TextOps {
             CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800 ELSE 250 END
       GROUP BY source
       ORDER BY source"""))
+
+  /** Training-mix balancing: down-sample over-represented strata so every
+    * stratum contributes an (approximately) equal share — here strata are
+    * document-length buckets, the curriculum-mix axis that is genuinely
+    * skewed in this corpus. Keep rate per stratum is derived IN-PLAN from
+    * corpus counts as an integer permille threshold
+    * (floor(1000·min_count/count) — floor pinned explicitly: DuckDB's
+    * double→BIGINT cast ROUNDS while Spark's truncates), then applied via
+    * the same content-independent md5 gate as [[stratifiedSample]], so
+    * the mix is reproducible across engines, runs, and partitionings.
+    * Scale: one count aggregate (stratum-sized), broadcast thresholds,
+    * one scan-parallel filter — the 100 TB mix costs one pass. */
+  val mixtureBalance: GQuery = GQuery(
+    "t_mixture_balance",
+    "equalize length-bucket contributions via derived permille hash thresholds",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val bdoc = d.select(col("doc_id"),
+        least(expr("n_chars div 400"), lit(4L)).as("b"))
+      val counts = bdoc.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min(col("c")).as("mc"))))
+        .select(col("b"), col("c"),
+          floor(lit(1000.0d) * col("mc") / col("c")).cast(LongType).as("t"))
+      bdoc.join(broadcast(thr), "b")
+        .filter(pmod(h60(col("doc_id").cast("string")), lit(1000)) < col("t"))
+        .groupBy(col("b"), col("c"), col("t"))
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("b"), col("n_kept"), col("c").as("n_total"),
+          col("t").as("threshold"))
+        .orderBy(col("b"))
+    },
+    Some(s"""
+      WITH bdoc AS (SELECT doc_id, LEAST(n_chars // 400, 4) AS b FROM documents),
+      counts AS (SELECT b, COUNT(*) AS c FROM bdoc GROUP BY b),
+      thr AS (SELECT b, c,
+                     CAST(FLOOR(1000.0 * (SELECT MIN(c) FROM counts) / c) AS BIGINT) AS t
+              FROM counts),
+      kept AS (SELECT d.b FROM bdoc d JOIN thr ON thr.b = d.b
+               WHERE ${h60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000 < thr.t)
+      SELECT k.b, COUNT(*) AS n_kept, t.c AS n_total, t.t AS threshold
+      FROM kept k JOIN thr t ON t.b = k.b
+      GROUP BY k.b, t.c, t.t
+      ORDER BY k.b"""))
 
   // ------------------------------------------------------------ contamination
   /** Benchmark-contamination check: flag corpus documents sharing any
