@@ -81,6 +81,30 @@ object StreamOps {
         unix_micros(col("p_ts")).as("p_ts_us"), col("value"))
   }
 
+  /** One change record for CDC compaction (event_id breaks ts ties). */
+  case class Rec(
+      user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Streaming CDC compaction — the continuous twin of the batch
+    * e_upsert_compact query: keyed state holds each entity's current
+    * latest record; every micro-batch emits the updated state for keys it
+    * touched (Update output mode). State is ONE record per live entity —
+    * bounded by entity count, not stream length — which is what lets a
+    * changelog consumer run forever. Late/out-of-order records are
+    * handled by the (ts, id) max, not by arrival order. */
+  def latestByKey(recs: Dataset[Rec]): Dataset[Rec] = {
+    import recs.sparkSession.implicits._
+    recs.groupByKey(_.user_id)
+      .mapGroupsWithState[Rec, Rec](GroupStateTimeout.NoTimeout) {
+        (_, it, st: GroupState[Rec]) =>
+          val best = (it ++ st.getOption.iterator)
+            .maxBy(r => (r.ts_us, r.event_id))
+          st.update(best)
+          best
+      }
+  }
+
   /** Gap-based sessionization (the streaming twin of EventOps.sessionize):
     * per-user keyed state via flatMapGroupsWithState, closing a session
     * when `gap` passes without events (event-time timeout). */

@@ -141,6 +141,36 @@ class DifferentialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latestByKey equals batch e_upsert_compact on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val recs = Catalog.table(spark, sf0001, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[StreamOps.Rec].collect().toSeq
+    val in = MemoryStream[StreamOps.Rec]
+    val q = StreamOps.latestByKey(in.toDS())
+      .writeStream.format("memory").queryName("diff_cdc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two chunks: the second batch must UPDATE state from the first,
+      // and out-of-order delivery is exercised by reversing chunk two
+      val (a, b) = recs.splitAt(recs.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b.reverse); q.processAllAvailable()
+      // final state per key = max (ts,id) over emitted updates (updates
+      // are monotone toward the max, so the max emitted IS final state)
+      val streamed = spark.table("diff_cdc").as[StreamOps.Rec].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rs) => rs.maxBy(r => (r.ts_us, r.event_id)) }
+        .toSeq.sortBy(_.user_id)
+        .map(r => (r.user_id, r.ts_us, r.event_type, r.event_id, r.value))
+      val batch = Registry.byName("e_upsert_compact").run(spark, sf0001)
+        .as[(Long, Long, String, Long, Double)].collect().toSeq
+      assert(streamed === batch,
+        s"stream/batch CDC divergence: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched clicks with nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val evs = evRows()

@@ -46,6 +46,53 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("edge-iterator triangle count equals brute-force enumeration on seeded random graphs") {
+    import spark.implicits._
+    // the distributed edge-iterator must agree with O(V^3) brute force on
+    // graphs it was never tuned for — 20 seeded Erdős–Rényi graphs
+    val rng = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 5 + rng.nextInt(12)
+      val p = 0.15 + rng.nextDouble() * 0.5
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rng.nextDouble() < p
+      } yield (u.toLong, v.toLong)).toSeq
+      val brute = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if edges.contains((a.toLong, b.toLong)) &&
+          edges.contains((b.toLong, c.toLong)) &&
+          edges.contains((a.toLong, c.toLong))
+      } yield 1).size.toLong
+      if (edges.nonEmpty) {
+        val e = edges.toDF("u", "v")
+        val paths = e.select(col("u").as("a"), col("v").as("b"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+        val tri = paths.join(
+          e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c")).count()
+        assert(tri === brute,
+          s"trial $trial (n=$n, |E|=${edges.size}): edge-iterator $tri vs brute $brute")
+      }
+    }
+  }
+
+  test("g_jaccard_links scores are consistent with direct neighbor-set computation") {
+    val rows = Registry.byName("g_jaccard_links").run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute neighbor sets directly from the same edge derivation
+    val e = queries.GraphOps.coSupplyEdges(Catalog.table(spark, sf0001, "lineitem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = (e ++ e.map(_.swap)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      val inter = nbr(u).intersect(nbr(v)).size
+      val union = nbr(u).union(nbr(v)).size
+      assert(r.getLong(2) === inter.toLong, s"common($u,$v)")
+      assert(math.abs(r.getDouble(5) - inter.toDouble / union) < 1e-6,
+        s"jaccard($u,$v)")
+    }
+  }
+
   test("p_dedup_canonical keeps the longest member of every cluster") {
     val d = Catalog.table(spark, sf0001, "documents")
     val nTok = d.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
