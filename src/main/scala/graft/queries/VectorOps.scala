@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, dimStats, pqAnn)
+      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -703,6 +703,181 @@ object VectorOps {
                        ORDER BY est, vec_id) AS srk
               FROM est) t
         WHERE srk <= 10),
+      scored AS (
+        SELECT s.q_id, s.n_id,
+               ${dotSql("e.embedding", "q.q_emb")} /
+               (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS sim
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.n_id
+        JOIN q ON q.q_id = s.q_id)
+      SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
+      FROM (SELECT q_id, n_id, sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ IVF-PQ ANN
+  /** The production composition (FAISS's IVF-PQ shape): the coarse
+    * quantizer (label cells + exact centroids, as in [[ivfAnn]]) routes a
+    * query to nprobe cells; within probed cells, distance estimation runs
+    * over PQ codes of the RESIDUAL (vector − its cell centroid) — residual
+    * magnitudes are smaller than raw vectors, so the same codebook budget
+    * quantizes finer. At 100 TB: the centroid table and the per-cell
+    * query-to-codebook distance tables broadcast; the corpus-side scan
+    * touches only (label, 8-byte code) rows of probed cells — memory is
+    * codes + one centroid per cell, never raw vectors; full vectors are
+    * read ONLY for the 10-deep exact re-rank. Same exactness discipline
+    * as [[pqAnn]]: fix6 integer distances, lexicographic integer argmin,
+    * exact integer ADC sums — engine-identical end to end (centroids are
+    * [[graft.util.Num.davg]] fixed-point, residual subtraction is
+    * per-element IEEE on identical inputs). */
+  val ivfPqAnn: GQuery = GQuery(
+    "v_ivfpq_ann",
+    s"IVF-PQ ANN: $ivfNprobe probed cells, residual PQ codes, exact re-rank top-3",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val subIdx = explode(sequence(lit(0), lit(pqM - 1))).as("m")
+      // coarse quantizer: exact per-cell centroid (ordered double array)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(davg(col("v").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("centroid"))
+      // residuals: vector minus its own cell's centroid
+      val resid = e.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("r"))
+      // residual codebook: subvectors of the anchor residuals
+      val codebook = resid.filter(col("vec_id").between(3, 3 + pqK - 1))
+        .select((col("vec_id") - 3).as("j"), col("r"))
+        .select(col("j"), subIdx, col("r"))
+        .select(col("m"), col("j"),
+          expr(s"slice(r, m * $pqDsub + 1, $pqDsub)").as("cent"))
+      // encode every corpus residual: integer argmin per subspace
+      val codes = resid
+        .select(col("vec_id"), col("label"), subIdx, col("r"))
+        .select(col("vec_id"), col("label"), col("m"),
+          expr(s"slice(r, m * $pqDsub + 1, $pqDsub)").as("sv"))
+        .join(broadcast(codebook), Seq("m"))
+        .select(col("vec_id"), col("label"), col("m"), col("j"),
+          l2fix6("sv", "cent").as("d"))
+        .groupBy(col("vec_id"), col("label"), col("m"))
+        .agg(min(struct(col("d"), col("j"))).as("best"))
+        .select(col("vec_id"), col("label"), col("m"), col("best.j").as("j"))
+      // probe nprobe nearest cells per query (coarse stage, as in IVF)
+      val qSet = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cellRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("label"))
+      val probed = qSet.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("label"), col("centroid"),
+          cosineSimCols("centroid", "q_emb").as("csim"))
+        .withColumn("cell_rk", row_number().over(cellRank))
+        .filter(col("cell_rk") <= ivfNprobe)
+        .select(col("q_id"), col("label"), col("centroid"))
+      // per probed (query, cell): query residual, then its codebook table
+      val qDist = probed.join(broadcast(qSet), "q_id")
+        .select(col("q_id"), col("label"),
+          expr("zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("rq"))
+        .select(col("q_id"), col("label"), subIdx, col("rq"))
+        .select(col("q_id"), col("label"), col("m"),
+          expr(s"slice(rq, m * $pqDsub + 1, $pqDsub)").as("qsv"))
+        .join(broadcast(codebook), Seq("m"))
+        .select(col("q_id"), col("label"), col("m"), col("j"),
+          l2fix6("qsv", "cent").as("qd"))
+      // ADC within probed cells only: exact integer sum of looked-up dists
+      val est = codes.join(broadcast(qDist), Seq("label", "m", "j"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("est"))
+      val wS = Window.partitionBy(col("q_id")).orderBy(col("est"), col("vec_id"))
+      val shortlist = est.withColumn("srk", row_number().over(wS))
+        .filter(col("srk") <= 20)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val scored = shortlist
+        .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+        .join(broadcast(qSet), "q_id")
+        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk").cast("int").as("rk"), col("n_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH ms AS (SELECT unnest(range(0, $pqM)) AS m),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, ${davgSql("v")} AS c
+              FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings) t
+              GROUP BY label, pos)
+        GROUP BY label),
+      resid AS (
+        SELECT e.vec_id, e.label,
+               list_transform(list_zip(e.embedding, c.centroid),
+                 x -> CAST(x[1] AS DOUBLE) - x[2]) AS r
+        FROM embeddings e JOIN cent c ON c.label = e.label),
+      codebook AS (
+        SELECT m, vec_id - 3 AS j,
+               r[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS cent
+        FROM resid CROSS JOIN ms
+        WHERE vec_id BETWEEN 3 AND ${3 + pqK - 1}),
+      coded AS (
+        SELECT s.vec_id, s.label, s.m, c.j,
+               ${l2fix6Sql(s"s.r[s.m * $pqDsub + 1 : s.m * $pqDsub + $pqDsub]", "c.cent")} AS d
+        FROM (SELECT vec_id, label, m, r FROM resid CROSS JOIN ms) s
+        JOIN codebook c ON c.m = s.m),
+      codes AS (
+        SELECT vec_id, label, m, j
+        FROM (SELECT vec_id, label, m, j,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY d, j) AS rn
+              FROM coded) t
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 3),
+      probed AS (
+        SELECT q_id, label, centroid FROM (
+          SELECT q_id, c.label, c.centroid,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                   ${dotSql("c.centroid", "q_emb")} /
+                   (sqrt(${dotSql("c.centroid", "c.centroid")}) *
+                    sqrt(${dotSql("q_emb", "q_emb")})) DESC, c.label) AS cell_rk
+          FROM q CROSS JOIN cent c)
+        WHERE cell_rk <= $ivfNprobe),
+      qres AS (
+        SELECT p.q_id, p.label,
+               list_transform(list_zip(q.q_emb, p.centroid),
+                 x -> CAST(x[1] AS DOUBLE) - x[2]) AS rq
+        FROM probed p JOIN q USING (q_id)),
+      qdist AS (
+        SELECT s.q_id, s.label, s.m, c.j,
+               ${l2fix6Sql(s"s.rq[s.m * $pqDsub + 1 : s.m * $pqDsub + $pqDsub]", "c.cent")} AS qd
+        FROM (SELECT q_id, label, m, rq FROM qres CROSS JOIN ms) s
+        JOIN codebook c ON c.m = s.m),
+      est AS (
+        SELECT qd.q_id, co.vec_id, CAST(SUM(qd.qd) AS BIGINT) AS est
+        FROM codes co
+        JOIN qdist qd ON qd.label = co.label AND qd.m = co.m AND qd.j = co.j
+        WHERE co.vec_id <> qd.q_id
+        GROUP BY qd.q_id, co.vec_id),
+      shortlist AS (
+        SELECT q_id, vec_id AS n_id
+        FROM (SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY est, vec_id) AS srk
+              FROM est) t
+        WHERE srk <= 20),
       scored AS (
         SELECT s.q_id, s.n_id,
                ${dotSql("e.embedding", "q.q_emb")} /

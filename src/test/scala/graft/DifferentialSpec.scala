@@ -261,6 +261,26 @@ class DifferentialSpec extends SparkSpec {
     assert(pq.forall { case (q, n) => q != n })
   }
 
+  test("v_ivfpq_ann recall@3 vs brute-force ground truth is quantified") {
+    val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val ivfpq = Registry.byName("v_ivfpq_ann").run(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ ANN recall@3 on sf0.001 = $recall%.3f " +
+      f"(${ivfpq.intersect(brute).size}/${brute.size} of brute-force neighbors)")
+    // both stages are untrained on this fixture (random label cells +
+    // anchor codebook), so the coarse stage's nprobe/ncells ≈ 0.3 is the
+    // binding ceiling and the floor guards the composed mechanism: probe
+    // -> residual-code ADC -> shortlist -> exact re-rank
+    assert(recall >= 0.2, f"IVF-PQ recall below coarse-stage floor: $recall%.3f")
+    assert(ivfpq.forall { case (q, n) => q != n })
+  }
+
   test("v_ivf_ann recall@3 vs brute-force ground truth is quantified") {
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
       .filter(col("rk") <= 3)
