@@ -55,7 +55,8 @@ object ClusterCheck {
     "t_dedup_clusters",             // iterative CC label propagation
     "g_triangle_count",             // 3-way self-join closure (edge iterator)
     "a_rfm_segments",               // global NTILE windows + re-aggregation
-    "x_lateral_join")               // decorrelated LATERAL through SQL text
+    "x_lateral_join",               // decorrelated LATERAL through SQL text
+    "v_ivfpq_ann")                  // multi-stage ANN: centroids + codes + ADC + rerank
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")
