@@ -29,7 +29,11 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor] [saltText]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
-    val saltText = args.length > 3 && args(3) == "saltText"
+    // fail fast on a typo'd flag — a silently-ignored "salttext" would make
+    // the SCALING control experiment measure the wrong thing with no error
+    require(args.length <= 3 || args(3) == "saltText",
+      s"unrecognized 4th argument '${args(3)}' — the only supported flag is 'saltText'")
+    val saltText = args.length > 3
     val spark = GraftSession.get()
     // events.ts is TIMESTAMP(NANOS) — readable only as BIGINT epoch-nanos
     // behind the legacy flag (same as Catalog.table); the replica then

@@ -49,12 +49,16 @@ object Metrics {
     try {
       val out = body
       // the listener bus is async and its drain API is private[spark]:
-      // quiesce by polling until the task counter is stable, bounded
+      // quiesce by polling until the task counter holds still for 3
+      // consecutive 50 ms windows (a single stable window can miss
+      // late-arriving events on a loaded machine), bounded at 3 s
       var last = -1L
+      var stable = 0
       var spins = 0
-      while (nt.sum != last && spins < 40) {
-        last = nt.sum
+      while (stable < 3 && spins < 60) {
         Thread.sleep(50)
+        val cur = nt.sum
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
         spins += 1
       }
       (out, RunMetrics(

@@ -346,8 +346,12 @@ object EventOps {
         // zero-variance baselines are unscorable (and ANSI-mode division
         // errors): integer guard identical on both engines
         .filter(lit(24L) * col("q") - col("s") * col("s") > 0L)
-        .withColumn("z", round((d(col("c")) - d(col("s")) / 24.0d) / sqrt(varE), 6))
-        .filter(abs(col("z")) >= 2.0d)
+        // filter on the UNROUNDED z (exactly as the oracle does), round
+        // only for output — rounding first would keep/drop rows in
+        // [1.9999995, 2.0) differently across engines
+        .withColumn("z_raw", (d(col("c")) - d(col("s")) / 24.0d) / sqrt(varE))
+        .filter(abs(col("z_raw")) >= 2.0d)
+        .withColumn("z", round(col("z_raw"), 6))
         .select(col("event_type"), col("hour"), col("c"), col("z"))
         .orderBy(col("event_type"), col("hour"))
     },

@@ -170,7 +170,12 @@ object Extras {
     * goes through [[graft.util.Num.dec2]]: engines round double→decimal
     * ties differently (Spark HALF_UP, DuckDB round-half-even), so the
     * double is quantized in pure IEEE-754 first — after that, every
-    * decimal op here is exact and order-free on both engines. */
+    * decimal op here is exact and order-free on both engines. Output
+    * decimals are pinned to precision ≤ 18 (int64-backed in both Spark
+    * and DuckDB): precision > 18 switches to 128-bit physical decimals
+    * (decimal128 vs HUGEINT) whose cross-engine hash canonicalization
+    * diverges even on byte-identical values (see COVERAGE.md, type
+    * representation contract). */
   val decimalArith: GQuery = GQuery(
     "x_decimal_arith",
     "decimal(15,2) cast + exact decimal sum/avg arithmetic",
@@ -181,18 +186,18 @@ object Extras {
           graft.util.Num.dec2(col("l_discount")).as("disc"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("price")).cast(DecimalType(38, 2)).as("sum_price"),
-          sum(expr("price * (1 - disc)")).cast(DecimalType(38, 6)).as("sum_disc_price"),
-          max(col("price")).cast(DecimalType(38, 2)).as("max_price"),
-          min(col("disc")).cast(DecimalType(38, 2)).as("min_disc"))
+          sum(col("price")).cast(DecimalType(18, 2)).as("sum_price"),
+          sum(expr("price * (1 - disc)")).cast(DecimalType(18, 6)).as("sum_disc_price"),
+          max(col("price")).cast(DecimalType(18, 2)).as("max_price"),
+          min(col("disc")).cast(DecimalType(18, 2)).as("min_disc"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""
       SELECT l_returnflag,
-             CAST(SUM(price) AS DECIMAL(38,2)) AS sum_price,
-             CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
-             CAST(MAX(price) AS DECIMAL(38,2)) AS max_price,
-             CAST(MIN(disc) AS DECIMAL(38,2)) AS min_disc
+             CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price,
+             CAST(SUM(price * (1 - disc)) AS DECIMAL(18,6)) AS sum_disc_price,
+             CAST(MAX(price) AS DECIMAL(18,2)) AS max_price,
+             CAST(MIN(disc) AS DECIMAL(18,2)) AS min_disc
       FROM (SELECT l_returnflag,
                    ${graft.util.Num.dec2Sql("l_extendedprice")} AS price,
                    ${graft.util.Num.dec2Sql("l_discount")} AS disc

@@ -44,6 +44,29 @@ object TextOps {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
+  /** Session-scoped materialization dirs. Each invocation gets a
+    * collision-free temp dir (two JVMs running the registry concurrently —
+    * bench + verify — must not overwrite each other's part files
+    * mid-read), and every dir is tracked and recursively deleted on JVM
+    * exit so a multi-iteration bench run does not accumulate unbounded
+    * parquet stages in /tmp across rounds. */
+  private val matDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    matDirs.forEach { root =>
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () } // best-effort: exit must not fail
+    }
+  }
+  private[queries] def trackedTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    matDirs.add(p)
+    p.toString
+  }
+
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
   private def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
@@ -379,13 +402,7 @@ object TextOps {
     "minhash LSH off a materialized signature table (one corpus scan)",
     (spark, dir) => {
       val d = spread(Catalog.table(spark, dir, "documents"))
-      // per-invocation unique dir: a fixed shared path would let two JVMs
-      // running the registry concurrently (bench + verify) overwrite each
-      // other's part files mid-read; createTempDirectory is collision-free
-      // and the handful of signature dirs a bench run leaves in /tmp are
-      // bounded by iteration count
-      val matDir = java.nio.file.Files
-        .createTempDirectory("graft-mat-").toString + "/minhash_sig_data"
+      val matDir = trackedTempDir("graft-mat-") + "/minhash_sig_data"
       minhashSig(d).write.mode("overwrite").parquet(matDir)
       pairsFromSig(spark.read.parquet(matDir), 0.5)
         .orderBy(col("a_id"), col("b_id"))
@@ -607,8 +624,7 @@ object TextOps {
         .groupBy(md5(col("text").cast("binary")).as("__digest"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-clean-").toString + "/survivors"
+      val stage = trackedTempDir("graft-clean-") + "/survivors"
       q.join(keepers, Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(stage)
       val exact = spark.read.parquet(stage)
