@@ -286,48 +286,137 @@ object VectorOps {
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
 
+  // ------------------------------------------------------------ k-means
+  /** Deterministic distributed Lloyd's k-means — the trained quantizer
+    * behind [[ivfAnn]], [[pqAnn]] and [[ivfPqAnn]] (no reference
+    * counterpart; FAISS-style index training re-expressed as Spark
+    * dataflow). Frames: vecs = (m, id, vec: array<double>), centroids =
+    * (m, j, cent) — `m` is the subspace key (a single literal 0 trains one
+    * global codebook; 0..M-1 trains M independent per-subspace codebooks
+    * in ONE dataflow). Every step is engine-exact: distances are fix6
+    * integer L2² ([[l2fix6]]), assignment is the lexicographic integer
+    * argmin (d, then j — tie-stable on any engine), means are
+    * [[graft.util.Num.davg]] fixed-point (order-free), and an emptied
+    * cluster keeps its previous centroid (COALESCE), so the fit is
+    * bit-identical on Spark and DuckDB at any partitioning.
+    *
+    * Scale shape: per iteration ONE broadcast of the (k×d, driver-tiny)
+    * centroid table against a corpus scan, ONE (m,id)-keyed argmin
+    * aggregate and ONE (m,j,pos)-keyed mean aggregate — both two-phase
+    * with map-side partials. Each iteration's centroids are eagerly
+    * `localCheckpoint`ed: k×d rows, recomputable-from-source cost is
+    * trivial, and the truncation keeps the unrolled plan linear in
+    * iterations instead of exponential (the frame is referenced twice per
+    * round). At 100 TB one trains on a uniform sample (the fixed-point
+    * discipline is sample-stable) and runs one full assignment pass —
+    * exactly the [[kmeansAssign]] E-step.
+    *
+    * The DuckDB oracle mirror ([[kmeansSqlCtes]]) marks every iteration
+    * CTE `AS MATERIALIZED`: DuckDB inlines CTEs per reference, and the
+    * unrolled recurrence references each round twice — inlining would
+    * re-evaluate the whole chain exponentially. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents), Seq("m"))
+      .select(col("m"), col("id"), col("j"), l2fix6("vec", "cent").as("d"))
+      .groupBy(col("m"), col("id"))
+      .agg(min(struct(col("d"), col("j"))).as("b"))
+      .select(col("m"), col("id"), col("b.j").as("j"))
+
+  private def kmeansFit(vecs: DataFrame, seed: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val upd = kmeansAssign(vecs, cents).join(vecs, Seq("m", "id"))
+        .select(col("m"), col("j"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("j"), col("pos"))
+        .agg(davg(col("v")).as("c"))
+        .groupBy(col("m"), col("j"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cent"))
+      cents.select(col("m"), col("j"), col("cent").as("cent0"))
+        .join(upd, Seq("m", "j"), "left")
+        .select(col("m"), col("j"),
+          coalesce(col("cent"), col("cent0")).as("cent"))
+        .localCheckpoint()
+    }
+
+  /** Oracle-side mirror of [[kmeansAssign]]: (m, id, j) E-step. */
+  private def kmeansAssignSql(vecsCte: String, centsCte: String): String =
+    s"""SELECT m, id, j FROM (
+          SELECT v.m, v.id, c.j,
+                 ROW_NUMBER() OVER (PARTITION BY v.m, v.id
+                   ORDER BY ${l2fix6Sql("v.vec", "c.cent")}, c.j) AS rn
+          FROM $vecsCte v JOIN $centsCte c ON c.m = v.m) t
+        WHERE rn = 1"""
+
+  /** Oracle-side mirror of [[kmeansFit]]: `iters` unrolled Lloyd's rounds
+    * as CTEs `{p}_a1,{p}_u1,{p}_c1,…`; the final centroid table is
+    * `{p}_c{iters}`. MATERIALIZED is load-bearing — see [[kmeansFit]]. */
+  private def kmeansSqlCtes(vecsCte: String, seedCte: String, iters: Int,
+      p: String): String =
+    (1 to iters).map { i =>
+      val prev = if (i == 1) seedCte else s"${p}_c${i - 1}"
+      s"""${p}_a$i AS MATERIALIZED (
+        SELECT m, id, j FROM (
+          SELECT v.m, v.id, c.j,
+                 ROW_NUMBER() OVER (PARTITION BY v.m, v.id
+                   ORDER BY ${l2fix6Sql("v.vec", "c.cent")}, c.j) AS rn
+          FROM $vecsCte v JOIN $prev c ON c.m = v.m) t
+        WHERE rn = 1),
+      ${p}_u$i AS MATERIALIZED (
+        SELECT m, j, list(c ORDER BY pos) AS cent
+        FROM (SELECT m, j, pos, ${davgSql("vv")} AS c
+              FROM (SELECT a.m, a.j, generate_subscripts(v.vec, 1) AS pos,
+                           CAST(unnest(v.vec) AS DOUBLE) AS vv
+                    FROM ${p}_a$i a
+                    JOIN $vecsCte v ON v.m = a.m AND v.id = a.id) x
+              GROUP BY m, j, pos) y
+        GROUP BY m, j),
+      ${p}_c$i AS MATERIALIZED (
+        SELECT c0.m, c0.j, COALESCE(u.cent, c0.cent) AS cent
+        FROM $prev c0 LEFT JOIN ${p}_u$i u ON u.m = c0.m AND u.j = c0.j)"""
+    }.mkString(",\n")
+
   // ------------------------------------------------------------ IVF ANN
-  /** IVF-style ANN: the label partition is the inverted-file cell, its
-    * exact fixed-point centroid the coarse quantizer. A query ranks the
-    * (tiny, broadcast) centroid table, probes the `ivfNprobe` nearest
-    * cells, and scores only vectors in those cells — candidate cost
-    * nprobe/ncells of the corpus, the complementary scale path to LSH
-    * (data-adaptive cells vs data-oblivious hyperplanes). At 100 TB the
-    * cells would come from a k-means fit; the probe/score dataflow —
-    * broadcast quantizer, cell-restricted scan, exact re-rank — is
-    * identical and is what this query pins. On THIS fixture the labels
-    * are synthetic and uncorrelated with geometry, so measured recall
-    * sits at the random-cell baseline nprobe/ncells (≈0.33, pinned in
-    * DifferentialSpec); with learned cells recall concentrates far
-    * above that baseline at the same probe cost. */
-  private val ivfNprobe = 3
+  /** IVF ANN with a TRAINED coarse quantizer: `ivfK` k-means cells
+    * ([[kmeansFit]], `ivfIters` Lloyd's rounds), every corpus vector
+    * assigned to its nearest cell, queries probe the `ivfNprobe` nearest
+    * cells (integer-L2 cell ranking — the corpus is unit-norm, so L2
+    * order ≡ cosine order) and exact-re-rank only vectors in probed
+    * cells — candidate cost ≈ nprobe/ncells of the corpus. Measured
+    * recall@3 vs the brute-force ground truth: 0.889 (DifferentialSpec;
+    * up from the 0.333 random-cell floor the untrained label-cell
+    * variant measured — this fixture's labels are uncorrelated with
+    * geometry, so cells MUST be learned). At 100 TB: training on a
+    * sample + one assignment pass; the probe/score dataflow — broadcast
+    * quantizer, cell-restricted scan, exact re-rank — is one corpus
+    * pass with all small sides broadcast. */
+  private val ivfNprobe = 4
+  private val ivfK = 10
+  private val ivfIters = 8
 
   val ivfAnn: GQuery = GQuery(
     "v_ivf_ann",
-    s"IVF ANN: probe $ivfNprobe nearest label-cells, exact re-rank top-3",
+    s"IVF ANN: $ivfK trained k-means cells, probe $ivfNprobe, exact re-rank top-3",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "embeddings")
-      // exact per-cell centroid as an ordered double array
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(davg(col("v").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-          .as("centroid"))
+      val vecs = e.select(lit(0).as("m"), col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+      val seed = vecs.filter(col("id").between(3, 3 + ivfK - 1))
+        .select(col("m"), (col("id") - 3).cast("int").as("j"),
+          col("vec").as("cent"))
+      val cents = kmeansFit(vecs, seed, ivfIters)
+      val cells = kmeansAssign(vecs, cents)
+        .select(col("id").as("vec_id"), col("j"))
       val qSet = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // rank cells per query against the broadcast quantizer
-      val cellRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("label"))
-      val probed = qSet.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("label"),
-          cosineSimCols("centroid", "q_emb").as("csim"))
+      val cellRank = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
+      val probed = qSet.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("j"), l2fix6("q_emb", "cent").as("cd"))
         .withColumn("cell_rk", row_number().over(cellRank))
         .filter(col("cell_rk") <= ivfNprobe)
-        .select(col("q_id"), col("label"))
-      // score only vectors inside the probed cells
-      val scored = e.join(broadcast(probed), Seq("label"))
+        .select(col("q_id"), col("j"))
+      // score only vectors assigned to the probed cells
+      val scored = e.join(cells, "vec_id")
+        .join(broadcast(probed), Seq("j"))
         .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(qSet), "q_id")
         .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
@@ -338,34 +427,33 @@ object VectorOps {
         .orderBy(col("q_id"), col("rk"))
     },
     Some(s"""
-      WITH cent AS (
-        SELECT label, list(c ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, ${davgSql("v")} AS c
-              FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
-                           CAST(unnest(embedding) AS DOUBLE) AS v
-                    FROM embeddings) t
-              GROUP BY label, pos)
-        GROUP BY label),
+      WITH vecs AS MATERIALIZED (
+        SELECT 0 AS m, vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      seed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM vecs
+               WHERE id BETWEEN 3 AND ${3 + ivfK - 1}),
+      ${kmeansSqlCtes("vecs", "seed", ivfIters, "km")},
+      cells AS MATERIALIZED (${kmeansAssignSql("vecs", s"km_c$ivfIters")}),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
             WHERE vec_id < 3),
       probed AS (
-        SELECT q_id, label FROM (
-          SELECT q_id, label,
-                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-                   ${dotSql("centroid", "q_emb")} /
-                   (sqrt(${dotSql("centroid", "centroid")}) *
-                    sqrt(${dotSql("q_emb", "q_emb")})) DESC, label) AS cell_rk
-          FROM q CROSS JOIN cent)
+        SELECT q_id, j FROM (
+          SELECT q.q_id, c.j,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${l2fix6Sql("q.q_emb", "c.cent")}, c.j) AS cell_rk
+          FROM q CROSS JOIN km_c$ivfIters c) t
         WHERE cell_rk <= $ivfNprobe),
       scored AS (
-        SELECT q_id, e.vec_id AS n_id,
+        SELECT q.q_id, e.vec_id AS n_id,
                ${dotSql("e.embedding", "q_emb")} /
                (sqrt(${dotSql("e.embedding", "e.embedding")}) *
                 sqrt(${dotSql("q_emb", "q_emb")})) AS sim
         FROM embeddings e
-        JOIN probed ON e.label = probed.label
-        JOIN q USING (q_id)
-        WHERE e.vec_id <> q_id),
+        JOIN cells ce ON ce.id = e.vec_id
+        JOIN probed p ON p.j = ce.j
+        JOIN q ON q.q_id = p.q_id
+        WHERE e.vec_id <> q.q_id),
       ranked AS (
         SELECT q_id, n_id, sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
@@ -578,9 +666,11 @@ object VectorOps {
       ORDER BY pos"""))
 
   // ------------------------------------------------------------ PQ ANN
-  private val pqM = 8     // subspaces (64 dims / 8)
-  private val pqDsub = 8  // dims per subspace
+  private val pqM = 16    // subspaces (64 dims / 4)
+  private val pqDsub = 4  // dims per subspace
   private val pqK = 16    // centroids per subspace
+  private val pqIters = 4 // Lloyd's rounds for the per-subspace codebooks
+  private val pqShort = 40 // ADC shortlist depth fed to the exact re-rank
 
   /** fix6-scaled squared-L2 between two float lists: the per-row fold is
     * sequential IEEE doubles (engine-identical), then one quantization to
@@ -598,51 +688,50 @@ object VectorOps {
       s" (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)" +
       s" * 1000000 + 0.5) AS BIGINT)"
 
-  /** Product-quantization ANN — the fits-in-RAM path at 100 TB: each
-    * 64-float (256 B) vector compresses to M=8 centroid codes (8 B, 32×),
-    * so the candidate scan touches only the code table; full vectors are
-    * read ONLY for the exact re-rank of a 10-deep shortlist.
+  /** Product-quantization ANN with TRAINED codebooks — the fits-in-RAM
+    * path at 100 TB: each 64-float (256 B) vector compresses to M=16
+    * 4-bit-addressable centroid codes (16 B, 16×), so the candidate scan
+    * touches only the code table; full vectors are read ONLY for the
+    * exact re-rank of a `pqShort`-deep shortlist.
     *
-    * Deterministic codebook (no k-means RNG): the 16 anchor vectors
-    * vec_id ∈ [3,18] donate their subvectors as centroids — the
-    * quantization quality of a trained codebook is not the point here;
-    * the plan shape and the exactness discipline are. Encoding = argmin
-    * over (fix6 L2², j) pairs — integer lexicographic min, tie-stable on
-    * any engine. ADC = one broadcast of M×K query-to-centroid integer
-    * distances, joined to the code table and integer-summed (exact,
-    * order-free). Distribution: encode is corpus-scan × broadcast(128
-    * centroids); search shuffles only (q, vec, est) partials; the
-    * re-rank reads ≤ 10 full vectors per query via a semi-join. */
+    * The M per-subspace codebooks are fit by [[kmeansFit]] in ONE
+    * dataflow (subspace index `m` is the group key), seeded from the
+    * anchor vectors vec_id ∈ [3,19) and refined for `pqIters` Lloyd's
+    * rounds — deterministic end to end (fix6 distances, lexicographic
+    * argmin, davg means), so the codebook is bit-identical on both
+    * engines. Measured recall@3 vs brute force: 0.889 (DifferentialSpec;
+    * the untrained anchor codebook measured 0.222 — chance). ADC = one
+    * broadcast of M×K query-to-centroid integer distances, joined to the
+    * code table and integer-summed (exact, order-free). Distribution:
+    * training is iters×(broadcast + two-phase agg) on a sample at real
+    * scale; encode is corpus-scan × broadcast(M×K centroids); search
+    * shuffles only (q, vec, est) partials; the re-rank reads ≤ pqShort
+    * full vectors per query via a semi-join. */
   val pqAnn: GQuery = GQuery(
     "v_pq_ann",
-    "product-quantization ANN: 8x16 codebook, integer ADC, exact re-rank top-3",
+    s"product-quantization ANN: trained ${pqM}x$pqK codebook, integer ADC, exact re-rank top-3",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "embeddings")
       val subIdx = explode(sequence(lit(0), lit(pqM - 1))).as("m")
-      // codebook (m, j, cent): subvectors of the 16 anchor vectors
-      val codebook = e.filter(col("vec_id").between(3, 3 + pqK - 1))
-        .select((col("vec_id") - 3).as("j"), col("embedding"))
-        .select(col("j"), subIdx, col("embedding"))
-        .select(col("m"), col("j"),
-          expr(s"slice(embedding, m * $pqDsub + 1, $pqDsub)").as("cent"))
-      // corpus subvectors -> nearest centroid per subspace (integer argmin)
-      val sub = e.select(col("vec_id"), subIdx, col("embedding"))
-        .select(col("vec_id"), col("m"),
-          expr(s"slice(embedding, m * $pqDsub + 1, $pqDsub)").as("sv"))
-      val codes = sub.join(broadcast(codebook), Seq("m"))
-        .select(col("vec_id"), col("m"), col("j"), l2fix6("sv", "cent").as("d"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d"), col("j"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.j").as("j"))
-      // ADC table: query-subvector to EVERY centroid (M*K rows per query)
+      // per-subspace training set: (m, id, 4-dim double subvector)
+      val vecs = e.select(col("vec_id").as("id"), subIdx, col("embedding"))
+        .select(col("m"), col("id"),
+          expr(s"transform(slice(embedding, m * $pqDsub + 1, $pqDsub)," +
+            " x -> CAST(x AS DOUBLE))").as("vec"))
+      val seed = vecs.filter(col("id").between(3, 3 + pqK - 1))
+        .select(col("m"), (col("id") - 3).cast("int").as("j"),
+          col("vec").as("cent"))
+      val codebook = kmeansFit(vecs, seed, pqIters)
+      // corpus codes: nearest trained centroid per (vector, subspace)
+      val codes = kmeansAssign(vecs, codebook)
+        .select(col("id").as("vec_id"), col("m"), col("j"))
       val qSet = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val qDist = qSet
-        .select(col("q_id"), subIdx, col("q_emb"))
-        .select(col("q_id"), col("m"),
-          expr(s"slice(q_emb, m * $pqDsub + 1, $pqDsub)").as("qsv"))
+      // ADC table: query-subvector to EVERY centroid (M*K rows per query)
+      val qDist = vecs.filter(col("id") < 3)
         .join(broadcast(codebook), Seq("m"))
-        .select(col("q_id"), col("m"), col("j"), l2fix6("qsv", "cent").as("qd"))
+        .select(col("id").as("q_id"), col("m"), col("j"),
+          l2fix6("vec", "cent").as("qd"))
       // estimate = exact integer sum of the M looked-up distances
       val est = codes.join(broadcast(qDist), Seq("m", "j"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -650,7 +739,7 @@ object VectorOps {
         .agg(sum(col("qd")).as("est"))
       val wS = Window.partitionBy(col("q_id")).orderBy(col("est"), col("vec_id"))
       val shortlist = est.withColumn("srk", row_number().over(wS))
-        .filter(col("srk") <= 10)
+        .filter(col("srk") <= pqShort)
         .select(col("q_id"), col("vec_id").as("n_id"))
       // exact cosine re-rank of the shortlist
       val scored = shortlist
@@ -665,44 +754,35 @@ object VectorOps {
         .orderBy(col("q_id"), col("rk"))
     },
     Some(s"""
-      WITH ms AS (SELECT unnest(range(0, $pqM)) AS m),
-      codebook AS (
-        SELECT m, vec_id - 3 AS j,
-               embedding[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS cent
-        FROM embeddings CROSS JOIN ms
-        WHERE vec_id BETWEEN 3 AND ${3 + pqK - 1}),
-      sub AS (
-        SELECT vec_id, m,
-               embedding[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS sv
-        FROM embeddings CROSS JOIN ms),
-      coded AS (
-        SELECT s.vec_id, s.m, c.j, ${l2fix6Sql("s.sv", "c.cent")} AS d
-        FROM sub s JOIN codebook c ON c.m = s.m),
-      codes AS (
-        SELECT vec_id, m, j
-        FROM (SELECT vec_id, m, j,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                       ORDER BY d, j) AS rn
-              FROM coded) t
-        WHERE rn = 1),
+      WITH ms AS (SELECT CAST(unnest(range(0, $pqM)) AS INTEGER) AS m),
+      vecs AS MATERIALIZED (
+        SELECT ms.m, e.vec_id AS id,
+               list_transform(
+                 e.embedding[ms.m * $pqDsub + 1 : ms.m * $pqDsub + $pqDsub],
+                 x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings e CROSS JOIN ms),
+      seed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM vecs
+               WHERE id BETWEEN 3 AND ${3 + pqK - 1}),
+      ${kmeansSqlCtes("vecs", "seed", pqIters, "km")},
+      codes AS MATERIALIZED (${kmeansAssignSql("vecs", s"km_c$pqIters")}),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
             WHERE vec_id < 3),
       qdist AS (
-        SELECT q_id, c.m, c.j,
-               ${l2fix6Sql(s"q_emb[c.m * $pqDsub + 1 : c.m * $pqDsub + $pqDsub]", "c.cent")} AS qd
-        FROM q CROSS JOIN codebook c),
+        SELECT v.id AS q_id, v.m, c.j, ${l2fix6Sql("v.vec", "c.cent")} AS qd
+        FROM vecs v JOIN km_c$pqIters c ON c.m = v.m
+        WHERE v.id < 3),
       est AS (
-        SELECT qd.q_id, co.vec_id, CAST(SUM(qd.qd) AS BIGINT) AS est
+        SELECT qd.q_id, co.id AS vec_id, CAST(SUM(qd.qd) AS BIGINT) AS est
         FROM codes co JOIN qdist qd ON qd.m = co.m AND qd.j = co.j
-        WHERE co.vec_id <> qd.q_id
-        GROUP BY qd.q_id, co.vec_id),
+        WHERE co.id <> qd.q_id
+        GROUP BY qd.q_id, co.id),
       shortlist AS (
         SELECT q_id, vec_id AS n_id
         FROM (SELECT q_id, vec_id,
                      ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY est, vec_id) AS srk
               FROM est) t
-        WHERE srk <= 10),
+        WHERE srk <= $pqShort),
       scored AS (
         SELECT s.q_id, s.n_id,
                ${dotSql("e.embedding", "q.q_emb")} /
@@ -720,86 +800,87 @@ object VectorOps {
       ORDER BY q_id, rk"""))
 
   // ------------------------------------------------------------ IVF-PQ ANN
-  /** The production composition (FAISS's IVF-PQ shape): the coarse
-    * quantizer (label cells + exact centroids, as in [[ivfAnn]]) routes a
-    * query to nprobe cells; within probed cells, distance estimation runs
-    * over PQ codes of the RESIDUAL (vector − its cell centroid) — residual
-    * magnitudes are smaller than raw vectors, so the same codebook budget
-    * quantizes finer. At 100 TB: the centroid table and the per-cell
-    * query-to-codebook distance tables broadcast; the corpus-side scan
-    * touches only (label, 8-byte code) rows of probed cells — memory is
-    * codes + one centroid per cell, never raw vectors; full vectors are
-    * read ONLY for the 10-deep exact re-rank. Same exactness discipline
-    * as [[pqAnn]]: fix6 integer distances, lexicographic integer argmin,
-    * exact integer ADC sums — engine-identical end to end (centroids are
-    * [[graft.util.Num.davg]] fixed-point, residual subtraction is
-    * per-element IEEE on identical inputs). */
+  /** The production composition (FAISS's IVF-PQ shape), now FULLY
+    * TRAINED: a k-means coarse quantizer ([[kmeansFit]], `ivfK` cells,
+    * `ivfIters` rounds) routes a query to `ivfNprobe` cells; within
+    * probed cells, distance estimation runs over trained PQ codes of the
+    * RESIDUAL (vector − its assigned cell centroid) — residual magnitudes
+    * are smaller than raw vectors, so the same codebook budget quantizes
+    * finer. The residual codebooks are themselves k-means fits
+    * (`ivfIters` rounds, shared across cells as in FAISS). Measured
+    * recall@3 vs brute force: 0.889 (DifferentialSpec; the untrained
+    * variant measured 0.222 — chance). At 100 TB: both quantizer tables
+    * broadcast; the corpus-side scan touches only (cell, 16-byte code)
+    * rows of probed cells — memory is codes + one centroid per cell,
+    * never raw vectors; full vectors are read ONLY for the
+    * `pqShort`-deep exact re-rank. Same exactness discipline as
+    * [[pqAnn]]: fix6 integer distances, lexicographic integer argmin,
+    * exact integer ADC sums, davg fixed-point means — engine-identical
+    * end to end (residual subtraction is per-element IEEE on identical
+    * inputs). */
   val ivfPqAnn: GQuery = GQuery(
     "v_ivfpq_ann",
-    s"IVF-PQ ANN: $ivfNprobe probed cells, residual PQ codes, exact re-rank top-3",
+    s"IVF-PQ ANN: $ivfK trained cells, $ivfNprobe probed, trained residual PQ, exact re-rank top-3",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "embeddings")
       val subIdx = explode(sequence(lit(0), lit(pqM - 1))).as("m")
-      // coarse quantizer: exact per-cell centroid (ordered double array)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(davg(col("v").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-          .as("centroid"))
-      // residuals: vector minus its own cell's centroid
-      val resid = e.join(broadcast(cent), "label")
-        .select(col("vec_id"), col("label"),
-          expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
-            .as("r"))
-      // residual codebook: subvectors of the anchor residuals
-      val codebook = resid.filter(col("vec_id").between(3, 3 + pqK - 1))
-        .select((col("vec_id") - 3).as("j"), col("r"))
-        .select(col("j"), subIdx, col("r"))
-        .select(col("m"), col("j"),
-          expr(s"slice(r, m * $pqDsub + 1, $pqDsub)").as("cent"))
-      // encode every corpus residual: integer argmin per subspace
-      val codes = resid
-        .select(col("vec_id"), col("label"), subIdx, col("r"))
-        .select(col("vec_id"), col("label"), col("m"),
-          expr(s"slice(r, m * $pqDsub + 1, $pqDsub)").as("sv"))
-        .join(broadcast(codebook), Seq("m"))
-        .select(col("vec_id"), col("label"), col("m"), col("j"),
-          l2fix6("sv", "cent").as("d"))
-        .groupBy(col("vec_id"), col("label"), col("m"))
-        .agg(min(struct(col("d"), col("j"))).as("best"))
-        .select(col("vec_id"), col("label"), col("m"), col("best.j").as("j"))
-      // probe nprobe nearest cells per query (coarse stage, as in IVF)
+      // coarse quantizer: trained k-means cells over the full vectors
+      val fvecs = e.select(lit(0).as("m"), col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+      val fseed = fvecs.filter(col("id").between(3, 3 + ivfK - 1))
+        .select(col("m"), (col("id") - 3).cast("int").as("j"),
+          col("vec").as("cent"))
+      val coarse = kmeansFit(fvecs, fseed, ivfIters)
+      val coarseCells = coarse.select(col("j").as("cell"), col("cent"))
+      val cells = kmeansAssign(fvecs, coarse)
+        .select(col("id"), col("j").as("cell"))
+      // residuals: vector minus its ASSIGNED cell's centroid
+      val resid = fvecs.join(cells, "id")
+        .join(broadcast(coarseCells), "cell")
+        .select(col("id"), col("cell"),
+          expr("zip_with(vec, cent, (x, y) -> x - y)").as("r"))
+      // residual codebooks: k-means per subspace over all residuals
+      val rvecs = resid.select(col("id"), subIdx, col("r"))
+        .select(col("m"), col("id"),
+          expr(s"slice(r, m * $pqDsub + 1, $pqDsub)").as("vec"))
+      val rseed = rvecs.filter(col("id").between(3, 3 + pqK - 1))
+        .select(col("m"), (col("id") - 3).cast("int").as("j"),
+          col("vec").as("cent"))
+      val codebook = kmeansFit(rvecs, rseed, ivfIters)
+      // encode every corpus residual, tagged with its cell
+      val codes = kmeansAssign(rvecs, codebook)
+        .join(cells, "id")
+        .select(col("id").as("vec_id"), col("cell"), col("m"), col("j"))
+      // probe nprobe nearest trained cells per query (integer-L2 ranking)
       val qSet = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cellRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("label"))
-      val probed = qSet.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("label"), col("centroid"),
-          cosineSimCols("centroid", "q_emb").as("csim"))
+        .orderBy(col("cd"), col("cell"))
+      val probed = qSet.crossJoin(broadcast(coarseCells))
+        .select(col("q_id"), col("cell"), col("cent"),
+          l2fix6("q_emb", "cent").as("cd"))
         .withColumn("cell_rk", row_number().over(cellRank))
         .filter(col("cell_rk") <= ivfNprobe)
-        .select(col("q_id"), col("label"), col("centroid"))
+        .select(col("q_id"), col("cell"), col("cent"))
       // per probed (query, cell): query residual, then its codebook table
       val qDist = probed.join(broadcast(qSet), "q_id")
-        .select(col("q_id"), col("label"),
-          expr("zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+        .select(col("q_id"), col("cell"),
+          expr("zip_with(q_emb, cent, (x, y) -> CAST(x AS DOUBLE) - y)")
             .as("rq"))
-        .select(col("q_id"), col("label"), subIdx, col("rq"))
-        .select(col("q_id"), col("label"), col("m"),
+        .select(col("q_id"), col("cell"), subIdx, col("rq"))
+        .select(col("q_id"), col("cell"), col("m"),
           expr(s"slice(rq, m * $pqDsub + 1, $pqDsub)").as("qsv"))
         .join(broadcast(codebook), Seq("m"))
-        .select(col("q_id"), col("label"), col("m"), col("j"),
+        .select(col("q_id"), col("cell"), col("m"), col("j"),
           l2fix6("qsv", "cent").as("qd"))
       // ADC within probed cells only: exact integer sum of looked-up dists
-      val est = codes.join(broadcast(qDist), Seq("label", "m", "j"))
+      val est = codes.join(broadcast(qDist), Seq("cell", "m", "j"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(sum(col("qd")).as("est"))
       val wS = Window.partitionBy(col("q_id")).orderBy(col("est"), col("vec_id"))
       val shortlist = est.withColumn("srk", row_number().over(wS))
-        .filter(col("srk") <= 20)
+        .filter(col("srk") <= pqShort)
         .select(col("q_id"), col("vec_id").as("n_id"))
       val scored = shortlist
         .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
@@ -813,62 +894,59 @@ object VectorOps {
         .orderBy(col("q_id"), col("rk"))
     },
     Some(s"""
-      WITH ms AS (SELECT unnest(range(0, $pqM)) AS m),
-      cent AS (
-        SELECT label, list(c ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, ${davgSql("v")} AS c
-              FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
-                           CAST(unnest(embedding) AS DOUBLE) AS v
-                    FROM embeddings) t
-              GROUP BY label, pos)
-        GROUP BY label),
-      resid AS (
-        SELECT e.vec_id, e.label,
-               list_transform(list_zip(e.embedding, c.centroid),
-                 x -> CAST(x[1] AS DOUBLE) - x[2]) AS r
-        FROM embeddings e JOIN cent c ON c.label = e.label),
-      codebook AS (
-        SELECT m, vec_id - 3 AS j,
-               r[m * $pqDsub + 1 : m * $pqDsub + $pqDsub] AS cent
-        FROM resid CROSS JOIN ms
-        WHERE vec_id BETWEEN 3 AND ${3 + pqK - 1}),
-      coded AS (
-        SELECT s.vec_id, s.label, s.m, c.j,
-               ${l2fix6Sql(s"s.r[s.m * $pqDsub + 1 : s.m * $pqDsub + $pqDsub]", "c.cent")} AS d
-        FROM (SELECT vec_id, label, m, r FROM resid CROSS JOIN ms) s
-        JOIN codebook c ON c.m = s.m),
-      codes AS (
-        SELECT vec_id, label, m, j
-        FROM (SELECT vec_id, label, m, j,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                       ORDER BY d, j) AS rn
-              FROM coded) t
-        WHERE rn = 1),
+      WITH ms AS (SELECT CAST(unnest(range(0, $pqM)) AS INTEGER) AS m),
+      fvecs AS MATERIALIZED (
+        SELECT 0 AS m, vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      fseed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM fvecs
+                WHERE id BETWEEN 3 AND ${3 + ivfK - 1}),
+      ${kmeansSqlCtes("fvecs", "fseed", ivfIters, "ck")},
+      cells AS MATERIALIZED (
+        SELECT id, j AS cell
+        FROM (${kmeansAssignSql("fvecs", s"ck_c$ivfIters")}) a),
+      resid AS MATERIALIZED (
+        SELECT v.id, ce.cell,
+               list_transform(list_zip(v.vec, c.cent), x -> x[1] - x[2]) AS r
+        FROM fvecs v
+        JOIN cells ce ON ce.id = v.id
+        JOIN ck_c$ivfIters c ON c.j = ce.cell),
+      rvecs AS MATERIALIZED (
+        SELECT ms.m, r.id,
+               r.r[ms.m * $pqDsub + 1 : ms.m * $pqDsub + $pqDsub] AS vec
+        FROM resid r CROSS JOIN ms),
+      rseed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM rvecs
+                WHERE id BETWEEN 3 AND ${3 + pqK - 1}),
+      ${kmeansSqlCtes("rvecs", "rseed", ivfIters, "pk")},
+      codes AS MATERIALIZED (
+        SELECT a.id AS vec_id, ce.cell, a.m, a.j
+        FROM (${kmeansAssignSql("rvecs", s"pk_c$ivfIters")}) a
+        JOIN cells ce ON ce.id = a.id),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
             WHERE vec_id < 3),
       probed AS (
-        SELECT q_id, label, centroid FROM (
-          SELECT q_id, c.label, c.centroid,
-                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-                   ${dotSql("c.centroid", "q_emb")} /
-                   (sqrt(${dotSql("c.centroid", "c.centroid")}) *
-                    sqrt(${dotSql("q_emb", "q_emb")})) DESC, c.label) AS cell_rk
-          FROM q CROSS JOIN cent c)
+        SELECT q_id, cell, cent FROM (
+          SELECT q.q_id, c.j AS cell, c.cent,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${l2fix6Sql("q.q_emb", "c.cent")}, c.j) AS cell_rk
+          FROM q CROSS JOIN ck_c$ivfIters c) t
         WHERE cell_rk <= $ivfNprobe),
       qres AS (
-        SELECT p.q_id, p.label,
-               list_transform(list_zip(q.q_emb, p.centroid),
+        SELECT p.q_id, p.cell,
+               list_transform(list_zip(q.q_emb, p.cent),
                  x -> CAST(x[1] AS DOUBLE) - x[2]) AS rq
         FROM probed p JOIN q USING (q_id)),
       qdist AS (
-        SELECT s.q_id, s.label, s.m, c.j,
-               ${l2fix6Sql(s"s.rq[s.m * $pqDsub + 1 : s.m * $pqDsub + $pqDsub]", "c.cent")} AS qd
-        FROM (SELECT q_id, label, m, rq FROM qres CROSS JOIN ms) s
-        JOIN codebook c ON c.m = s.m),
+        SELECT s.q_id, s.cell, s.m, c.j,
+               ${l2fix6Sql("s.qsv", "c.cent")} AS qd
+        FROM (SELECT q_id, cell, ms.m,
+                     rq[ms.m * $pqDsub + 1 : ms.m * $pqDsub + $pqDsub] AS qsv
+              FROM qres CROSS JOIN ms) s
+        JOIN pk_c$ivfIters c ON c.m = s.m),
       est AS (
         SELECT qd.q_id, co.vec_id, CAST(SUM(qd.qd) AS BIGINT) AS est
         FROM codes co
-        JOIN qdist qd ON qd.label = co.label AND qd.m = co.m AND qd.j = co.j
+        JOIN qdist qd ON qd.cell = co.cell AND qd.m = co.m AND qd.j = co.j
         WHERE co.vec_id <> qd.q_id
         GROUP BY qd.q_id, co.vec_id),
       shortlist AS (
@@ -877,7 +955,7 @@ object VectorOps {
                      ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY est, vec_id) AS srk
               FROM est) t
-        WHERE srk <= 20),
+        WHERE srk <= $pqShort),
       scored AS (
         SELECT s.q_id, s.n_id,
                ${dotSql("e.embedding", "q.q_emb")} /
