@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Catalog, GQuery}
 import graft.util.Num._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
@@ -380,17 +381,28 @@ object Extras {
 
   /** RFM customer segmentation — the classic recency/frequency/monetary
     * quartile pipeline. Per-customer aggregate (one shuffle on o_custkey),
-    * then NTILE(4) per metric with ties broken by custkey (total order ⇒
-    * deterministic buckets on both engines), then a segment roll-up.
-    * Monetary sums use the fix6 order-free accumulation ([[Num.dsum]]) so
-    * doubles hash-match across engines.
+    * then quartile BOUNDARIES from ONE exact-percentile aggregate
+    * broadcast-joined back, then a segment roll-up. Monetary sums use the
+    * fix6 order-free accumulation ([[Num.dsum]]) so doubles hash-match
+    * across engines.
     *
-    * Scale note: the three NTILEs are GLOBAL windows — Spark executes an
-    * unpartitioned window in a single task, fine for |customers| rows
-    * (already aggregated, ~1/40th of orders) but the 100 TB form computes
-    * quartile BOUNDARIES via approx_percentile and joins them back — same
-    * output, no single-task sort; the pinned-oracle form here proves the
-    * semantics. */
+    * Scale design: NO global window anywhere (the earlier NTILE form put
+    * every customer into ONE task's sort — Spark's own "Moving all data
+    * to a single partition" warning). Boundaries come from a single
+    * 9-value aggregate (scan-parallel, two-phase) and bucketing is a
+    * per-row broadcast comparison — the plan is pinned window-free in
+    * PlanSpec. At 100 TB swap the exact percentile for approx_percentile
+    * and nothing else changes.
+    *
+    * Cross-engine determinism: Spark `percentile` and DuckDB
+    * `quantile_cont` both implement the R-7 interpolated quantile
+    * (pos = q·(n−1)); boundaries and metrics are compared in fix6
+    * integer space so a final-ulp difference in the interpolation
+    * arithmetic cannot flip a bucket (metric values are ≥1e-6 apart by
+    * construction; fix6 snaps both sides to the same grid). Quartile
+    * semantics are value-based: tied metric values share a bucket
+    * (unlike NTILE's positional split — the production-correct choice;
+    * segment sizes may be uneven under heavy ties). */
   val rfmSegments: GQuery = GQuery(
     "a_rfm_segments",
     "RFM quartile segmentation of customers from their order history",
@@ -405,13 +417,26 @@ object Extras {
         .select(col("o_custkey"),
           datediff(col("mx"), col("last_order")).as("recency"),
           col("freq"), col("monetary"))
-      val rq = Window.orderBy(col("recency"), col("o_custkey"))
-      val fq = Window.orderBy(col("freq").desc, col("o_custkey"))
-      val mq = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      rfm.select(col("o_custkey"), col("monetary"),
-          ntile(4).over(rq).as("rq"),
-          ntile(4).over(fq).as("fq"),
-          ntile(4).over(mq).as("mq"))
+      // one aggregate for all nine boundaries; recency ascends, freq and
+      // monetary descend (quartile 1 = best), matching classic RFM
+      val bounds = rfm.agg(
+        expr("percentile(recency, array(0.25D, 0.5D, 0.75D))").as("rb"),
+        expr("percentile(freq, array(0.75D, 0.5D, 0.25D))").as("fb"),
+        expr("percentile(monetary, array(0.75D, 0.5D, 0.25D))").as("mb"))
+      val bump = (c: Column) => when(c, 1).otherwise(0)
+      def asc3(v: Column, b: String) = (lit(1) +
+        bump(fix6(v) > fix6(element_at(col(b), 1))) +
+        bump(fix6(v) > fix6(element_at(col(b), 2))) +
+        bump(fix6(v) > fix6(element_at(col(b), 3)))).cast("int")
+      def desc3(v: Column, b: String) = (lit(1) +
+        bump(fix6(v) < fix6(element_at(col(b), 1))) +
+        bump(fix6(v) < fix6(element_at(col(b), 2))) +
+        bump(fix6(v) < fix6(element_at(col(b), 3)))).cast("int")
+      rfm.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"), col("monetary"),
+          asc3(col("recency"), "rb").as("rq"),
+          desc3(col("freq"), "fb").as("fq"),
+          desc3(col("monetary"), "mb").as("mq"))
         .groupBy(col("rq"), col("fq"), col("mq"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("monetary")).as("seg_value"))
         .orderBy(col("rq"), col("fq"), col("mq"))
@@ -424,11 +449,24 @@ object Extras {
                      COUNT(*) AS freq,
                      ${dsumSql("o_totalprice")} AS monetary
               FROM orders GROUP BY o_custkey),
+      bounds AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rb,
+                        quantile_cont(freq, [0.75, 0.5, 0.25]) AS fb,
+                        quantile_cont(monetary, [0.75, 0.5, 0.25]) AS mb
+                 FROM rfm),
       q AS (SELECT o_custkey, monetary,
-                   CAST(NTILE(4) OVER (ORDER BY recency, o_custkey) AS INTEGER) AS rq,
-                   CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS fq,
-                   CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS mq
-            FROM rfm)
+                   CAST(1 + (CASE WHEN ${fix6Sql("recency")} > ${fix6Sql("rb[1]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("recency")} > ${fix6Sql("rb[2]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("recency")} > ${fix6Sql("rb[3]")} THEN 1 ELSE 0 END)
+                        AS INTEGER) AS rq,
+                   CAST(1 + (CASE WHEN ${fix6Sql("freq")} < ${fix6Sql("fb[1]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("freq")} < ${fix6Sql("fb[2]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("freq")} < ${fix6Sql("fb[3]")} THEN 1 ELSE 0 END)
+                        AS INTEGER) AS fq,
+                   CAST(1 + (CASE WHEN ${fix6Sql("monetary")} < ${fix6Sql("mb[1]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("monetary")} < ${fix6Sql("mb[2]")} THEN 1 ELSE 0 END)
+                          + (CASE WHEN ${fix6Sql("monetary")} < ${fix6Sql("mb[3]")} THEN 1 ELSE 0 END)
+                        AS INTEGER) AS mq
+            FROM rfm CROSS JOIN bounds)
       SELECT rq, fq, mq, COUNT(*) AS n_cust, ${dsumSql("monetary")} AS seg_value
       FROM q GROUP BY rq, fq, mq
       ORDER BY rq, fq, mq"""))

@@ -46,6 +46,16 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("HashAggregate"), "fingerprint must not aggregate")
   }
 
+  test("a_rfm_segments: quartile bucketing runs without any window") {
+    // the NTILE form moved every customer into ONE task's global sort;
+    // the boundary-broadcast form must contain no Window operator at all
+    // and must broadcast the 9-value boundary row
+    val df = q("a_rfm_segments")
+    val s = PlanDescriber.simpleString(df)
+    assert(!s.contains("Window"), s"global window crept back into RFM:\n$s")
+    assert(PlanDescriber.broadcasts(df) >= 1, "boundary row should broadcast")
+  }
+
   test("t_exact_dedup: one hash shuffle, partial aggregation map-side") {
     val s = PlanDescriber.summary(q("t_exact_dedup"))
     assert(s.hashAggregates >= 2, "expected partial+final hash aggregate")
