@@ -40,6 +40,26 @@ object GraphOps {
   def queries: Seq[GQuery] = Seq(
     dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks)
 
+  /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
+    * truncated lineage lives in executor memory, so on a real cluster an
+    * executor loss kills the job mid-loop. Setting the runtime conf
+    * `spark.graft.reliableCheckpointDir` to a durable path (HDFS/S3)
+    * switches every cut to a RELIABLE `checkpoint`: each round persists
+    * to that dir and the fixpoint loop survives executor loss — the
+    * multi-tenant production setting, at the price of one durable write
+    * per round (each a few (id,lbl) longs per node — tiny next to the
+    * LSH pipeline that feeds it). */
+  private def cut(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    sess.conf.getOption("spark.graft.reliableCheckpointDir") match {
+      case Some(dir) =>
+        if (sess.sparkContext.getCheckpointDir.isEmpty)
+          sess.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** Connected-component labels (id, lbl) for every node of the
     * undirected pair graph. One (node,label)-shuffle join per round;
     * converges when no label changes. */
@@ -47,10 +67,10 @@ object GraphOps {
     val edges = pairs
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint() // pairs cost an LSH pipeline — never recompute it per round
+      .transform(cut) // pairs cost an LSH pipeline — never recompute it per round
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .transform(cut)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -62,7 +82,7 @@ object GraphOps {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .transform(cut)
       changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()

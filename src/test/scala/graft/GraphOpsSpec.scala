@@ -29,6 +29,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(labels(30L) == 30L && labels(31L) == 30L)
   }
 
+  test("reliable-checkpoint mode produces the identical labeling") {
+    // spark.graft.reliableCheckpointDir switches the loop's lineage cuts
+    // from localCheckpoint (executor memory — dies with an executor) to
+    // reliable checkpoint in a durable dir (survives executor loss on a
+    // real cluster). Same fixpoint, same labels — only durability changes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val base = cc(pairs)
+    spark.conf.set("spark.graft.reliableCheckpointDir", dir)
+    try {
+      val reliable = cc(pairs)
+      assert(reliable == base, "reliable-checkpoint labeling diverged")
+      // the durable dir must actually have been used
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toFile.isFile).count()
+      assert(wrote > 0, "no checkpoint files written to the reliable dir")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpointDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("t_dedup_clusters labels are transitively consistent with the pair graph") {
     val d = Catalog.table(spark, sf0001, "documents")
     val pairs = queries.TextOps.minhashPairs(d.select(col("doc_id"), col("text")), 0.5)
