@@ -23,7 +23,8 @@ object Registry {
       graft.queries.GraphOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++
-      graft.multimodal.MediaOps.queries
+      graft.multimodal.MediaOps.queries ++
+      graft.queries.Canaries.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

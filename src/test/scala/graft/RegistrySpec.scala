@@ -56,7 +56,10 @@ class RegistrySpec extends SparkSpec {
     "x_lateral_join" -> 20, "a_daily_rollup" -> 80, "e_upsert_compact" -> 15,
     "v_pq_ann" -> 9, "e_anomaly_zscore" -> 60, "x_unpivot" -> 9,
     "t_bigram_lm" -> 10, "p_clean_corpus_mat" -> 20,
-    "t_mixture_balance" -> 2, "v_ivfpq_ann" -> 9)
+    "t_mixture_balance" -> 2, "v_ivfpq_ann" -> 9,
+    "c_type_timestamp" -> 10, "c_type_array" -> 10,
+    "c_type_map_entries" -> 10, "c_type_float_edge" -> 5,
+    "c_type_decimal18" -> 1)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
