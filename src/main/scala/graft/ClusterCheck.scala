@@ -23,40 +23,16 @@ import java.nio.file.{Files, Paths}
   */
 object ClusterCheck {
 
-  /** One query per shuffling family: two-phase agg, broadcast join,
-    * multi-way shuffled join, SMJ-scale join, outer / semi / anti join,
-    * window, union-distinct, decimal over the wire, hash dedup, banded
-    * LSH self-join, custom codegen Expression on executors, as-of join,
-    * the composed cleaning pipeline, and (round 3) grouping sets,
-    * explode+countDistinct sub-doc dedup, the two-stage MRL rerank,
-    * the equi-key + time-band interval join, and the iterative
-    * connected-components loop (multi-round shuffles + convergence
-    * counts across the process boundary). */
-  val subset: Seq[String] = Seq(
-    "q01_pricing_summary",          // two-phase hash aggregate
-    "q03_topk_revenue",             // broadcast join + TakeOrderedAndProject
-    "q05_local_supplier_volume",    // 6-table shuffled join tree
-    "q09_product_profit",           // partitioned/SMJ-scale join
-    "q13_outer_join_distribution",  // left outer + count distribution
-    "q16_distinct_anti_join",       // anti join + count(distinct)
-    "q18_in_subquery_having",       // semi join + HAVING agg
-    "x_window_rank",                // window function state
-    "x_union_distinct",             // union + distinct shuffle
-    "x_decimal_arith",              // decimal repr across serialization
-    "t_exact_dedup",                // md5 hash-shuffle dedup
-    "t_minhash_lsh",                // banded LSH bucket self-join
-    "v_knn_native",                 // custom codegen Expression on executors
-    "e_asof_join",                  // range/as-of window carry-forward
-    "p_clean_corpus",               // composed multi-stage pipeline
-    "x_grouping_sets",              // Expand + grouping_id over the wire
-    "t_chunk_dedup",                // explode + countDistinct shuffle
-    "v_mrl_ann",                    // two-stage window rerank
-    "e_interval_join",              // equi+band residual join
-    "t_dedup_clusters",             // iterative CC label propagation
-    "g_triangle_count",             // 3-way self-join closure (edge iterator)
-    "a_rfm_segments",               // global NTILE windows + re-aggregation
-    "x_lateral_join",               // decorrelated LATERAL through SQL text
-    "v_ivfpq_ann")                  // multi-stage ANN: centroids + codes + ADC + rerank
+  /** The FULL registry (rounds 1-3 ran a 24-query representative slice;
+    * the reference's discipline is every-query distributed-equality —
+    * tests/tpch.rs:168-194 — so every registry query now runs across the
+    * process boundary: two-phase aggs, broadcast/shuffled/SMJ joins,
+    * outer/semi/anti joins, windows, set ops, decimals over the wire,
+    * hash + LSH dedup, custom codegen Expressions on executors, the
+    * iterative CC loop and k-means training loops (multi-round shuffles
+    * + per-round localCheckpoint blocks living on executors), and the
+    * composed cleaning pipelines with mid-plan parquet stages). */
+  val subset: Seq[String] = Registry.all.map(_.name)
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")

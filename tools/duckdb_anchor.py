@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""External performance anchor: time DuckDB itself on the TPC-H-shaped
+oracle queries (q01..q22) at a given scale dir, for comparison against the
+graft engine's BenchFull numbers on the same queries and data.
+
+This is NOT a pass/fail gate — DuckDB is a single-process vectorized OLAP
+engine (a different engine class from a distributed Spark plan, which pays
+JVM/codegen/task-scheduling overheads to BUY horizontal scalability). The
+point is to end the "within 2x of nothing" situation: the reference
+publishes no numbers, so this gives the bench table an external, honestly
+labeled reference point.
+
+usage: python3 tools/duckdb_anchor.py <oracle_sql.json> <sfDir> <bench.json> [iters]
+outputs a markdown ratio table on stdout.
+"""
+import json, sys, time, re
+import duckdb
+
+
+def main(oracle_path, sfdir, bench_path, iters=3):
+    oracle = json.load(open(oracle_path))
+    tpch = {k: v for k, v in oracle.items() if re.match(r"^q\d\d", k)}
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    # graft per-query min-of-iterations from the BenchFull artifact
+    bench = json.load(open(bench_path))
+    graft_ms = {q["query"]: min(i["elapsed"] for i in q["iterations"])
+                for q in bench["queries"] if q["success"]}
+
+    rows = []
+    for name in sorted(tpch):
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            con.execute(tpch[name]).fetchall()
+            times.append((time.time() - t0) * 1000)
+        duck = min(times)
+        g = graft_ms.get(name)
+        rows.append((name, duck, g, (g / duck) if g else None))
+
+    print("| query | duckdb ms (min of %d) | graft ms (min of bench iters) | graft/duckdb |" % iters)
+    print("|---|---|---|---|")
+    for name, duck, g, ratio in rows:
+        gs = f"{g:.0f}" if g is not None else "n/a"
+        rs = f"{ratio:.2f}x" if ratio is not None else "n/a"
+        print(f"| {name} | {duck:.0f} | {gs} | {rs} |")
+    ratios = sorted(r for *_, r in rows if r is not None)
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        print(f"\nmedian graft/duckdb ratio: {med:.2f}x over {len(ratios)} queries")
+
+
+if __name__ == "__main__":
+    it = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    main(sys.argv[1], sys.argv[2], sys.argv[3], it)
