@@ -21,9 +21,13 @@ def main(oracle_path, sfdir, bench_path, iters=3):
     oracle = json.load(open(oracle_path))
     tpch = {k: v for k, v in oracle.items() if re.match(r"^q\d\d", k)}
     con = duckdb.connect()
+    import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        # ScaleUp replicas are Spark-style parquet DIRECTORIES of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     # graft per-query min-of-iterations from the BenchFull artifact
     bench = json.load(open(bench_path))
