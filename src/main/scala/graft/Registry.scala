@@ -24,7 +24,8 @@ object Registry {
       graft.queries.VectorOps.queries ++
       graft.queries.EventOps.queries ++
       graft.multimodal.MediaOps.queries ++
-      graft.queries.Canaries.queries
+      graft.queries.Canaries.queries ++
+      graft.queries.RetrievalOps.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn)
+      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn, semDedup)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -435,22 +435,41 @@ object VectorOps {
   private val ivfK = 10
   private val ivfIters = 8
 
+  /** The trained IVF index — (vecs, cents), cached per session+corpus and
+    * SHARED by every consumer ([[ivfAnn]], [[semDedup]]): one index, many
+    * uses, exactly the production lifecycle. */
+  private def ivfIndex(spark: SparkSession, e: DataFrame, dir: String)
+      : (DataFrame, DataFrame) =
+    cachedIdx(spark, s"ivf|$dir") {
+      // cut once: the training loop and final assignment read this
+      // frame repeatedly - a checkpoint scan beats re-projection
+      val v = e.select(lit(0).as("m"), col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        .localCheckpoint()
+      val seed = v.filter(col("id").between(3, 3 + ivfK - 1))
+        .select(col("m"), (col("id") - 3).cast("int").as("j"),
+          col("vec").as("cent"))
+      (v, kmeansFit(v, seed, ivfIters))
+    }
+
+  /** Oracle twin of [[ivfIndex]]+[[kmeansAssign]]: CTEs `vecs`, `seed`,
+    * the unrolled fit, and `cells` (id, j) — shared verbatim by every
+    * consumer's oracle so the trained cells are provably the same fit. */
+  private lazy val ivfTrainSql: String = s"""vecs AS MATERIALIZED (
+        SELECT 0 AS m, vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      seed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM vecs
+               WHERE id BETWEEN 3 AND ${3 + ivfK - 1}),
+      ${kmeansSqlCtes("vecs", "seed", ivfIters, "km")},
+      cells AS MATERIALIZED (${kmeansAssignSql("vecs", s"km_c$ivfIters")})"""
+
   val ivfAnn: GQuery = GQuery(
     "v_ivf_ann",
     s"IVF ANN: $ivfK trained k-means cells, probe $ivfNprobe, exact re-rank top-3",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "embeddings")
-      val (vecs, cents) = cachedIdx(spark, s"ivf|$dir") {
-        // cut once: the training loop and final assignment read this
-        // frame repeatedly - a checkpoint scan beats re-projection
-        val v = e.select(lit(0).as("m"), col("vec_id").as("id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-          .localCheckpoint()
-        val seed = v.filter(col("id").between(3, 3 + ivfK - 1))
-          .select(col("m"), (col("id") - 3).cast("int").as("j"),
-            col("vec").as("cent"))
-        (v, kmeansFit(v, seed, ivfIters))
-      }
+      val (vecs, cents) = ivfIndex(spark, e, dir)
       val cells = kmeansAssign(vecs, cents)
         .select(col("id").as("vec_id"), col("j"))
       val qSet = e.filter(col("vec_id") < 3)
@@ -474,14 +493,7 @@ object VectorOps {
         .orderBy(col("q_id"), col("rk"))
     },
     Some(s"""
-      WITH vecs AS MATERIALIZED (
-        SELECT 0 AS m, vec_id AS id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        FROM embeddings),
-      seed AS (SELECT m, CAST(id - 3 AS INTEGER) AS j, vec AS cent FROM vecs
-               WHERE id BETWEEN 3 AND ${3 + ivfK - 1}),
-      ${kmeansSqlCtes("vecs", "seed", ivfIters, "km")},
-      cells AS MATERIALIZED (${kmeansAssignSql("vecs", s"km_c$ivfIters")}),
+      WITH $ivfTrainSql,
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
             WHERE vec_id < 3),
       probed AS (
@@ -509,6 +521,59 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ SemDeDup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings with k-means, compare pairs ONLY
+    * within a cluster, and drop all but one member of each near-dup pair.
+    * Reuses the SAME trained IVF index as [[ivfAnn]] ([[ivfIndex]],
+    * session-cached) — one index, many uses. Candidate cost is
+    * Σ|cell|²/2 instead of corpus²/2: with balanced learned cells that is
+    * a 1/k reduction, and at 100 TB the per-cell pair generation is an
+    * embarrassingly parallel self-join per cell (the paper's exact
+    * shape). The verdict for a dropped vector is deterministic: its
+    * keeper is the smallest-id partner among its ≥-threshold pairs
+    * (min-struct, integer argmin), similarity exact (sequential fold),
+    * so the output hash-gates like everything else. */
+  val semDedup: GQuery = GQuery(
+    "v_semdedup",
+    "SemDeDup: trained-cell-bounded embedding near-dup pruning verdicts",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val (vecs, cents) = ivfIndex(spark, e, dir)
+      val cells = kmeansAssign(vecs, cents)
+        .select(col("id").as("vec_id"), col("j").as("cell"))
+      val withC = e.join(cells, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val pairs = withC.as("x").join(withC.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          cosineSimCols("x.embedding", "y.embedding").as("sim"))
+        .filter(col("sim") >= 0.35)
+      pairs.groupBy(col("b_id").as("dropped_id"))
+        .agg(min(struct(col("a_id"), col("sim"))).as("k"))
+        .select(col("dropped_id"), col("k.a_id").as("kept_id"),
+          round(col("k.sim"), 6).as("sim"))
+        .orderBy(col("dropped_id"))
+    },
+    Some(s"""
+      WITH $ivfTrainSql,
+      wc AS (SELECT e.vec_id, ce.j AS cell, e.embedding
+             FROM embeddings e JOIN cells ce ON ce.id = e.vec_id),
+      pairs AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+               ${dotSql("x.embedding", "y.embedding")} /
+               (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+                sqrt(${dotSql("y.embedding", "y.embedding")})) AS sim
+        FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      kept AS (
+        SELECT b_id AS dropped_id, a_id AS kept_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+        FROM pairs WHERE sim >= 0.35)
+      SELECT dropped_id, kept_id, ROUND(sim, 6) AS sim
+      FROM kept WHERE rn = 1
+      ORDER BY dropped_id"""))
 
   // ------------------------------------------------------------ quantization
   /** Int8 embedding quantization audit: per-dimension global [min,max]

@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(PlanDescriber.broadcasts(df) >= 1, "boundary row should broadcast")
   }
 
+  test("r_bm25_search: top-10 is TakeOrdered, no global window, stats broadcast") {
+    val df = q("r_bm25_search")
+    val s = PlanDescriber.simpleString(df)
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject, not sort+limit:\n$s")
+    assert(!s.contains("Window"), "no window belongs in BM25 scoring")
+    assert(PlanDescriber.broadcasts(df) >= 2, "df + corpus stats should broadcast")
+  }
+
   test("t_exact_dedup: one hash shuffle, partial aggregation map-side") {
     val s = PlanDescriber.summary(q("t_exact_dedup"))
     assert(s.hashAggregates >= 2, "expected partial+final hash aggregate")
