@@ -19,7 +19,45 @@ object Extras {
     windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
     intersectKeys, exceptKeys, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
-    dailyRollup)
+    dailyRollup, fuzzyMatch)
+
+  /** Blocked fuzzy entity matching — the edit-distance half of entity
+    * resolution (the set-similarity half is TextOps' n-gram/minhash
+    * family). Candidate pairs are generated ONLY within blocking keys
+    * (nation × market segment), the standard record-linkage shape: work
+    * is Σ|block|²/2, never corpus²/2, and each block's self-join is
+    * embarrassingly parallel after one shuffle on the blocking key. The
+    * per-pair predicate is `levenshtein ≤ 2` — an exact integer metric,
+    * identical in both engines, so the distance histogram hash-gates.
+    * At 100 TB the blocking key would be a learned/locality key (phonetic
+    * code, sorted-neighborhood window); the plan shape is identical. */
+  val fuzzyMatch: GQuery = GQuery(
+    "a_fuzzy_match",
+    "blocked levenshtein<=2 entity-match pair histogram (nation x segment blocks)",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_name"))
+      c.as("x").join(c.as("y"),
+          col("x.c_nationkey") === col("y.c_nationkey") &&
+            col("x.c_mktsegment") === col("y.c_mktsegment") &&
+            col("x.c_custkey") < col("y.c_custkey"))
+        .select(levenshtein(col("x.c_name"), col("y.c_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("dist"))
+    },
+    Some("""
+      SELECT levenshtein(x.c_name, y.c_name) AS dist, COUNT(*) AS n_pairs
+      FROM customer x
+      JOIN customer y
+        ON x.c_nationkey = y.c_nationkey
+       AND x.c_mktsegment = y.c_mktsegment
+       AND x.c_custkey < y.c_custkey
+      WHERE levenshtein(x.c_name, y.c_name) <= 2
+      GROUP BY dist
+      ORDER BY dist"""))
 
   private val sqlPathText = """
       SELECT n_name, COUNT(*) AS n_suppliers,

@@ -22,7 +22,41 @@ object SqlFuncs {
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
-    lateralJoin, unpivotQ)
+    lateralJoin, unpivotQ, windowDistribution)
+
+  /** Distribution window functions: percent_rank, cume_dist, NTILE — the
+    * remaining rank-family members (rank/dense_rank/row_number proven in
+    * Extras, lead/lag/nth in [[windowLeadLag]]). PARTITIONED windows only
+    * (per-nation): the partition key shuffles once and each partition
+    * sorts independently — no global window anywhere (the a_rfm_segments
+    * lesson). Determinism: percent_rank = (rank−1)/(n−1) and cume_dist =
+    * peers/n are exact small-integer ratios — bit-identical in any IEEE
+    * engine; NTILE is positional over a TOTAL order (acctbal is unique at
+    * fixture scale, custkey breaks ties anyway) and DuckDB returns it as
+    * BIGINT, so both sides pin INTEGER. */
+  val windowDistribution: GQuery = GQuery(
+    "x_window_distribution",
+    "percent_rank / cume_dist / ntile over partitioned windows",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.filter(col("c_custkey") <= 200)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey,
+             ROUND(percent_rank() OVER w, 6) AS pr,
+             ROUND(cume_dist() OVER w, 6) AS cd,
+             CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+      FROM customer
+      WHERE c_custkey <= 200
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_nationkey, c_custkey"""))
 
   /** GROUPING SETS beyond rollup/cube: an explicit irregular set list plus
     * `grouping_id()` disambiguation (rollup/cube are proved separately in

@@ -25,7 +25,66 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm)
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch)
+
+  /** Incremental-ingest novelty check — the verdict a streaming/batch
+    * ingest pipeline needs per NEW document: exact duplicate of the
+    * existing corpus (digest match), near-duplicate (minhash-LSH pair
+    * across the batch/corpus boundary), or novel. Fixture split: corpus =
+    * doc_id < 400, batch = doc_id ≥ 400.
+    *
+    * Scale shape: the exact check is one shuffle join on 16-byte digests;
+    * the near check is the banded LSH (candidates bounded by shared
+    * buckets). This form recomputes corpus signatures per run for the
+    * oracle's sake; the production form materializes the corpus signature
+    * table once ([[minhashLshMat]]'s shape) and band-joins ONLY the new
+    * batch's signatures against it — per-ingest cost ∝ batch, not corpus. */
+  // lazy: the oracle text needs helper vals declared further down the file
+  lazy val noveltyBatch: GQuery = GQuery(
+    "p_novelty_batch",
+    "per-new-doc novelty verdict vs existing corpus: exact_dup/near_dup/novel",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val cut = 400L
+      val dig = d.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+      val exact = dig.filter(col("doc_id") >= cut).as("b")
+        .join(dig.filter(col("doc_id") < cut).as("c"), col("b.dg") === col("c.dg"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      val near = minhashPairs(d.select(col("doc_id"), col("text")), 0.5)
+        .filter(col("a_id") < cut && col("b_id") >= cut)
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_near"))
+      d.filter(col("doc_id") >= cut).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          when(col("n_exact").isNotNull, lit("exact_dup"))
+            .when(col("n_near").isNotNull, lit("near_dup"))
+            .otherwise(lit("novel")).as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
+      dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      exact AS (SELECT b.doc_id, COUNT(*) AS n_exact
+                FROM dig b JOIN dig c ON b.dg = c.dg AND c.doc_id < 400
+                WHERE b.doc_id >= 400 GROUP BY b.doc_id),
+      near AS (SELECT b_id AS doc_id, COUNT(*) AS n_near
+               FROM pairs WHERE a_id < 400 AND b_id >= 400 GROUP BY b_id)
+      SELECT d.doc_id,
+             COALESCE(n_exact, 0) AS n_exact,
+             COALESCE(n_near, 0) AS n_near,
+             CASE WHEN n_exact IS NOT NULL THEN 'exact_dup'
+                  WHEN n_near IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict
+      FROM documents d
+      LEFT JOIN exact USING (doc_id)
+      LEFT JOIN near USING (doc_id)
+      WHERE d.doc_id >= 400
+      ORDER BY d.doc_id"""))
 
   /** ws-split tokens (keeps empty trailing tokens exactly like DuckDB's
     * string_split, so counts agree). */

@@ -60,7 +60,9 @@ class RegistrySpec extends SparkSpec {
     "c_type_timestamp" -> 10, "c_type_array" -> 10,
     "c_type_map_entries" -> 10, "c_type_float_edge" -> 5,
     "c_type_decimal18" -> 1, "v_semdedup" -> 72,
-    "r_bm25_search" -> 10, "r_doc_perplexity" -> 20)
+    "r_bm25_search" -> 10, "r_doc_perplexity" -> 20,
+    "x_window_distribution" -> 150, "p_novelty_batch" -> 100,
+    "a_fuzzy_match" -> 2)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
