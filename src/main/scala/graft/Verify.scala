@@ -4,8 +4,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, s"usage: Verify <sfDir> <outDir> (got ${args.mkString(" ")})")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      s"usage: Verify <sfDir> <outDir> [only=q1,q2] (got ${args.mkString(" ")})")
+    val Array(sfDir, outDir) = args.take(2)
+    // optional subset for fast local iteration; the driver always passes
+    // two args, so its full-registry run is unaffected
+    val only: Option[Set[String]] = args.lift(2).map { a =>
+      require(a.startsWith("only="), s"unrecognized arg $a (expected only=...)")
+      a.stripPrefix("only=").split(",").toSet
+    }
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(",")}")
+    }
+    def selected[A](m: Map[String, A]): Map[String, A] =
+      only.fold(m)(names => m.view.filterKeys(names).toMap)
     val spark = GraftSession.get()
     // clear any previous run first: stale outputs + a stale oracle_sql.json
     // would make a crashed run look like a (false) pass downstream.
@@ -45,7 +58,7 @@ object Verify {
     out.mkdirs()
     if (ownsDir)
       Files.writeString(Paths.get(s"$outDir/.graft-verify"), "verify-run\n")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -64,7 +77,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

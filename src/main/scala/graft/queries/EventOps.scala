@@ -20,7 +20,7 @@ object EventOps {
 
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
-      asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore)
+      asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -379,4 +379,66 @@ object EventOps {
                 sqrt((24.0 * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
                      (24.0 * 23.0))) >= 2.0
       ORDER BY event_type, hour"""))
+
+  // ------------------------------------------------------------ SCD2
+  /** Slowly-Changing-Dimension Type-2 build from an event log: collapse
+    * each user's consecutive same-event_type runs (gaps-and-islands) into
+    * versioned rows with [valid_from, valid_to) validity and an is_current
+    * flag — the standard dimension-table maintenance op a warehouse runs
+    * over CDC/event feeds (Kimball SCD2; the batch twin of
+    * e_upsert_compact's latest-row compaction).
+    *
+    * Distribution shape: every window is PARTITIONED BY user_id — state
+    * for one key only, never a global sort; the run-collapse is one
+    * key-partitioned shuffle, the version numbering rides the same
+    * partitioning. At 100 TB this is the same per-key-window cost as
+    * sessionization. The user_id < 20 slice only bounds the *output* (a
+    * pushed-down scan predicate), not the algorithm. */
+  val scd2: GQuery = GQuery(
+    "e_scd2",
+    "SCD type-2 versioned history of per-user event_type runs (users 0-19)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val runs = e
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val vers = runs.groupBy(col("user_id"), col("grp"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+      vers
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+        .select(col("user_id"), col("grp").as("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                 FROM events WHERE user_id < 20),
+      r AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                             OR LAG(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM r),
+      v AS (SELECT user_id, grp, event_type,
+                   MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+            FROM g GROUP BY user_id, grp, event_type),
+      s AS (SELECT *, LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to_us
+            FROM v)
+      SELECT user_id, CAST(grp AS BIGINT) AS version, event_type,
+             valid_from_us, valid_to_us,
+             valid_to_us IS NULL AS is_current, n_events
+      FROM s
+      ORDER BY user_id, version"""))
 }

@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.{Catalog, GQuery}
+import graft.util.Num._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Near-duplicate CLUSTERING: the step between pair generation and actual
   * corpus dedup. LSH emits pairs (a~b, b~c); removing "the second doc of
@@ -38,7 +39,8 @@ import org.apache.spark.sql.DataFrame
 object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
-    dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks)
+    dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
+    pageRank)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -282,4 +284,81 @@ object GraphOps {
       JOIN deg dv ON dv.n = c.v
       ORDER BY jaccard DESC, c.u, c.v
       LIMIT 10"""))
+
+  /** Double quantized onto the fix6 grid (pure IEEE-754 floor arithmetic —
+    * bit-identical in any engine). */
+  private def q6(c: Column): Column = floor(c * 1000000.0d + 0.5d) / 1000000.0d
+  private def q6Sql(e: String): String = s"FLOOR(($e) * 1000000 + 0.5) / 1000000.0"
+  private val prIters = 4
+  private val prDamp = 0.85d
+
+  /** PageRank (4 damped iterations, d = 0.85) over the symmetrized
+    * co-purchase graph — the canonical "importance" ranking for source /
+    * document graphs in a curation pipeline (and the textbook iterative
+    * distributed workload: Page et al. 1999; Malewicz et al., Pregel,
+    * SIGMOD'10).
+    *
+    * Distribution shape per iteration: one shuffle join of the arc list
+    * with the current (node, pr) table on src + one groupBy dst — both
+    * key-partitioned, cost ∝ |arcs|, never node². Symmetrized arcs mean
+    * no dangling mass (every node has out-degree ≥ 1). A fixed iteration
+    * count (not convergence-test) keeps the plan static and the DuckDB
+    * oracle expressible as unrolled CTEs.
+    *
+    * Determinism: each iteration's in-neighbor sum is an exact fix6
+    * integer sum (order-free) and the new rank is re-quantized onto the
+    * grid, so ranks are bit-identical on any engine / partition count /
+    * row order. The oracle CTEs MUST be MATERIALIZED: DuckDB inlines
+    * CTEs by default and the 4-deep recurrence re-derives the edge list
+    * exponentially without it. */
+  /** The iteration core, factored for structural tests: undirected edge
+    * list (u,v) → (node, pr) after [[prIters]] damped rounds. */
+  private[graft] def pageRankScores(e: DataFrame): DataFrame = {
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), q6(lit(1.0d) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to prIters) {
+      pr = arcs
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("pr") / col("d").cast("double")).as("c"))
+        .groupBy(col("node"))
+        .agg(dsum(col("c")).as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          q6(lit(1.0d - prDamp) / col("n").cast("double") + lit(prDamp) * col("s")).as("pr"))
+    }
+    pr
+  }
+
+  val pageRank: GQuery = GQuery(
+    "g_pagerank",
+    "top-10 suppliers by 4-iteration PageRank over the co-purchase graph",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      pageRankScores(e).orderBy(col("pr").desc, col("node")).limit(10)
+    },
+    Some {
+      def iter(k: Int): String = s"""
+      pr$k AS MATERIALIZED (
+        SELECT a.dst AS node,
+               ${q6Sql(s"${1.0d - prDamp} / (SELECT n FROM n) + $prDamp * ${dsumSql("p.pr / CAST(d.d AS DOUBLE)")}")} AS pr
+        FROM arcs a
+        JOIN pr${k - 1} p ON p.node = a.src
+        JOIN deg d ON d.src = a.src
+        GROUP BY a.dst)"""
+      s"""
+      WITH $edgesSql,
+      arcs AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+                            UNION ALL SELECT v, u FROM edges),
+      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM arcs GROUP BY src),
+      n AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+      pr0 AS MATERIALIZED (
+        SELECT src AS node, ${q6Sql("1.0 / (SELECT n FROM n)")} AS pr FROM deg),
+      ${(1 to prIters).map(iter).mkString(",")}
+      SELECT node, pr FROM pr$prIters ORDER BY pr DESC, node LIMIT 10"""
+    })
 }

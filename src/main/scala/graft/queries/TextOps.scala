@@ -127,9 +127,9 @@ object TextOps {
   }
 
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
-  private def h60(c: Column): Column =
+  private[queries] def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
-  private def h60Sql(e: String): String =
+  private[queries] def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   /** Universal-hash base for minhash: md5 once per value, reduced mod a

@@ -22,7 +22,9 @@ class DistributionSpec extends SparkSpec {
     "t_pack_sequences",      // running-sum window, integer math
     "v_lsh_ann",             // banded ANN (distinct + joins + topk)
     "v_quantize",            // two-pass calibration + audit
-    "p_clean_corpus")        // composed pipeline
+    "p_clean_corpus",        // composed pipeline
+    "g_pagerank",            // iterative shuffle loop (fix6 re-quantized)
+    "r_dsir_select")         // broadcast-weight scoring + exact fix6 mean
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, sf0001)

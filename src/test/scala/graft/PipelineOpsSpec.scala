@@ -1,0 +1,94 @@
+package graft
+
+import graft.queries.{GraphOps, RetrievalOps}
+import org.apache.spark.sql.functions._
+
+/** Structural properties of the round-4 curation/analytics additions that
+  * the DuckDB hash gate can't see: PageRank mass conservation and ranking
+  * shape, DSIR target discrimination, perplexity-bucket monotonicity, and
+  * SCD2 interval algebra. */
+class PipelineOpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ PageRank
+  test("pagerank: star graph ranks the hub first, leaves tie, mass ~ 1") {
+    import spark.implicits._
+    // star: hub 1 connected to leaves 2..5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val pr = GraphOps.pageRankScores(e).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 5)
+    val leaves = Seq(2L, 3L, 4L, 5L).map(pr)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie: $leaves")
+    assert(pr(1L) > leaves.head, "hub must outrank leaves")
+    // total mass stays ~1: quantization drift bounded by iters * n * grid
+    val mass = pr.values.sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass drifted: $mass")
+  }
+
+  test("pagerank: regular graph (cycle) is uniform at 1/n on the grid") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val pr = GraphOps.pageRankScores(e).collect().map(_.getDouble(1))
+    // every node of a 2-regular cycle keeps exactly the uniform rank
+    assert(pr.forall(p => math.abs(p - 0.25) < 2e-6), pr.mkString(","))
+  }
+
+  // ------------------------------------------------------------ DSIR
+  test("dsir: target-language docs score higher than off-target on average") {
+    val scores = RetrievalOps.dsirScores(
+      Catalog.table(spark, sf0001, "documents"))
+      .collect().map(r => (r.getString(1), r.getDouble(3)))
+    val (en, rest) = scores.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(String, Double)]) = xs.map(_._2).sum / xs.length
+    assert(mean(en) > mean(rest),
+      s"target slice must score higher: en=${mean(en)} rest=${mean(rest)}")
+  }
+
+  // ------------------------------------------------------------ ppl buckets
+  test("ppl buckets: per-language avg_h is monotone head <= middle <= tail") {
+    val rows = Registry.byName("r_ppl_buckets").run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val total = rows.map(_._3).sum
+    val nDocs = Catalog.table(spark, sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(total == nDocs, s"bucketed $total of $nDocs docs")
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.map(r => r._2 -> r._4).toMap
+      for {
+        a <- by.get("head"); b <- by.get("middle")
+      } assert(a <= b, s"$lang head $a > middle $b")
+      for {
+        b <- by.get("middle"); c <- by.get("tail")
+      } assert(b <= c, s"$lang middle $b > tail $c")
+    }
+  }
+
+  // ------------------------------------------------------------ SCD2
+  test("scd2: versions are contiguous, intervals chain, one current per user") {
+    val rows = Registry.byName("e_scd2").run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $user versions not contiguous")
+      // interval chaining: valid_to(i) == valid_from(i+1); only the last
+      // version is open-ended / current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user gap between v${a._2} and v${b._2}")
+          assert(a._3 != b._3, s"user $user consecutive versions share type")
+        case _ => ()
+      }
+      assert(sorted.count(_._6) == 1 && sorted.last._6,
+        s"user $user must have exactly one current version (the last)")
+    }
+    // run-collapse must conserve events
+    val nEvents = Catalog.table(spark, sf0001, "events")
+      .filter(col("user_id") < 20).count()
+    assert(rows.map(_._7).sum == nEvents)
+  }
+}

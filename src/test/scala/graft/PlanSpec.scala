@@ -65,6 +65,26 @@ class PlanSpec extends SparkSpec {
     assert(PlanDescriber.broadcasts(df) >= 2, "df + corpus stats should broadcast")
   }
 
+  test("e_scd2: every window is key-partitioned (no global sort)") {
+    // gaps-and-islands over users must never degrade to a single-task
+    // window; both window specs carry PARTITION BY user_id
+    val s = PlanDescriber.simpleString(q("e_scd2"))
+    assert(s.contains("Window"), "scd2 is window-based by design")
+    val singleParts = "SinglePartition".r.findAllIn(s).length
+    // the only SinglePartition allowed is the final presentation sort's
+    // boundary (none expected — ORDER BY is a range partitioning)
+    assert(singleParts == 0, s"unpartitioned stage in scd2 plan:\n$s")
+  }
+
+  test("r_ppl_buckets + r_dsir_select: boundary/weight tables broadcast, no window") {
+    for (name <- Seq("r_ppl_buckets", "r_dsir_select")) {
+      val df = q(name)
+      val s = PlanDescriber.simpleString(df)
+      assert(!s.contains("Window"), s"$name must be window-free:\n$s")
+      assert(PlanDescriber.broadcasts(df) >= 1, s"$name should broadcast its small side")
+    }
+  }
+
   test("t_exact_dedup: one hash shuffle, partial aggregation map-side") {
     val s = PlanDescriber.summary(q("t_exact_dedup"))
     assert(s.hashAggregates >= 2, "expected partial+final hash aggregate")

@@ -62,7 +62,9 @@ class RegistrySpec extends SparkSpec {
     "c_type_decimal18" -> 1, "v_semdedup" -> 72,
     "r_bm25_search" -> 10, "r_doc_perplexity" -> 20,
     "x_window_distribution" -> 150, "p_novelty_batch" -> 100,
-    "a_fuzzy_match" -> 2)
+    "a_fuzzy_match" -> 2,
+    "r_dsir_select" -> 20, "r_ppl_buckets" -> 15,
+    "g_pagerank" -> 10, "e_scd2" -> 802)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
