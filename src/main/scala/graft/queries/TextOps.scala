@@ -25,7 +25,7 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch)
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1003,6 +1003,88 @@ object TextOps {
       HAVING COUNT(DISTINCT doc_id) > 1
       ORDER BY n_docs DESC, chunk_hash
       LIMIT 20"""))
+
+  /** Memorization / verbatim-repetition audit (Carlini et al., "Quantifying
+    * Memorization", ICLR'23 territory): the most-repeated sliding 8-grams
+    * across the corpus with their doc spread — the statistic that flags
+    * text an LM will reproduce verbatim. Scale shape: the count phase
+    * shuffles 8-byte 60-bit hashes (map-side partials), never the n-gram
+    * text; only the 20 winning hashes join back (broadcast) against a
+    * second scan to recover a representative string, so the text payload
+    * leaving any executor is 20 rows. (At 100 TB the 60-bit space makes
+    * occasional collisions possible — a collided pair would merge counts;
+    * the recover step's min() keeps the output deterministic either way.) */
+  val dupNgrams: GQuery = GQuery(
+    "t_dup_ngrams",
+    "top-20 most-repeated sliding 8-grams across documents (memorization audit)",
+    (spark, dir) => {
+      val ng = spread(Catalog.table(spark, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 7)," +
+            " i -> array_join(slice(tk, i, 8), ' '))")).as("ng"))
+        .select(col("doc_id"), col("ng"), h60(col("ng")).as("h"))
+      val top = ng.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occurrences").desc, col("h"))
+        .limit(20)
+      ng.join(broadcast(top), "h")
+        .groupBy(col("h"), col("n_occurrences"), col("n_docs"))
+        .agg(min(col("ng")).as("ngram"))
+        .select(col("ngram"), col("n_docs"), col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      ng AS (SELECT doc_id, ng, ${h60Sql("ng")} AS h
+             FROM (SELECT doc_id, array_to_string(tk[g.i:g.i + 7], ' ') AS ng
+                   FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7)) AS i) g) s),
+      top AS (SELECT h, COUNT(*) AS n_occurrences,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM ng GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2
+              ORDER BY n_occurrences DESC, h
+              LIMIT 20)
+      SELECT MIN(ng.ng) AS ngram, ANY_VALUE(top.n_docs) AS n_docs,
+             ANY_VALUE(top.n_occurrences) AS n_occurrences
+      FROM ng JOIN top USING (h)
+      GROUP BY ng.h
+      ORDER BY n_occurrences DESC, ngram"""))
+
+  /** Deterministic train/val/test split — the last step before a corpus
+    * ships to training. Assignment is a pure hash of doc_id (stable across
+    * runs, engines, partitionings — re-running the pipeline NEVER moves a
+    * doc between splits, the property that keeps eval sets uncontaminated
+    * across corpus versions). 80/10/10 by hash bucket; the output is the
+    * per-split × language audit table (counts + exact char volume), which
+    * doubles as a stratification check. One scan, one tiny shuffle of
+    * (split, lang) partial aggregates — nothing at 100 TB. */
+  val hashSplit: GQuery = GQuery(
+    "p_split",
+    "deterministic 80/10/10 train/val/test hash split: per-split x lang audit",
+    (spark, dir) => {
+      val b = h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      spread(Catalog.table(spark, dir, "documents"))
+        .select(
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some(s"""
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM (SELECT lang, n_chars,
+                   ${h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+            FROM documents) t
+      GROUP BY 1, lang
+      ORDER BY split, lang"""))
 
   /** TF-IDF-style salience: document frequency over the FULL corpus, term
     * frequency over the queried documents, scored tf/df (one IEEE division

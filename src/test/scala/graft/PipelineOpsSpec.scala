@@ -64,6 +64,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ dup ngrams
+  test("dup ngrams: outputs are real 8-grams with doc spread >= 2") {
+    val rows = Registry.byName("t_dup_ngrams").run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ng, nDocs, nOcc) =>
+      assert(ng.split(" ").length == 8, s"not an 8-gram: '$ng'")
+      assert(nDocs >= 2, s"'$ng' spread $nDocs")
+      assert(nOcc >= nDocs, s"'$ng' occurrences $nOcc < docs $nDocs")
+    }
+  }
+
+  // ------------------------------------------------------------ hash split
+  test("split: every doc assigned once, fractions near 80/10/10, rerun-stable") {
+    val rows = Registry.byName("p_split").run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._3).sum
+    assert(total == Catalog.table(spark, sf0001, "documents").count())
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val frac = bySplit("train").toDouble / total
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // determinism: identical assignment on a second run
+    val again = Registry.byName("p_split").run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   // ------------------------------------------------------------ SCD2
   test("scd2: versions are contiguous, intervals chain, one current per user") {
     val rows = Registry.byName("e_scd2").run(spark, sf0001).collect()

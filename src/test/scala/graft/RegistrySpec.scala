@@ -64,7 +64,8 @@ class RegistrySpec extends SparkSpec {
     "x_window_distribution" -> 150, "p_novelty_batch" -> 100,
     "a_fuzzy_match" -> 2,
     "r_dsir_select" -> 20, "r_ppl_buckets" -> 15,
-    "g_pagerank" -> 10, "e_scd2" -> 802)
+    "g_pagerank" -> 10, "e_scd2" -> 802,
+    "t_dup_ngrams" -> 20, "p_split" -> 15)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
