@@ -27,6 +27,11 @@ object MediaOps {
   /** One sampled frame of a media blob. */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Positional 16-block profile of a decoded blob (the pHash precursor):
+    * per-block byte sums/counts + totals. */
+  case class BlockProfile(doc_id: Long, n_bytes: Long, s_total: Long,
+      bsum16: Array[Long], bcnt16: Array[Long])
+
   /** ===== STUB DECODER =====
     * Stands in for an image/audio decode (no codec libs in this
     * container). Deterministic: "pixels" are the raw bytes. A real
@@ -67,6 +72,32 @@ object MediaOps {
         }
         MediaFeatures(r.doc_id, px.length.toLong,
           if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+      }
+    }
+  }
+
+  /** Positional block profile: decode, then split the byte stream into 16
+    * equal spans and sum each — the block-statistics pass a real pHash
+    * runs over pixel blocks (DCT coefficients in the full algorithm).
+    * Same mapPartitions batch shape as [[extractFeatures]]. */
+  def blockProfile(media: Dataset[MediaRow]): Dataset[BlockProfile] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = stubDecode(r.media, r.format)
+        val bsum = new Array[Long](16)
+        val bcnt = new Array[Long](16)
+        var s = 0L
+        var i = 0
+        while (i < px.length) {
+          val b = (i.toLong * 16 / px.length).toInt
+          val v = (px(i) & 0xff).toLong
+          bsum(b) += v
+          bcnt(b) += 1
+          s += v
+          i += 1
+        }
+        BlockProfile(r.doc_id, px.length.toLong, s, bsum, bcnt)
       }
     }
   }
@@ -176,5 +207,64 @@ object MediaOps {
                    FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
         SELECT frame_idx, COUNT(*) AS n_frames,
                CAST(SUM(fb) AS BIGINT) AS tot_bytes
-        FROM f GROUP BY frame_idx ORDER BY frame_idx""")))
+        FROM f GROUP BY frame_idx ORDER BY frame_idx""")),
+    GQuery(
+      "m_phash_buckets",
+      "perceptual-hash media dedup buckets: 16-bit block-mean signature",
+      // pHash-style media near-dup blocking: decode (stub) → 16 positional
+      // byte blocks → 16-bit signature, bit i set iff block i's mean
+      // exceeds the whole-blob mean (the block-statistics core of pHash;
+      // the full algorithm takes DCT coefficients instead of raw block
+      // means — swap inside blockProfile, nothing downstream changes).
+      // The mean comparison is CROSS-MULTIPLIED to exact integer math
+      // (bsum·N > S·bcnt), so the signature carries zero float-boundary
+      // risk across engines. Buckets group by signature; the candidate
+      // count per bucket is n·(n−1)/2 computed ARITHMETICALLY from the
+      // group size — no self-join, so the cost is one decode scan + one
+      // 16-bit-key shuffle at ANY corpus size. The verify-pairs stage
+      // (bit_count(xor) ≤ d within Hamming bands — the simhash
+      // discipline, TextOps.scala) bolts onto these buckets when pair
+      // output is wanted.
+      (spark, dir) => {
+        import spark.implicits._
+        val prof = blockProfile(attachMedia(spark, dir))
+        prof.filter(col("n_bytes") > 0)
+          .select(col("doc_id"),
+            expr("aggregate(transform(sequence(0, 15), i ->" +
+              " CASE WHEN bsum16[i] * n_bytes > s_total * bcnt16[i]" +
+              " THEN shiftleft(CAST(1 AS BIGINT), i)" +
+              " ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sig"))
+          .groupBy(col("sig"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("sig"), col("n_docs"),
+            expr("CAST(n_docs * (n_docs - 1) div 2 AS BIGINT)").as("n_pairs"))
+          .orderBy(col("n_docs").desc, col("sig"))
+          .limit(10)
+      },
+      Some("""
+        WITH chars AS (SELECT doc_id, string_split(text, '') AS cs,
+                              CAST(length(text) AS BIGINT) AS n
+                       FROM documents WHERE length(text) > 0),
+        pos AS (SELECT doc_id, n, unnest(cs) AS c,
+                       unnest(range(len(cs))) AS p
+                FROM chars),
+        blk AS (SELECT doc_id, n, CAST(p * 16 // n AS INT) AS b,
+                       CAST(ascii(c) AS BIGINT) AS v
+                FROM pos),
+        bs AS (SELECT doc_id, n, b, SUM(v) AS bsum, COUNT(*) AS bcnt
+               FROM blk GROUP BY doc_id, n, b),
+        tot AS (SELECT doc_id, SUM(bsum) AS s FROM bs GROUP BY doc_id),
+        bits AS (SELECT bs.doc_id,
+                        CASE WHEN bsum * n > s * bcnt
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+                 FROM bs JOIN tot ON bs.doc_id = tot.doc_id),
+        sig AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS sig
+                FROM bits GROUP BY doc_id)
+        SELECT sig, COUNT(*) AS n_docs,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs
+        FROM sig
+        GROUP BY sig
+        ORDER BY n_docs DESC, sig
+        LIMIT 10""")))
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Catalog, GQuery}
 import graft.util.Num._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text retrieval & LM-scoring over the documents corpus — the query-side
@@ -17,7 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalOps {
 
-  def queries: Seq[GQuery] = Seq(bm25Search, docPerplexity, dsirSelect, pplBuckets)
+  def queries: Seq[GQuery] = Seq(bm25Search, docPerplexity, dsirSelect, pplBuckets,
+    hybridRrf)
 
   // ------------------------------------------------------------ BM25
   private val bmK1 = 1.2
@@ -291,4 +293,127 @@ object RetrievalOps {
       FROM b
       GROUP BY lang, bucket
       ORDER BY lang, bucket"""))
+
+  // ------------------------------------------------------------ hybrid RRF
+  private val rrfK = 60
+  private val rrfDepth = 20
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009 — the standard production fusion rule): for each query item
+    * (doc_id < 3, whose text AND embedding both exist — the tables share
+    * the id space), fuse a SPARSE lexical ranking (distinct-unigram
+    * Jaccard against every corpus doc) with a DENSE ranking (exact cosine
+    * over the embedding column) by RRF score Σ 1/(k + rank), k = 60, over
+    * the top-20 of each leg; report the fused top-5.
+    *
+    * Scale shape: the sparse leg is an INVERTED-INDEX join — the (tiny)
+    * query token set broadcasts against one corpus token scan, so
+    * candidates are bounded by docs sharing ≥1 query token, never
+    * all-pairs; the dense leg is the broadcast-query brute scan
+    * ([[VectorOps]] v_knn_brute's shape — swap in the IVF-PQ index for the
+    * 100 TB corpus without touching the fusion). Both rank windows and the
+    * fusion window partition BY QUERY — parallel across the query set, no
+    * global window. Determinism: Jaccard is one IEEE division of exact
+    * integer counts, RRF terms are 1/(60+rank) of exact ranks — both
+    * bit-identical across engines; ties break on n_id. */
+  val hybridRrf: GQuery = GQuery(
+    "r_hybrid_rrf",
+    "hybrid search: unigram-Jaccard + cosine legs fused by reciprocal rank",
+    (spark, dir) => {
+      val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
+      val e = Catalog.table(spark, dir, "embeddings")
+      val dtok = d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val nd = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+      val qtok = dtok.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"), col("tok"))
+      val nq = qtok.groupBy(col("q_id")).agg(count(lit(1)).as("nq"))
+      val inter = dtok.join(broadcast(qtok), "tok")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = inter.join(nd, "doc_id").join(broadcast(nq), "q_id")
+        .select(col("q_id"), col("doc_id").as("n_id"),
+          (col("inter").cast("double") /
+            (col("nd") + col("nq") - col("inter")).cast("double")).as("jac"))
+      val ws = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("n_id"))
+      val sparse = jac.withColumn("rank_s", row_number().over(ws))
+        .filter(col("rank_s") <= rrfDepth)
+        .select(col("q_id"), col("n_id"), col("rank_s"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          VectorOps.cosineSimCols("embedding", "q_emb").as("sim"))
+      val wd = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      val dense = scored.withColumn("rank_d", row_number().over(wd))
+        .filter(col("rank_d") <= rrfDepth)
+        .select(col("q_id"), col("n_id"), col("rank_d"))
+      val fused = sparse.join(dense, Seq("q_id", "n_id"), "full")
+        .select(col("q_id"), col("n_id"),
+          (when(col("rank_s").isNotNull,
+            lit(1.0d) / (lit(rrfK.toDouble) + col("rank_s").cast("double")))
+            .otherwise(lit(0.0d)) +
+            when(col("rank_d").isNotNull,
+              lit(1.0d) / (lit(rrfK.toDouble) + col("rank_d").cast("double")))
+              .otherwise(lit(0.0d))).as("rrf"),
+          coalesce(col("rank_s"), lit(0)).as("rank_s"),
+          coalesce(col("rank_d"), lit(0)).as("rank_d"))
+      val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+      fused.withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"),
+          round(col("rrf"), 6).as("rrf"), col("rank_s"), col("rank_d"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH dtok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents),
+      nd AS (SELECT doc_id, COUNT(*) AS nd FROM dtok GROUP BY doc_id),
+      qtok AS (SELECT doc_id AS q_id, tok FROM dtok WHERE doc_id < 3),
+      nq AS (SELECT q_id, COUNT(*) AS nq FROM qtok GROUP BY q_id),
+      inter AS (SELECT q_id, doc_id, COUNT(*) AS inter
+                FROM dtok JOIN qtok USING (tok)
+                WHERE doc_id <> q_id
+                GROUP BY q_id, doc_id),
+      jac AS (SELECT q_id, doc_id AS n_id,
+                     CAST(inter AS DOUBLE) / CAST(nd + nq - inter AS DOUBLE) AS jac
+              FROM inter JOIN nd USING (doc_id) JOIN nq USING (q_id)),
+      sparse AS (SELECT q_id, n_id, rank_s FROM (
+                   SELECT q_id, n_id,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY jac DESC, n_id) AS INTEGER) AS rank_s
+                   FROM jac) t WHERE rank_s <= $rrfDepth),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 3),
+      scored AS (SELECT q_id, e.vec_id AS n_id,
+                        ${VectorOps.dotSql("e.embedding", "q_emb")} /
+                        (sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) *
+                         sqrt(${VectorOps.dotSql("q_emb", "q_emb")})) AS sim
+                 FROM embeddings e CROSS JOIN q
+                 WHERE e.vec_id <> q_id),
+      dense AS (SELECT q_id, n_id, rank_d FROM (
+                  SELECT q_id, n_id,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS INTEGER) AS rank_d
+                  FROM scored) t WHERE rank_d <= $rrfDepth),
+      fused AS (SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+                       COALESCE(s.n_id, d.n_id) AS n_id,
+                       (CASE WHEN rank_s IS NOT NULL
+                             THEN CAST(1 AS DOUBLE) / (CAST($rrfK AS DOUBLE) + rank_s)
+                             ELSE CAST(0 AS DOUBLE) END +
+                        CASE WHEN rank_d IS NOT NULL
+                             THEN CAST(1 AS DOUBLE) / (CAST($rrfK AS DOUBLE) + rank_d)
+                             ELSE CAST(0 AS DOUBLE) END) AS rrf,
+                       COALESCE(rank_s, 0) AS rank_s,
+                       COALESCE(rank_d, 0) AS rank_d
+                FROM sparse s FULL JOIN dense d
+                  ON s.q_id = d.q_id AND s.n_id = d.n_id)
+      SELECT q_id, rk, n_id, ROUND(rrf, 6) AS rrf, rank_s, rank_d
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY rrf DESC, n_id) AS INTEGER) AS rk
+            FROM fused) t
+      WHERE rk <= 5
+      ORDER BY q_id, rk"""))
 }

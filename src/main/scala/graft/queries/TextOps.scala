@@ -25,7 +25,8 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit)
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
+    gopherRules)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1177,4 +1178,88 @@ object TextOps {
       FROM bi b JOIN uni u USING (w1)
       ORDER BY b.c12 DESC, b.w1, b.w2
       LIMIT 10"""))
+
+  // ------------------------------------------------------------ gopher rules
+  /** Gopher-style quality-rule gate (Rae et al. 2021, §A1.1 — the standard
+    * pre-dedup document filter in LLM data pipelines): five per-document
+    * rules — token count in [50, 100k], mean word length in [3, 10], at
+    * least 2 distinct stopwords, type/token ratio ≥ 0.4 (repetition gate),
+    * dominant-token frequency ≤ 0.15 (degenerate-content gate) — rolled up
+    * as per-source violation counts and the keep count.
+    *
+    * Scale shape: every rule is ROW-LOCAL arithmetic over the in-row token
+    * array (the dominant-token count is an in-row transform over distinct
+    * tokens — O(distinct·n) per doc, no explode, no shuffle); the ratio
+    * thresholds are cross-multiplied into pure integer comparisons, so the
+    * cross-engine hash has no float-boundary risk at all. The single
+    * shuffle is the final per-source rollup, bounded by |sources| — the
+    * ideal one-scan 100 TB shape. */
+  /** The per-document rule core, factored for structural tests: docs with
+    * (source, text) → one row per doc with the five violation flags. */
+  private[graft] def gopherFlags(d: DataFrame): DataFrame = {
+    val stops = "'the','a','of','and','to','in','is','on','for','with'"
+    val m = d.select(
+      col("source"),
+      size(toks(col("text"))).as("n"),
+      length(col("text")).as("chars"),
+      size(array_distinct(toks(col("text")))).as("ndist"),
+      size(array_distinct(expr(s"filter(split(text, ' '), x -> x IN ($stops))")))
+        .as("nstop"),
+      expr("array_max(transform(array_distinct(split(text, ' '))," +
+        " x -> size(filter(split(text, ' '), y -> y = x))))").as("maxc"))
+    m.select(
+      col("source"),
+      (col("n") < 50 || col("n") > 100000).cast("long").as("r_nwords"),
+      (col("chars") - (col("n") - 1) < col("n") * 3 ||
+        col("chars") - (col("n") - 1) > col("n") * 10).cast("long").as("r_wlen"),
+      (col("nstop") < 2).cast("long").as("r_stop"),
+      (col("ndist") * 10 < col("n") * 4).cast("long").as("r_ttr"),
+      (col("maxc") * 100 > col("n") * 15).cast("long").as("r_domtok"))
+  }
+
+  val gopherRules: GQuery = GQuery(
+    "t_gopher_rules",
+    "Gopher quality-rule violation counts + keep count per source",
+    (spark, dir) => {
+      gopherFlags(Catalog.table(spark, dir, "documents"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_nwords") + col("r_wlen") + col("r_stop") +
+            col("r_ttr") + col("r_domtok") === 0, 1L).otherwise(0L)).as("n_keep"),
+          sum(col("r_nwords")).as("r_nwords"), sum(col("r_wlen")).as("r_wlen"),
+          sum(col("r_stop")).as("r_stop"), sum(col("r_ttr")).as("r_ttr"),
+          sum(col("r_domtok")).as("r_domtok"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n,
+               length(text) AS chars,
+               len(list_distinct(string_split(text, ' '))) AS ndist,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','on','for','with')))) AS nstop,
+               list_max(list_transform(list_distinct(string_split(text, ' ')),
+                 x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS maxc
+        FROM documents),
+      f AS (
+        SELECT source,
+               CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS r_nwords,
+               CASE WHEN chars - (n - 1) < n * 3 OR chars - (n - 1) > n * 10
+                    THEN 1 ELSE 0 END AS r_wlen,
+               CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS r_stop,
+               CASE WHEN ndist * 10 < n * 4 THEN 1 ELSE 0 END AS r_ttr,
+               CASE WHEN maxc * 100 > n * 15 THEN 1 ELSE 0 END AS r_domtok
+        FROM m)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN r_nwords + r_wlen + r_stop + r_ttr + r_domtok = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(SUM(r_nwords) AS BIGINT) AS r_nwords,
+             CAST(SUM(r_wlen) AS BIGINT) AS r_wlen,
+             CAST(SUM(r_stop) AS BIGINT) AS r_stop,
+             CAST(SUM(r_ttr) AS BIGINT) AS r_ttr,
+             CAST(SUM(r_domtok) AS BIGINT) AS r_domtok
+      FROM f
+      GROUP BY source
+      ORDER BY source"""))
 }

@@ -42,7 +42,7 @@ object VectorOps {
 
   /** Sequential double dot product of two float lists (DuckDB oracle side;
     * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b)," +
       s" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
 
@@ -631,7 +631,7 @@ object VectorOps {
 
   /** cosineSim over arbitrary column names (centroid is double[], query is
     * float[] — the CASTs make both folds double on both engines). */
-  private def cosineSimCols(a: String, b: String): Column =
+  private[queries] def cosineSimCols(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b," +
       " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
       " (acc, v) -> acc + v)") /

@@ -52,4 +52,19 @@ class MediaSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.map(_.getLong(1)).sum === 500L) // all docs bucketed
   }
+
+  test("m_phash_buckets: pair counts are n(n-1)/2 and ordering is by size") {
+    val out = Registry.byName("m_phash_buckets").run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { case (sig, n, pairs) =>
+      assert(sig >= 0L && sig < (1L << 16), s"signature $sig out of 16-bit range")
+      assert(pairs == n * (n - 1) / 2, s"sig $sig: pairs $pairs != C($n,2)")
+    }
+    // top-10 ordering: bucket sizes non-increasing
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2, "buckets not sorted by size")
+      case _ => ()
+    }
+  }
 }

@@ -119,4 +119,61 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("user_id") < 20).count()
     assert(rows.map(_._7).sum == nEvents)
   }
+
+  // ------------------------------------------------------------ gopher rules
+  test("gopher rules: crafted violations trip exactly the intended flags") {
+    import spark.implicits._
+    val good = (("word" + (1 to 30).mkString(" word")) + // 30 distinct 5-6 char words
+      " the a of and " + ("term" + (31 to 50).mkString(" term"))) // stopwords + 20 more
+    val docs = Seq(
+      ("s", good),                               // keeps: every rule passes
+      ("s", "the a " + Seq.fill(60)("spam").mkString(" ")), // ttr + domtok
+      ("s", "tiny the a doc"),                   // too few words
+      ("s", ("quux" + (1 to 60).mkString(" quux"))) // no stopwords
+    ).toDF("source", "text")
+    val f = graft.queries.TextOps.gopherFlags(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(f(0) == ((0L, 0L, 0L, 0L, 0L)), s"clean doc flagged: ${f(0)}")
+    assert(f(1) == ((0L, 0L, 0L, 1L, 1L)), s"spam doc must trip exactly ttr+domtok: ${f(1)}")
+    assert(f(2)._1 == 1L, s"short doc must trip nwords: ${f(2)}")
+    assert(f(3)._3 == 1L, s"stopword-free doc must trip stop: ${f(3)}")
+  }
+
+  test("gopher rules: registry rollup conserves the document count") {
+    val rows = Registry.byName("t_gopher_rules").run(spark, sf0001).collect()
+    val nDocs = Catalog.table(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "per-source n_docs must sum to corpus")
+    rows.foreach { r =>
+      val (docs, keep) = (r.getLong(1), r.getLong(2))
+      val viol = (3 to 7).map(r.getLong).sum
+      assert(keep <= docs && keep >= 0)
+      // every kept doc has zero violations, so violations bound the drops
+      assert(docs - keep <= viol, s"${r.getString(0)}: drops exceed violations")
+    }
+  }
+
+  // ------------------------------------------------------------ hybrid RRF
+  test("hybrid rrf: per-query top-5, scores bounded and monotone, legs agree") {
+    val rows = Registry.byName("r_hybrid_rrf").run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5).toSeq, s"q$q ranks not 1..5")
+      // monotone non-increasing fused score down the ranking
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"q$q rrf not monotone")
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, nId, rrf, rs_, rd) =>
+        assert(nId != q, s"q$q retrieved itself")
+        assert(rs_ >= 0 && rs_ <= 20 && rd >= 0 && rd <= 20)
+        assert(rs_ > 0 || rd > 0, s"q$q fused a row present in neither leg")
+        // RRF bound: two rank-1 legs give the max 2/61
+        assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9, s"q$q rrf out of range: $rrf")
+      }
+    }
+  }
 }
