@@ -20,7 +20,8 @@ object EventOps {
 
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
-      asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2)
+      asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
+      attribution)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -89,6 +90,61 @@ object EventOps {
       WHERE event_type = 'purchase' AND last_signup_us IS NOT NULL
       GROUP BY user_id
       ORDER BY user_id"""))
+
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent click if one happened within the 7-day lookback,
+    * otherwise counted organic; attributed value rolls up per purchase
+    * day. Same sorted-carry-forward core as [[asofJoin]] (one hash
+    * shuffle on user_id, in-partition sort, last_value IGNORE NULLS) —
+    * the attribution WINDOW (7 days) is then a pure row-local compare on
+    * the carried timestamp, and the rollup is a tiny per-day aggregate.
+    * Value sums go through the fix6 grid ([[graft.util.Num]]) so the
+    * per-day doubles hash-match DuckDB exactly. */
+  val attribution: GQuery = GQuery(
+    "e_attribution",
+    "last-touch attribution: purchase value credited to a click <= 7d prior",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lookbackUs = 7L * 86400L * 1000000L
+      e.select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed",
+          col("last_click_us").isNotNull &&
+            col("ts_us") - col("last_click_us") <= lookbackUs)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("attributed").cast("long")).as("n_attributed"),
+          round(dsum(when(col("attributed"), col("value")).otherwise(lit(0.0d))), 6)
+            .as("attributed_value"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      SELECT ts_us // 86400000000 AS day, COUNT(*) AS n_purchases,
+             CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attributed,
+             ROUND(${dsumSql("CASE WHEN attributed THEN value ELSE CAST(0 AS DOUBLE) END")}, 6)
+               AS attributed_value
+      FROM (SELECT event_type, value, ts_us,
+                   (last_click_us IS NOT NULL
+                    AND ts_us - last_click_us <= 604800000000) AS attributed
+            FROM (SELECT event_type, value, epoch_us(ts) AS ts_us, event_id,
+                         LAST_VALUE(CASE WHEN event_type = 'click'
+                                         THEN epoch_us(ts) END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS last_click_us
+                  FROM events) t) t2
+      WHERE event_type = 'purchase'
+      GROUP BY day
+      ORDER BY day"""))
 
   /** Day-over-day retention: of the users active on day d, how many were
     * also active on day d+1. One distinct-(user, day) projection, then a

@@ -22,7 +22,7 @@ object SqlFuncs {
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
-    lateralJoin, unpivotQ, windowDistribution)
+    lateralJoin, unpivotQ, windowDistribution, variantJson)
 
   /** Distribution window functions: percent_rank, cume_dist, NTILE — the
     * remaining rank-family members (rank/dense_rank/row_number proven in
@@ -465,4 +465,41 @@ object SqlFuncs {
       SELECT l_returnflag, metric, val FROM w
       UNPIVOT (val FOR metric IN (qty, cnt, lines))
       ORDER BY l_returnflag, metric"""))
+
+  /** Semi-structured VARIANT path (Spark 4's binary-encoded JSON type —
+    * the modern lakehouse answer to string-typed JSON columns):
+    * `parse_json` builds the variant once per row, `variant_get` does
+    * TYPED extraction (no string round-trip), `try_variant_get` probes a
+    * missing path without erroring. The variant stays INSIDE the plan —
+    * outputs are plain BIGINTs, so the cross-engine gate sees only
+    * standard types ([[Canaries]] output-type contract). Differs from
+    * e_json_extract (string get_json_object) in the engine path
+    * exercised: here extraction happens on the variant binary encoding.
+    * Scale shape: scan-parallel per-row parse + one small rollup. */
+  val variantJson: GQuery = GQuery(
+    "x_variant_json",
+    "Spark VARIANT parse_json + typed variant_get extraction + try-probe",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      e.select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(col("miss")).as("n_missing_hits"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(k) AS n_with_k,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             MAX(k) AS max_k,
+             COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+               AS n_missing_hits
+      FROM (SELECT event_type, props,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type
+      ORDER BY event_type"""))
 }

@@ -65,4 +65,23 @@ class MetricsSpec extends SparkSpec {
       s"digest aggregation should shuffle far fewer bytes: " +
         s"${digests.shuffleWriteBytes} vs ${texts.shuffleWriteBytes}")
   }
+
+  test("Observation API: in-flight data-quality counters ride the action") {
+    // the production pattern for pipeline data-quality gates: counters
+    // computed INSIDE the same job (no second scan), read after the action
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("dq")
+    val d = Catalog.table(spark, sf0001, "documents")
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        count(when(col("text").isNull || length(col("text")) === 0, 1)).as("empty_text"),
+        sum(col("n_chars")).as("chars_total"))
+    val kept = d.filter(length(col("text")) >= 10).count()
+    val m = obs.get
+    assert(m("rows_seen") == 500L, s"observed ${m("rows_seen")}")
+    assert(m("empty_text") == 0L)
+    assert(m("chars_total").asInstanceOf[Long] > 0L)
+    assert(kept <= 500L)
+  }
 }
