@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn, semDedup)
+      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -776,6 +776,61 @@ object VectorOps {
       FROM flat
       GROUP BY pos
       ORDER BY pos"""))
+
+  // ------------------------------------------------------------ drift monitor
+  /** Embedding-distribution drift monitor — the production gate before
+    * appending a new ingest batch to a training corpus: per-dimension
+    * mean shift between the existing corpus (vec_id < 250, "ref") and
+    * the incoming batch (vec_id ≥ 250, "new"), ranked by absolute
+    * drift. A drifted embedding distribution invalidates trained ANN
+    * codebooks and mixture weights downstream, so this check runs first.
+    *
+    * Scale shape: one scan, posexplode → per-(dim, half) partial
+    * aggregates (2·64 groups — constant-size shuffle at ANY corpus
+    * size), then a 64-row pivot. Means go through davg ([[graft.util
+    * .Num]] fixed-point), so both halves' means — and therefore the
+    * drift ordering — are bit-identical across engines and partition
+    * layouts. */
+  /** The drift core, factored for structural tests: rows of
+    * (vec_id, embedding) split at `cut` → every dim scored
+    * (dim, mean_ref, mean_new, drift). */
+  private[graft] def driftScores(e: DataFrame, cut: Long): DataFrame =
+    e.select(when(col("vec_id") < cut, "ref").otherwise("new").as("half"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("half"), (col("pos0") + 1).as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("dim"), col("half"))
+      .agg(davg(col("v")).as("m"))
+      .groupBy(col("dim"))
+      .agg(max(when(col("half") === "ref", col("m"))).as("mr"),
+        max(when(col("half") === "new", col("m"))).as("mn"))
+      .select(col("dim"), round(col("mr"), 6).as("mean_ref"),
+        round(col("mn"), 6).as("mean_new"),
+        round(abs(col("mn") - col("mr")), 6).as("drift"))
+
+  val driftMonitor: GQuery = GQuery(
+    "v_drift_monitor",
+    "per-dim embedding mean drift between corpus and new batch, top-10",
+    (spark, dir) => {
+      driftScores(Catalog.table(spark, dir, "embeddings"), 250L)
+        .orderBy(col("drift").desc, col("dim"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH flat AS (SELECT CASE WHEN vec_id < 250 THEN 'ref' ELSE 'new' END AS half,
+                           generate_subscripts(embedding, 1) AS dim,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+      m AS (SELECT dim, half, ${davgSql("v")} AS m FROM flat GROUP BY dim, half),
+      w AS (SELECT dim,
+                   MAX(CASE WHEN half = 'ref' THEN m END) AS mr,
+                   MAX(CASE WHEN half = 'new' THEN m END) AS mn
+            FROM m GROUP BY dim)
+      SELECT dim, ROUND(mr, 6) AS mean_ref, ROUND(mn, 6) AS mean_new,
+             ROUND(ABS(mn - mr), 6) AS drift
+      FROM w
+      ORDER BY drift DESC, dim
+      LIMIT 10"""))
 
   // ------------------------------------------------------------ PQ ANN
   private val pqM = 16    // subspaces (64 dims / 4)

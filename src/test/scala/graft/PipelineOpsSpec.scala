@@ -152,6 +152,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ drift monitor
+  test("drift monitor: an injected per-dim shift ranks that dim first") {
+    import spark.implicits._
+    // ref half: constant vectors; new half: identical except dim 3 += 1.0
+    val rows = (0L until 20L).map { id =>
+      val base = Array(0.5f, -0.25f, 0.125f, 0.75f)
+      if (id < 10) (id, base) else (id, Array(base(0), base(1), base(2) + 1.0f, base(3)))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val d = graft.queries.VectorOps.driftScores(e, cut = 10L)
+      .orderBy(col("drift").desc, col("dim")).collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+    assert(d.length == 4)
+    assert(d.head._1 == 3 && math.abs(d.head._2 - 1.0) < 1e-6,
+      s"shifted dim must lead: ${d.toSeq}")
+    assert(d.tail.forall(_._2 == 0.0), s"unshifted dims must show zero drift: ${d.toSeq}")
+  }
+
   // ------------------------------------------------------------ hybrid RRF
   test("hybrid rrf: per-query top-5, scores bounded and monotone, legs agree") {
     val rows = Registry.byName("r_hybrid_rrf").run(spark, sf0001).collect()
