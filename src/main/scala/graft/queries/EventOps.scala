@@ -21,7 +21,7 @@ object EventOps {
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
-      attribution)
+      attribution, funnelSteps)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -279,6 +279,56 @@ object EventOps {
                    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
                    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
             FROM events GROUP BY user_id) t"""))
+
+  /** Ordered multi-step funnel with per-step deadlines: first signup →
+    * first click STRICTLY AFTER it within 3 days → first purchase
+    * strictly after that click within 3 days. Unlike [[funnel]] (which
+    * only compares unconditioned minima), each step's candidate events
+    * are gated on the PREVIOUS step's timestamp, so the steps must
+    * resolve sequentially.
+    *
+    * Scale shape: one staged aggregate per step — filter the event type,
+    * equi-join user_id against the (shrinking) prior-step table, keep
+    * in-deadline events, take the min. Every join is key-co-partitioned
+    * on user_id (the same single exchange reused stage to stage; the
+    * prior-step table only shrinks), no windows, no per-user event
+    * arrays. */
+  val funnelSteps: GQuery = GQuery(
+    "e_funnel_steps",
+    "3-step ordered funnel (signup->click->purchase) with 3-day deadlines",
+    (spark, dir) => {
+      val ddl = 3L * 86400L * 1000000L
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("s"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts_us") > col("s") && col("ts_us") - col("s") <= ddl)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts_us") > col("c") && col("ts_us") - col("c") <= ddl)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("p"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_3d")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_3d")))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      s1 AS (SELECT user_id, MIN(ts_us) AS s FROM e
+             WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(ts_us) AS c
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE event_type = 'click' AND ts_us > s AND ts_us - s <= 259200000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(ts_us) AS p
+             FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE event_type = 'purchase' AND ts_us > c AND ts_us - c <= 259200000000
+             GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+             (SELECT COUNT(*) FROM s2) AS n_click_3d,
+             (SELECT COUNT(*) FROM s3) AS n_purchase_3d"""))
 
   // ------------------------------------------------------------ top users
   /** Top-10 purchasers by exact spend — TakeOrderedAndProject over one

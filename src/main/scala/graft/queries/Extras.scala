@@ -17,7 +17,7 @@ object Extras {
 
   def queries: Seq[GQuery] = Seq(
     windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
-    intersectKeys, exceptKeys, fullOuter, crossJoinQ, distinctOrder,
+    intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch)
 
@@ -261,6 +261,41 @@ object Extras {
       UNION
       SELECT s_nationkey FROM supplier
       ORDER BY nk"""))
+
+  /** Bag-semantics set operations — UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL. These are DIFFERENT operators from the distinct forms:
+    * multiplicities survive (INTERSECT ALL keeps min(count_a, count_b)
+    * per value, EXCEPT ALL subtracts counts), and Spark plans them as
+    * count-respecting joins rather than dedup aggregates. One row out:
+    * the three multiset cardinalities plus a value checksum, so the
+    * oracle pins the full bag semantics, not just row counts. */
+  val setOpsAll: GQuery = GQuery(
+    "x_set_ops_all",
+    "UNION ALL / INTERSECT ALL / EXCEPT ALL multiset cardinalities",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val o = Catalog.table(spark, dir, "orders")
+      val a = l.filter(col("l_quantity") < 10).select(col("l_orderkey").as("k"))
+      val b = o.filter(col("o_totalprice") < 100000.0d).select(col("o_orderkey").as("k"))
+      // Dataset.union IS bag-semantics (SQL UNION ALL); dedup is .distinct
+      val u = a.union(b).agg(count(lit(1)).as("n_union_all"),
+        sum(col("k")).as("sum_union_all"))
+      val i = a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+      val x = a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+      u.crossJoin(i).crossJoin(x)
+    },
+    Some("""
+      WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity < 10),
+           b AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice < 100000.0)
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t)
+          AS n_union_all,
+        (SELECT CAST(SUM(k) AS BIGINT)
+         FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t) AS sum_union_all,
+        (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t)
+          AS n_intersect_all,
+        (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t)
+          AS n_except_all"""))
 
   /** INTERSECT. */
   val intersectKeys: GQuery = GQuery(

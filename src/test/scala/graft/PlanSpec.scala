@@ -119,4 +119,23 @@ class PlanSpec extends SparkSpec {
     assert(a === b)
     assert(!a.matches("(?s).*#\\d+.*"), "attribute ids not normalized")
   }
+
+  test("join hints steer the physical join strategy") {
+    // the per-join override surface a tuner needs when CBO guesses wrong:
+    // the SAME logical join compiles to three different exchanges by hint
+    val o = Catalog.table(spark, sf0001, "orders")
+    val c = Catalog.table(spark, sf0001, "customer")
+    def joined(hint: String) =
+      o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+    val b = PlanDescriber.simpleString(joined("broadcast"))
+    assert(b.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n${b.take(800)}")
+    val m = PlanDescriber.simpleString(joined("merge"))
+    assert(m.contains("SortMergeJoin"), s"merge hint ignored:\n${m.take(800)}")
+    val sh = PlanDescriber.simpleString(joined("shuffle_hash"))
+    assert(sh.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n${sh.take(800)}")
+    // hints change the plan, never the rows
+    val rows = joined("broadcast").collect().map(_.toSeq).toSet
+    assert(rows == joined("merge").collect().map(_.toSeq).toSet)
+  }
 }
