@@ -147,4 +147,39 @@ class TuningSpec extends SparkSpec {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // the runtime half of skew handling (plans/Skew.scala is the manual
+    // salting half): one hot key dominates the probe side, AQE detects
+    // the oversized shuffle partition at stage boundary and splits it
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~200k rows on one hot key vs 64 keys uniform; payload pads bytes
+      val left = spark.range(0, 220000L)
+        .select((when(col("id") < 200000L, 0L).otherwise(col("id") % 63L + 1L)).as("k"),
+          concat(lit("p" * 64), col("id")).as("pad"))
+      val right = spark.range(0, 64L).select(col("id").as("k"), (col("id") * 10L).as("w"))
+      // global aggregate downstream: no per-key distribution requirement,
+      // so AQE is free to split the hot partition (a groupBy on the join
+      // key would pin the partitioning and veto the split)
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      val row = j.collect().head
+      assert(row.getLong(0) == 220000L, s"join row count wrong: ${row.getLong(0)}")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1200)}")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
 }
