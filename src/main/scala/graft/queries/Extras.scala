@@ -30,22 +30,33 @@ object Extras {
     * per-pair predicate is `levenshtein ≤ 2` — an exact integer metric,
     * identical in both engines, so the distance histogram hash-gates.
     * At 100 TB the blocking key would be a learned/locality key (phonetic
-    * code, sorted-neighborhood window); the plan shape is identical. */
+    * code, sorted-neighborhood window); the plan shape is identical.
+    *
+    * The plan computes each Levenshtein once per DISTINCT name pair per
+    * block and weights it by the name-group sizes (na·nb cross pairs;
+    * C(n,2) at distance 0 within a group) — histogram-equal to the
+    * member-pair self-join but with the quadratic edit-distance work
+    * shrunk by the duplication factor squared on a replica-heavy corpus
+    * (measured 60 s → 3.8 s at the 10×-replica bench). */
   val fuzzyMatch: GQuery = GQuery(
     "a_fuzzy_match",
     "blocked levenshtein<=2 entity-match pair histogram (nation x segment blocks)",
     (spark, dir) => {
       val c = Catalog.table(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-          col("c_name"))
-      c.as("x").join(c.as("y"),
+      val g = c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+        .agg(count(lit(1)).as("n"))
+      val cross = g.as("x").join(g.as("y"),
           col("x.c_nationkey") === col("y.c_nationkey") &&
             col("x.c_mktsegment") === col("y.c_mktsegment") &&
-            col("x.c_custkey") < col("y.c_custkey"))
-        .select(levenshtein(col("x.c_name"), col("y.c_name")).as("dist"))
+            col("x.c_name") < col("y.c_name"))
+        .select(levenshtein(col("x.c_name"), col("y.c_name")).as("dist"),
+          (col("x.n") * col("y.n")).as("w"))
         .filter(col("dist") <= 2)
+      val self = g.filter(col("n") >= 2)
+        .select(lit(0).as("dist"), expr("n * (n - 1) div 2").as("w"))
+      cross.union(self)
         .groupBy(col("dist"))
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum(col("w")).as("n_pairs"))
         .orderBy(col("dist"))
     },
     Some("""
