@@ -25,7 +25,7 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor)
+      quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -764,6 +764,99 @@ object VectorOps {
                (sqrt(${dotSql("embedding", "embedding")}) *
                 sqrt(${dotSql("q_emb", "q_emb")})) AS sim
         FROM shortlisted WHERE rk16 <= 20),
+      ranked AS (
+        SELECT q_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                    AS INTEGER) AS rk
+        FROM rerank)
+      SELECT q_id, rk, vec_id AS n_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ binary quantization
+  /** Binary (1-bit) quantization ANN: each 64-dim vector compresses to its
+    * 64 SIGN BITS, packed into two 32-bit words — 8 bytes per vector, a
+    * 32× reduction over float32, and the candidate stage is pure integer
+    * `bit_count(xor)` Hamming distance over the code table (the
+    * binary-quantization index shape modern vector stores ship alongside
+    * PQ). Top-40 Hamming shortlist per query, exact cosine re-rank of the
+    * shortlist, top-3 out. Unlike [[pqAnn]]/[[ivfPqAnn]] this index needs
+    * NO training, so it cannot go stale under the distribution drift
+    * [[driftMonitor]] watches for — the zero-maintenance fallback index.
+    *
+    * Scale shape: at 100 TB the Hamming scan reads 8 bytes/vector and two
+    * popcounts — bandwidth-bound, no shuffle until the 40-row-per-query
+    * top-k; raw embeddings are touched only by the re-rank join (≤40 rows
+    * per query). Determinism: sign test `v > 0` and the packed-word fold
+    * are exact integer ops in both engines; Hamming ties break on vec_id. */
+  private def signWord(arr: String, off: Int): Column =
+    expr(s"aggregate(zip_with(slice($arr, ${off + 1}, 32), sequence(0, 31)," +
+      s" (v, i) -> IF(CAST(v AS DOUBLE) > 0.0, shiftleft(1L, i), 0L))," +
+      " 0L, (a, b) -> a + b)")
+
+  private def signWordSql(arr: String, off: Int): String =
+    s"list_reduce(list_transform(list_zip($arr[${off + 1}:${off + 32}]," +
+      s" range(0, 32)), x -> CASE WHEN CAST(x[1] AS DOUBLE) > 0.0" +
+      s" THEN 1::BIGINT << x[2] ELSE 0::BIGINT END), (a, b) -> a + b)"
+
+  val bqAnn: GQuery = GQuery(
+    "v_bq_ann",
+    "binary sign-bit quantization ANN: Hamming shortlist-40 + exact rerank top-3",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val codes = e.select(col("vec_id"),
+        signWord("embedding", 0).as("w0"), signWord("embedding", 32).as("w1"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          signWord("embedding", 0).as("q0"), signWord("embedding", 32).as("q1"))
+      val ham = codes.crossJoin(broadcast(q.select(col("q_id"), col("q0"), col("q1"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS INTEGER)").as("hamming"))
+      val wH = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming").asc, col("vec_id"))
+      val short = ham.withColumn("rkh", row_number().over(wH))
+        .filter(col("rkh") <= 40)
+      val rerank = short
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+        .withColumn("sim", cosineSimCols("embedding", "q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      rerank.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id").as("n_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""
+      WITH codes AS (
+        SELECT vec_id, ${signWordSql("embedding", 0)} AS w0,
+               ${signWordSql("embedding", 32)} AS w1
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                   ${signWordSql("embedding", 0)} AS q0,
+                   ${signWordSql("embedding", 32)} AS q1
+            FROM embeddings WHERE vec_id < 3),
+      ham AS (
+        SELECT q_id, c.vec_id,
+               CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INTEGER)
+                 AS hamming
+        FROM codes c CROSS JOIN q
+        WHERE c.vec_id <> q_id),
+      short AS (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+                 AS rkh
+        FROM ham),
+      rerank AS (
+        SELECT s.q_id, s.vec_id,
+               ${dotSql("e.embedding", "q_emb")} /
+               (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN q ON q.q_id = s.q_id
+        WHERE s.rkh <= 40),
       ranked AS (
         SELECT q_id, vec_id, sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)

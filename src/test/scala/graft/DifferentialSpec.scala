@@ -280,6 +280,25 @@ class DifferentialSpec extends SparkSpec {
     assert(ivfpq.forall { case (q, n) => q != n })
   }
 
+  test("v_bq_ann recall@3 vs brute-force ground truth is quantified") {
+    val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val bq = Registry.byName("v_bq_ann").run(spark, sf0001)
+      .select(col("q_id"), col("n_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = bq.intersect(brute).size.toDouble / brute.size
+    info(f"BQ ANN recall@3 on sf0.001 = $recall%.3f " +
+      f"(${bq.intersect(brute).size}/${brute.size} of brute-force neighbors)")
+    // 64 sign bits + Hamming shortlist-40 + exact re-rank, NO training:
+    // the zero-maintenance index. The sign test and popcount are exact
+    // integer ops, so this is a pin, not a flake.
+    assert(recall >= 0.8, f"BQ recall below sign-bit contract: $recall%.3f")
+    assert(bq.forall { case (q, n) => q != n })
+  }
+
   test("v_ivf_ann recall@3 vs brute-force ground truth is quantified") {
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
       .filter(col("rk") <= 3)
