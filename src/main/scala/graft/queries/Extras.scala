@@ -5,7 +5,7 @@ import graft.util.Num._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, IntegerType}
 
 /** Relational capabilities beyond the TPC-H corpus that the reference gets
   * from DataFusion but never exercises (SURVEY §2b flags them "available
@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 object Extras {
 
   def queries: Seq[GQuery] = Seq(
-    windowRank, windowRunning, rollupAgg, cubeAgg, pivotAgg, unionDistinct,
+    windowRank, windowRunning, windowRangeFrame, rollupAgg, cubeAgg, pivotAgg,
+    unionDistinct,
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch)
@@ -138,6 +139,42 @@ object Extras {
                   AS BIGINT) AS DOUBLE) / 1000000.0 AS running_spend
       FROM orders
       WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** RANGE-frame window: the frame is bounded by ORDER-BY VALUE distance
+    * (trailing 90 days), not row offsets — peer rows on the same date
+    * share one frame, which ROWS frames cannot express. The sort key is
+    * the integer epoch day so the frame bound arithmetic is identical in
+    * both engines, and the accumulator is fixed-point. Same per-key
+    * window-partitioned scale shape as the running sum. */
+  val windowRangeFrame: GQuery = GQuery(
+    "x_window_range_frame",
+    "trailing-90-day spend per order via a RANGE value-bounded window frame",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"))
+        .rangeBetween(-89, 0)
+      o.filter(col("o_custkey") < 200)
+        .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01").cast(DateType)))
+        .withColumn("spend_90d",
+          sum(fix6(col("o_totalprice"))).over(w).cast(DoubleType) / 1000000.0d)
+        .withColumn("n_90d", count(lit(1)).over(w).cast(IntegerType))
+        .select(col("o_custkey"), col("o_orderkey"), col("spend_90d"), col("n_90d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY d
+                        RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS DOUBLE) / 1000000.0 AS spend_90d,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                        RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+                  AS INTEGER) AS n_90d
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER) AS d
+            FROM orders WHERE o_custkey < 200) t
       ORDER BY o_custkey, o_orderkey"""))
 
   /** ROLLUP grouping sets; subtotal rows keyed with COALESCE to sidestep

@@ -44,6 +44,7 @@ class RegistrySpec extends SparkSpec {
     "x_rollup" -> 10, "x_cube" -> 12, "x_pivot" -> 3, "x_decimal_arith" -> 3,
     "x_string_funcs" -> 50, "x_union_distinct" -> 25,
     "x_window_rank" -> 449, "x_window_running_sum" -> 1500,
+    "x_window_range_frame" -> 1500,
     "x_grouping_sets" -> 6, "x_array_funcs" -> 5, "x_percentiles" -> 3,
     "x_regex_funcs" -> 30, "x_lateral_explode" -> 166, "x_bitwise" -> 40,
     "x_scalar_funcs" -> 60,
