@@ -26,7 +26,7 @@ object TextOps {
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
-    gopherRules)
+    gopherRules, bpeTrain)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1262,4 +1262,93 @@ object TextOps {
       FROM f
       GROUP BY source
       ORDER BY source"""))
+
+  // ------------------------------------------------------------ BPE training
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016 dictionary
+    * form): the corpus is scanned ONCE into a (word, count) frequency
+    * dict; every one of the [[bpeMerges]] greedy merge rounds then runs
+    * over the |vocab|-row dict only — at 100 TB the iterations never
+    * touch the corpus again, and each round's shuffle is bounded by the
+    * pair vocabulary (map-side partial counts), with the argmax pair a
+    * 1-row broadcast. Words start as characters + an `_` end-of-word
+    * marker; each round counts adjacent symbol pairs weighted by word
+    * count, picks the most frequent pair (ties break lexicographically —
+    * deterministic on any engine), and applies it as the canonical
+    * greedy left-to-right fold (`[a,a,a,a,a]` under merge (a,a) becomes
+    * `[aa,aa,a]`), expressed identically as a Spark `aggregate` lambda
+    * and a DuckDB `list_reduce` — all-integer counts, so the fit is
+    * engine-exact. The dict frame is `localCheckpoint`ed every second
+    * round, the [[graft.queries.VectorOps]] k-means lineage discipline.
+    * Output: the learned merge table (step, pair, merged token, count) —
+    * the tokenizer artifact a training pipeline ships. */
+  private val bpeMerges = 8
+
+  val bpeTrain: GQuery = GQuery(
+    "t_bpe_train",
+    "BPE tokenizer training: 8 greedy merge rounds over the word-frequency dict",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val wc = d.select(explode(toks(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      var words = wc.withColumn("syms",
+        expr("concat(transform(sequence(1, length(word))," +
+          " i -> substring(word, i, 1)), array('_'))"))
+      val merges = Seq.newBuilder[DataFrame]
+      for (step <- 1 to bpeMerges) {
+        val pairs = words.select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
+            " (a, b) -> struct(a AS p1, b AS p2))")).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum(col("cnt")).as("pc"))
+        val best = pairs.orderBy(col("pc").desc, col("p1"), col("p2")).limit(1)
+        merges += best.select(lit(step).as("step"), col("p1"), col("p2"),
+          concat(col("p1"), col("p2")).as("merged"), col("pc"))
+        words = words.crossJoin(broadcast(best.select(col("p1"), col("p2"))))
+          .select(col("word"), col("cnt"), expr(
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->" +
+              " IF(size(acc) > 0 AND element_at(acc, -1) = p1 AND s = p2," +
+              " concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2)))," +
+              " concat(acc, array(s))))").as("syms"))
+        if (step % 2 == 0 && step < bpeMerges) words = words.localCheckpoint()
+      }
+      merges.result().reduce(_ union _).orderBy(col("step"))
+    },
+    Some {
+      val rounds = (1 to bpeMerges).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""
+        pr_$i AS (SELECT syms[gs] AS p1, syms[gs + 1] AS p2, cnt
+                  FROM (SELECT syms, cnt,
+                               unnest(generate_series(1, len(syms) - 1)) AS gs
+                        FROM $prev)),
+        best_$i AS MATERIALIZED (
+          SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS pc
+          FROM pr_$i GROUP BY p1, p2
+          ORDER BY pc DESC, p1, p2 LIMIT 1),
+        w$i AS MATERIALIZED (
+          SELECT word, cnt,
+                 list_reduce(list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.p1
+                                         AND x[1] = b.p2
+                               THEN acc[1:len(acc) - 1] || [b.p1 || b.p2]
+                               ELSE acc || x END) AS syms
+          FROM $prev CROSS JOIN best_$i b)"""
+      }.mkString(",")
+      val unions = (1 to bpeMerges).map(i =>
+        s"SELECT $i AS step, p1, p2, p1 || p2 AS merged, pc FROM best_$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH wc AS MATERIALIZED (
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+${"$"}')
+        GROUP BY word),
+      w0 AS MATERIALIZED (
+        SELECT word, cnt,
+               list_transform(range(1, length(word) + 1), i -> word[i:i])
+                 || ['_'] AS syms
+        FROM wc),$rounds
+      SELECT step, p1, p2, merged, pc FROM ($unions) ORDER BY step"""
+    })
 }
