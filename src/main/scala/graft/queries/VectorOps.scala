@@ -25,7 +25,8 @@ object VectorOps {
 
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
-      quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor)
+      quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor,
+      clusterSelect)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -605,6 +606,68 @@ object VectorOps {
       SELECT dropped_id, kept_id, ROUND(sim, 6) AS sim
       FROM kept WHERE rn = 1
       ORDER BY dropped_id"""))
+
+  // ------------------------------------------------------------ cluster-balanced selection
+  /** Cluster-balanced coreset selection: equalize the training mix across
+    * SEMANTIC clusters (trained IVF cells) the way [[graft.queries.TextOps]]
+    * t_mixture_balance equalizes across metadata strata — the
+    * DiverseEvol/DEITA-style diversity-selection step of a curation
+    * pipeline. Every vector is assigned to its trained cell (zero-shuffle
+    * scalar projection over the broadcast codebook, same cached index as
+    * [[ivfAnn]]/[[semDedup]]), the per-cell quota is the SMALLEST cell's
+    * size (a 1-row aggregate broadcast back), and each cell keeps its
+    * `quota` members with the smallest content-independent md5 hash — an
+    * exact rank, not a probabilistic rate, so the selected set is
+    * reproducible across engines, runs, and partitionings. Scale shape:
+    * oversample-then-trim — a derived integer hash pre-gate (threshold
+    * 2·quota/cn permillion, the t_mixture_balance in-plan-rate pattern)
+    * keeps ~2×quota members per cell inside the SCAN, so the exact-rank
+    * window sorts only the ~2·quota·k survivor rows, never the corpus;
+    * the 2× threshold margin sits far above the quota-th hash, so the
+    * trimmed result equals the pure-rank selection. */
+  val clusterSelect: GQuery = GQuery(
+    "v_cluster_select",
+    "cluster-balanced selection: per trained cell, keep quota members by hash rank",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val (vecs, cents) = ivfIndex(spark, e, dir)
+      val cells = kmeansAssign(vecs, cents)
+        .select(col("id").as("vec_id"), col("j").as("cell"))
+      val cnts = cells.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      val quota = cnts.agg(min(col("cn")).as("quota"))
+      val gated = cells.join(broadcast(cnts), "cell")
+        .crossJoin(broadcast(quota))
+        .withColumn("h",
+          pmod(TextOps.h60(col("vec_id").cast("string")), lit(1000000L)))
+        .filter(col("h") <
+          least(lit(1000000L), expr("(2000000 * quota) div cn")))
+      val wC = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+      gated.withColumn("pick_rk", row_number().over(wC))
+        .filter(col("pick_rk") <= col("quota"))
+        .select(col("cell"), col("pick_rk"), col("vec_id"))
+        .orderBy(col("cell"), col("pick_rk"))
+    },
+    Some(s"""
+      WITH $ivfTrainSql,
+      cellOf AS (SELECT id AS vec_id, j AS cell FROM cells),
+      cnts AS (SELECT cell, COUNT(*) AS cn FROM cellOf GROUP BY cell),
+      quota AS (SELECT MIN(cn) AS quota FROM cnts),
+      gated AS (
+        SELECT cell, vec_id, h FROM (
+          SELECT c.cell, c.vec_id,
+                 ${TextOps.h60Sql("CAST(c.vec_id AS VARCHAR)")} % 1000000 AS h,
+                 n.cn, q.quota
+          FROM cellOf c JOIN cnts n USING (cell) CROSS JOIN quota q) t
+        WHERE h < LEAST(1000000, (2000000 * quota) // cn)),
+      ranked AS (
+        SELECT cell, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, vec_id)
+                 AS INTEGER) AS pick_rk
+        FROM gated)
+      SELECT cell, pick_rk, vec_id
+      FROM ranked CROSS JOIN quota
+      WHERE pick_rk <= quota
+      ORDER BY cell, pick_rk"""))
 
   // ------------------------------------------------------------ quantization
   /** Int8 embedding quantization audit: per-dimension global [min,max]

@@ -113,6 +113,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v_cluster_select: hash pre-gate bounds the rank window input") {
+    // the exact-rank window must consume the oversample-gated survivor
+    // set (~2·quota·k rows), not the full corpus: the gate Filter sits
+    // BELOW the Window in the plan, and the small count/quota frames
+    // broadcast
+    val df = q("v_cluster_select")
+    val s = PlanDescriber.simpleString(df)
+    val winAt = s.indexOf("Window")
+    assert(winAt >= 0, "expected one rank window")
+    val below = s.substring(winAt)
+    assert(below.contains("2000000"),
+      s"hash pre-gate filter is not below the window:\n${s.take(2000)}")
+    assert(PlanDescriber.broadcasts(df) >= 2,
+      "cell-count and quota frames should broadcast")
+  }
+
   test("normalized plan text is machine-stable") {
     val a = PlanDescriber.normalized(q("q06_scalar_agg"))
     val b = PlanDescriber.normalized(q("q06_scalar_agg"))

@@ -49,7 +49,8 @@ class RegistrySpec extends SparkSpec {
     "x_regex_funcs" -> 30, "x_lateral_explode" -> 166, "x_bitwise" -> 40,
     "x_scalar_funcs" -> 60,
     "t_chunk_dedup" -> 20, "t_tfidf" -> 10, "e_interval_join" -> 2,
-    "v_mrl_ann" -> 9, "v_bq_ann" -> 9, "v_dim_stats" -> 64,
+    "v_mrl_ann" -> 9, "v_bq_ann" -> 9, "v_cluster_select" -> 390,
+    "v_dim_stats" -> 64,
     "t_dedup_clusters" -> 45, "p_dedup_canonical" -> 21,
     "g_triangle_count" -> 1, "g_degree_hist" -> 3, "g_jaccard_links" -> 10,
     "x_map_funcs" -> 20, "x_cond_agg" -> 3, "x_stats_agg" -> 3,
