@@ -26,7 +26,7 @@ object TextOps {
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
-    gopherRules, bpeTrain)
+    gopherRules, bpeTrain, bpeApply)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1283,63 +1283,65 @@ object TextOps {
     * the tokenizer artifact a training pipeline ships. */
   private val bpeMerges = 8
 
-  val bpeTrain: GQuery = GQuery(
-    "t_bpe_train",
-    "BPE tokenizer training: 8 greedy merge rounds over the word-frequency dict",
-    (spark, dir) => {
-      val d = spread(Catalog.table(spark, dir, "documents"))
-      val wc = d.select(explode(toks(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      var words = wc.withColumn("syms",
-        expr("concat(transform(sequence(1, length(word))," +
-          " i -> substring(word, i, 1)), array('_'))"))
-      val merges = Seq.newBuilder[DataFrame]
-      for (step <- 1 to bpeMerges) {
-        val pairs = words.select(col("cnt"), explode(expr(
-          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
-            " (a, b) -> struct(a AS p1, b AS p2))")).as("p"))
-          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-          .agg(sum(col("cnt")).as("pc"))
-        val best = pairs.orderBy(col("pc").desc, col("p1"), col("p2")).limit(1)
-        merges += best.select(lit(step).as("step"), col("p1"), col("p2"),
-          concat(col("p1"), col("p2")).as("merged"), col("pc"))
-        words = words.crossJoin(broadcast(best.select(col("p1"), col("p2"))))
-          .select(col("word"), col("cnt"), expr(
-            "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->" +
-              " IF(size(acc) > 0 AND element_at(acc, -1) = p1 AND s = p2," +
-              " concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2)))," +
-              " concat(acc, array(s))))").as("syms"))
-        if (step % 2 == 0 && step < bpeMerges) words = words.localCheckpoint()
-      }
-      merges.result().reduce(_ union _).orderBy(col("step"))
-    },
-    Some {
-      val rounds = (1 to bpeMerges).map { i =>
-        val prev = if (i == 1) "w0" else s"w${i - 1}"
-        s"""
-        pr_$i AS (SELECT syms[gs] AS p1, syms[gs + 1] AS p2, cnt
-                  FROM (SELECT syms, cnt,
-                               unnest(generate_series(1, len(syms) - 1)) AS gs
-                        FROM $prev)),
-        best_$i AS MATERIALIZED (
-          SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS pc
-          FROM pr_$i GROUP BY p1, p2
-          ORDER BY pc DESC, p1, p2 LIMIT 1),
-        w$i AS MATERIALIZED (
-          SELECT word, cnt,
-                 list_reduce(list_transform(syms, s -> [s]),
-                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.p1
-                                         AND x[1] = b.p2
-                               THEN acc[1:len(acc) - 1] || [b.p1 || b.p2]
-                               ELSE acc || x END) AS syms
-          FROM $prev CROSS JOIN best_$i b)"""
-      }.mkString(",")
-      val unions = (1 to bpeMerges).map(i =>
-        s"SELECT $i AS step, p1, p2, p1 || p2 AS merged, pc FROM best_$i")
-        .mkString(" UNION ALL ")
+  /** The shared BPE fit: (final dict frame `(word, cnt, syms)` after all
+    * merge rounds, per-round 1-row merge frames). Consumed by both
+    * [[bpeTrain]] (emits the merge table) and [[bpeApply]] (segments the
+    * corpus with the final dict). */
+  private def bpeFit(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val d = spread(Catalog.table(spark, dir, "documents"))
+    val wc = d.select(explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var words = wc.withColumn("syms",
+      expr("concat(transform(sequence(1, length(word))," +
+        " i -> substring(word, i, 1)), array('_'))"))
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to bpeMerges) {
+      val pairs = words.select(col("cnt"), explode(expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
+          " (a, b) -> struct(a AS p1, b AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("cnt")).as("pc"))
+      val best = pairs.orderBy(col("pc").desc, col("p1"), col("p2")).limit(1)
+      merges += best.select(lit(step).as("step"), col("p1"), col("p2"),
+        concat(col("p1"), col("p2")).as("merged"), col("pc"))
+      words = words.crossJoin(broadcast(best.select(col("p1"), col("p2"))))
+        .select(col("word"), col("cnt"), expr(
+          "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->" +
+            " IF(size(acc) > 0 AND element_at(acc, -1) = p1 AND s = p2," +
+            " concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2)))," +
+            " concat(acc, array(s))))").as("syms"))
+      if (step % 2 == 0 && step < bpeMerges) words = words.localCheckpoint()
+    }
+    (words, merges.result())
+  }
+
+  /** Oracle twin of [[bpeFit]]: CTE block ending in `w$bpeMerges` (the
+    * final dict) and `best_1..best_$bpeMerges` (the merges) — shared
+    * verbatim by both BPE oracles so the fit is provably the same. */
+  private lazy val bpeSqlCtes: String = {
+    val rounds = (1 to bpeMerges).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""
-      WITH wc AS MATERIALIZED (
+      pr_$i AS (SELECT syms[gs] AS p1, syms[gs + 1] AS p2, cnt
+                FROM (SELECT syms, cnt,
+                             unnest(generate_series(1, len(syms) - 1)) AS gs
+                      FROM $prev)),
+      best_$i AS MATERIALIZED (
+        SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS pc
+        FROM pr_$i GROUP BY p1, p2
+        ORDER BY pc DESC, p1, p2 LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT word, cnt,
+               list_reduce(list_transform(syms, s -> [s]),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.p1
+                                       AND x[1] = b.p2
+                             THEN acc[1:len(acc) - 1] || [b.p1 || b.p2]
+                             ELSE acc || x END) AS syms
+        FROM $prev CROSS JOIN best_$i b)"""
+    }.mkString(",")
+    s"""wc AS MATERIALIZED (
         SELECT word, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE regexp_matches(word, '^[a-z]+${"$"}')
@@ -1348,7 +1350,61 @@ object TextOps {
         SELECT word, cnt,
                list_transform(range(1, length(word) + 1), i -> word[i:i])
                  || ['_'] AS syms
-        FROM wc),$rounds
+        FROM wc),$rounds"""
+  }
+
+  val bpeTrain: GQuery = GQuery(
+    "t_bpe_train",
+    "BPE tokenizer training: 8 greedy merge rounds over the word-frequency dict",
+    (spark, dir) => {
+      val (_, merges) = bpeFit(spark, dir)
+      merges.reduce(_ union _).orderBy(col("step"))
+    },
+    Some {
+      val unions = (1 to bpeMerges).map(i =>
+        s"SELECT $i AS step, p1, p2, p1 || p2 AS merged, pc FROM best_$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $bpeSqlCtes
       SELECT step, p1, p2, merged, pc FROM ($unions) ORDER BY step"""
     })
+
+  /** BPE segmentation applied back to the corpus: every word joins the
+    * final trained dict (vocab-sized — broadcastable at any corpus scale,
+    * the tokenizer-as-lookup-table production shape), and the per-source
+    * rollup reports character-level vs BPE token counts and the permille
+    * compression the 8 merges bought. All-integer outputs. */
+  val bpeApply: GQuery = GQuery(
+    "t_bpe_apply",
+    "segment the corpus with the trained BPE dict: per-source compression audit",
+    (spark, dir) => {
+      val (dict, _) = bpeFit(spark, dir)
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      val docWords = d.select(col("source"), explode(toks(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      docWords.join(broadcast(dict.select(col("word"),
+          (length(col("word")) + 1).cast("long").as("n_char"),
+          size(col("syms")).cast("long").as("n_bpe"))), "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_char")).as("n_chartokens"),
+          sum(col("n_bpe")).as("n_bpetokens"))
+        .withColumn("compression_pm",
+          expr("(1000 * n_bpetokens) div n_chartokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH $bpeSqlCtes,
+      dw AS (SELECT source, word
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+             WHERE regexp_matches(word, '^[a-z]+${"$"}'))
+      SELECT source, COUNT(*) AS n_words,
+             CAST(SUM(length(dw.word) + 1) AS BIGINT) AS n_chartokens,
+             CAST(SUM(len(syms)) AS BIGINT) AS n_bpetokens,
+             (1000 * CAST(SUM(len(syms)) AS BIGINT))
+               // CAST(SUM(length(dw.word) + 1) AS BIGINT) AS compression_pm
+      FROM dw JOIN w$bpeMerges w ON w.word = dw.word
+      GROUP BY source
+      ORDER BY source"""))
 }

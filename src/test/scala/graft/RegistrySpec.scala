@@ -68,7 +68,8 @@ class RegistrySpec extends SparkSpec {
     "r_dsir_select" -> 20, "r_ppl_buckets" -> 15,
     "g_pagerank" -> 10, "e_scd2" -> 802,
     "t_dup_ngrams" -> 20, "p_split" -> 15,
-    "t_gopher_rules" -> 20, "t_bpe_train" -> 8, "r_hybrid_rrf" -> 15,
+    "t_gopher_rules" -> 20, "t_bpe_train" -> 8, "t_bpe_apply" -> 20,
+    "r_hybrid_rrf" -> 15,
     "m_phash_buckets" -> 10,
     "x_variant_json" -> 5, "e_attribution" -> 30, "v_drift_monitor" -> 10,
     "x_set_ops_all" -> 1, "e_funnel_steps" -> 1)
