@@ -21,7 +21,7 @@ object EventOps {
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
-      attribution, funnelSteps)
+      attribution, funnelSteps, slidingStats, markovTransitions)
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern
@@ -547,4 +547,76 @@ object EventOps {
              valid_to_us IS NULL AS is_current, n_events
       FROM s
       ORDER BY user_id, version"""))
+
+  // ------------------------------------------------------------ sliding windows
+  /** Sliding-window statistics (1 h window, 15 min slide): each event
+    * expands to the window_len/slide = 4 window slots that contain it
+    * (integer bucket arithmetic on the epoch-nanos BIGINT — no timestamp
+    * rounding to diverge on), then ONE keyed aggregate. The expansion
+    * factor is the only cost over tumbling windows, and map-side partial
+    * aggregation collapses each (slot, type) per task before the
+    * shuffle — the standard batch twin of a streaming sliding window at
+    * any scale. Partial windows at the corpus edges are kept (the same
+    * semantics Spark's own `window(ts, len, slide)` emits). */
+  val slidingStats: GQuery = GQuery(
+    "e_sliding_stats",
+    "sliding 1h/15min window x type: counts and exact value sums",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      e.select(col("event_type"), col("value"),
+          expr("ts div 900000000000").as("b"))
+        .select(col("event_type"), col("value"),
+          explode(expr("sequence(b - 3, b)")).as("s"))
+        .groupBy((col("s") * 900).as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tot_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""
+      SELECT s * 900 AS win_start, event_type, COUNT(*) AS n,
+             ${dsumSql("value")} AS tot_value
+      FROM (SELECT event_type, value,
+                   unnest(generate_series(b - 3, b)) AS s
+            FROM (SELECT event_type, value,
+                         epoch_ns(ts) // 900000000000 AS b
+                  FROM events) t1) t2
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""))
+
+  // ------------------------------------------------------------ transitions
+  /** First-order Markov transition matrix over each user's event stream:
+    * next event via LEAD on a user-partitioned window ((ts, event_id)
+    * order — tie-stable), transition counts, and the per-source-state
+    * probability in exact integer permille. The per-key window is the
+    * sessionize scale shape (never a global sort); the transition table
+    * itself is |event_types|² rows, driver-tiny at any corpus size —
+    * the behavioral-model fit a product-analytics engine ships. */
+  val markovTransitions: GQuery = GQuery(
+    "e_markov_transitions",
+    "per-user event-type transition counts with integer-permille probabilities",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p_pm", expr(
+          "(1000 * n) div sum(n) OVER (PARTITION BY from_type)"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             (1000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS p_pm
+      FROM c
+      ORDER BY from_type, to_type"""))
 }
