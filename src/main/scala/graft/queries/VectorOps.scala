@@ -26,7 +26,7 @@ object VectorOps {
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
       quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor,
-      clusterSelect)
+      clusterSelect, pcaPower)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -606,6 +606,123 @@ object VectorOps {
       SELECT dropped_id, kept_id, ROUND(sim, 6) AS sim
       FROM kept WHERE rn = 1
       ORDER BY dropped_id"""))
+
+  // ------------------------------------------------------------ PCA (power iteration)
+  /** Top principal component by distributed power iteration — the
+    * whitening/dim-reduction/drift-analysis fit of an embedding pipeline.
+    * One corpus pass builds the exact 64×64 covariance matrix: per-vector
+    * cross products for i ≤ j only (symmetry halves the 4096-per-row
+    * expansion; the mirrored half is expanded back after aggregation —
+    * integer sums are multiset-equal either way, so the oracle's
+    * straightforward full-grid build is provably byte-identical),
+    * accumulated as fix6 BIGINTs (partition-order-free), with the final
+    * covariance a FIXED scalar double formula over those exact integers —
+    * bit-identical on any engine. The 8 power-iteration rounds then touch
+    * only the 64-row matrix frame: each matvec row is a sequential
+    * zip-fold (the dotSql discipline), the per-round rescale divides by
+    * MAX|w| (an exact aggregate, no order-dependent double sum), and the
+    * final L2 normalization is one fold over the position-sorted vector.
+    * At 100 TB: covariance is the only corpus scan (constant 2080
+    * products per row, map-side partials shrink the shuffle to 2080
+    * groups); iterations are corpus-free. Production would iterate to
+    * tolerance; the operator contract pins 8 rounds from the all-ones
+    * start so the fit is a deterministic function of the data. */
+  private val pcaIters = 8
+
+  val pcaPower: GQuery = GQuery(
+    "v_pca_power",
+    s"top principal component: exact covariance + $pcaIters power iterations",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val flat = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("p0", "x0")))
+        .select(col("vec_id"), (col("p0") + 1).as("i"),
+          col("x0").cast("double").as("x"))
+      val sUpper = flat.as("a").join(flat.as("b"), "vec_id")
+        .filter(col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          fix6(col("a.x") * col("b.x")).as("f"))
+        .groupBy(col("i"), col("j")).agg(sum(col("f")).as("sxy"))
+      val s2 = sUpper.union(sUpper.filter(col("i") < col("j"))
+        .select(col("j"), col("i"), col("sxy")))
+      val s1 = flat.groupBy(col("i")).agg(sum(fix6(col("x"))).as("sx"))
+      val nr = e.agg(count(lit(1)).as("n"))
+      val c0 = s2.join(broadcast(s1.select(col("i"), col("sx").as("sxi"))), "i")
+        .join(broadcast(s1.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+        .crossJoin(broadcast(nr))
+        .select(col("i"), col("j"),
+          ((col("sxy").cast("double") / 1000000.0d) / col("n") -
+            (col("sxi").cast("double") / 1000000.0d / col("n")) *
+            (col("sxj").cast("double") / 1000000.0d / col("n"))).as("c"))
+      val cmat = c0.groupBy(col("i"))
+        .agg(expr("transform(sort_array(collect_list(struct(j, c)))," +
+          " s -> s.c)").as("row_arr"))
+        .localCheckpoint()
+      var v = spark.range(1).select(expr(
+        "transform(sequence(1, 64), p -> CAST(1.0 AS DOUBLE))").as("v_arr"))
+      for (t <- 1 to pcaIters) {
+        val w = cmat.crossJoin(broadcast(v))
+          .select(col("i"), expr(
+            "aggregate(zip_with(row_arr, v_arr, (x, y) -> x * y)," +
+              " CAST(0.0 AS DOUBLE), (a, b) -> a + b)").as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("i"), (col("w") / col("m")).as("wn"))
+          .groupBy()
+          .agg(expr("transform(sort_array(collect_list(struct(i, wn)))," +
+            " s -> s.wn)").as("v_arr"))
+        if (t % 2 == 0 && t < pcaIters) v = v.localCheckpoint()
+      }
+      v.select(col("v_arr"), expr(
+          "aggregate(transform(v_arr, x -> x * x)," +
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)").as("ss"))
+        .select(col("ss"), posexplode(col("v_arr")).as(Seq("p0", "lv")))
+        .select((col("p0") + 1).cast("int").as("pos"),
+          round(col("lv") / sqrt(col("ss")), 6).as("loading"))
+        .orderBy(col("pos"))
+    },
+    Some {
+      val iters = (1 to pcaIters).map { t =>
+        val prev = if (t == 1) "v_0" else s"v_${t - 1}"
+        s"""
+        w_$t AS (SELECT i, list_reduce(list_transform(
+                   list_zip(row_arr, v_arr), x -> x[1] * x[2]),
+                   (a, b) -> a + b) AS w
+                 FROM cmat CROSS JOIN $prev),
+        m_$t AS (SELECT MAX(ABS(w)) AS m FROM w_$t),
+        v_$t AS MATERIALIZED (SELECT list(w / m ORDER BY i) AS v_arr
+                 FROM w_$t CROSS JOIN m_$t)"""
+      }.mkString(",")
+      s"""
+      WITH flat AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      s2 AS (SELECT a.i AS i, b.i AS j,
+                    SUM(CAST(FLOOR(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS sxy
+             FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+             GROUP BY 1, 2),
+      s1 AS (SELECT i, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sx
+             FROM flat GROUP BY i),
+      nr AS (SELECT COUNT(*) AS n FROM embeddings),
+      c0 AS (SELECT s2.i, s2.j,
+                    (CAST(sxy AS DOUBLE) / 1000000.0) / n -
+                    (CAST(a.sx AS DOUBLE) / 1000000.0 / n) *
+                    (CAST(b.sx AS DOUBLE) / 1000000.0 / n) AS c
+             FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j
+             CROSS JOIN nr),
+      cmat AS MATERIALIZED (
+        SELECT i, list(c ORDER BY j) AS row_arr FROM c0 GROUP BY i),
+      v_0 AS (SELECT list_transform(range(1, 65),
+                p -> CAST(1.0 AS DOUBLE)) AS v_arr),$iters,
+      fin AS (SELECT v_arr, list_reduce(list_transform(v_arr, x -> x * x),
+                (a, b) -> a + b) AS ss
+              FROM v_$pcaIters)
+      SELECT CAST(gs AS INTEGER) AS pos,
+             ROUND(v_arr[gs] / sqrt(ss), 6) AS loading
+      FROM (SELECT ss, v_arr, generate_subscripts(v_arr, 1) AS gs FROM fin) t
+      ORDER BY pos"""
+    })
 
   // ------------------------------------------------------------ cluster-balanced selection
   /** Cluster-balanced coreset selection: equalize the training mix across
