@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object RetrievalOps {
 
   def queries: Seq[GQuery] = Seq(bm25Search, docPerplexity, dsirSelect, pplBuckets,
-    hybridRrf)
+    hybridRrf, mmrRerank)
 
   // ------------------------------------------------------------ BM25
   private val bmK1 = 1.2
@@ -35,41 +35,42 @@ object RetrievalOps {
     * are a fix6-exact integer sum over ≤|terms| contributions; the final
     * top-10 is TakeOrderedAndProject — NO global window, no single-task
     * sort, at any corpus size. */
-  val bm25Search: GQuery = GQuery(
-    "r_bm25_search",
-    s"BM25 top-10 documents for query terms ${bmTerms.mkString("/")}",
-    (spark, dir) => {
-      val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-      val stats = d.agg(count(lit(1)).as("n_docs"),
-        davg(col("dl").cast("double")).as("avgdl"))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
-        .filter(col("tok").isInCollection(bmTerms))
-        .groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // idf on the fix6 grid: ln is the one operator without a
-      // bit-identical cross-engine guarantee
-      val idf6 = (floor(
-        log(lit(1.0d) + (col("n_docs").cast("double") - col("df") + 0.5d) /
-          (col("df").cast("double") + 0.5d)) * 1000000.0d + 0.5d) / 1000000.0d)
-      val contrib = col("idf") * (col("tf").cast("double") * lit(bmK1 + 1.0d)) /
-        (col("tf").cast("double") +
-          lit(bmK1) * (lit(1.0d - bmB) + lit(bmB) * col("dl").cast("double") / col("avgdl")))
-      tf.join(broadcast(df), "tok")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), idf6.as("idf"), col("tf"), col("dl"), col("avgdl"))
-        .select(col("doc_id"), contrib.as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(dsum(col("c")), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-    },
-    Some(s"""
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
-                        len(string_split(text, ' ')) AS dl
-                 FROM documents),
+  /** Shared BM25 scoring frame `(doc_id, score)` — consumed by
+    * [[bm25Search]] (top-10) and [[mmrRerank]] (top-20 shortlist). */
+  private def bm25Scored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      davg(col("dl").cast("double")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isInCollection(bmTerms))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // idf on the fix6 grid: ln is the one operator without a
+    // bit-identical cross-engine guarantee
+    val idf6 = (floor(
+      log(lit(1.0d) + (col("n_docs").cast("double") - col("df") + 0.5d) /
+        (col("df").cast("double") + 0.5d)) * 1000000.0d + 0.5d) / 1000000.0d)
+    val contrib = col("idf") * (col("tf").cast("double") * lit(bmK1 + 1.0d)) /
+      (col("tf").cast("double") +
+        lit(bmK1) * (lit(1.0d - bmB) + lit(bmB) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), idf6.as("idf"), col("tf"), col("dl"), col("avgdl"))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(dsum(col("c")), 6).as("score"))
+  }
+
+  /** Oracle twin of [[bm25Scored]]: CTE block ending in a
+    * `bmscore(doc_id, score)` view — shared by both retrieval oracles. */
+  private val bm25SqlCtes: String = s"""
+      d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents),
       stats AS (SELECT COUNT(*) AS n_docs, ${davgSql("CAST(dl AS DOUBLE)")} AS avgdl
                 FROM d),
       tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
@@ -77,7 +78,7 @@ object RetrievalOps {
              WHERE tok IN (${bmTerms.map("'" + _ + "'").mkString(", ")})
              GROUP BY doc_id, dl, tok),
       df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-      scored AS (
+      contrib AS (
         SELECT tf.doc_id,
                (FLOOR(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) /
                                (CAST(df AS DOUBLE) + 0.5)) * 1000000 + 0.5)
@@ -85,10 +86,21 @@ object RetrievalOps {
                (CAST(tf AS DOUBLE) * ${bmK1 + 1.0}) /
                (CAST(tf AS DOUBLE) +
                 $bmK1 * (1.0 - $bmB + $bmB * CAST(dl AS DOUBLE) / avgdl)) AS c
-        FROM tf JOIN df USING (tok) CROSS JOIN stats)
-      SELECT doc_id, ROUND(${dsumSql("c")}, 6) AS score
-      FROM scored
-      GROUP BY doc_id
+        FROM tf JOIN df USING (tok) CROSS JOIN stats),
+      bmscore AS (
+        SELECT doc_id, ROUND(${dsumSql("c")}, 6) AS score
+        FROM contrib GROUP BY doc_id)"""
+
+  val bm25Search: GQuery = GQuery(
+    "r_bm25_search",
+    s"BM25 top-10 documents for query terms ${bmTerms.mkString("/")}",
+    (spark, dir) =>
+      bm25Scored(spark, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10),
+    Some(s"""
+      WITH $bm25SqlCtes
+      SELECT doc_id, score FROM bmscore
       ORDER BY score DESC, doc_id
       LIMIT 10"""))
 
@@ -416,4 +428,118 @@ object RetrievalOps {
             FROM fused) t
       WHERE rk <= 5
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ MMR rerank
+  private val mmrShort = 20
+  private val mmrPicks = 8
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998) over the BM25 shortlist: greedily pick the doc maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, λ = 0.7 —
+    * the standard redundancy-removal rerank between retrieval and a
+    * context window. Engine-exact throughout: relevance is the fix6
+    * BM25 score normalized to integer permille of the query's best
+    * score, inter-doc similarity is distinct-unigram Jaccard in integer
+    * permille ((1000·|∩|) div |∪| — both operands positive, so trunc
+    * and floor division agree), and the MMR objective is the all-BIGINT
+    * 7·rel_pm − 3·maxsim_pm with doc_id tie-breaks. Scale shape: the
+    * corpus-sized work is exactly [[bm25Scored]] (one scan, broadcast
+    * stats, TakeOrdered shortlist); the greedy loop and the pairwise
+    * similarity table live on the ≤[[mmrShort]]-row shortlist —
+    * driver-tiny at any corpus size, localCheckpointed every second
+    * pick to keep the unrolled plan linear in picks. */
+  val mmrRerank: GQuery = GQuery(
+    "r_mmr_rerank",
+    s"MMR-diversified top-$mmrPicks rerank of the BM25 top-$mmrShort shortlist",
+    (spark, dir) => {
+      val short0 = bm25Scored(spark, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(mmrShort)
+        .select(col("doc_id"),
+          expr("CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)").as("f"))
+      val fmax = short0.agg(max(col("f")).as("fmax"))
+      val short = short0.crossJoin(broadcast(fmax))
+        .select(col("doc_id"), expr("(1000 * f) div fmax").as("rel_pm"))
+        .localCheckpoint()
+      val toksOf = Catalog.table(spark, dir, "documents")
+        .join(short.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ta"))
+      val pairs = toksOf.as("x").join(toksOf.as("y"),
+          col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          expr("(1000 * size(array_intersect(x.ta, y.ta)))" +
+            " div size(array_distinct(concat(x.ta, y.ta)))").as("jac_pm"))
+        .localCheckpoint()
+      var sel = short
+        .select(col("doc_id"), col("rel_pm"), lit(0L).as("maxsim_pm"),
+          (lit(7L) * col("rel_pm")).as("mmr"))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .select(lit(1).as("mmr_rk"), col("doc_id"), col("rel_pm"),
+          col("maxsim_pm"), col("mmr"))
+      for (step <- 2 to mmrPicks) {
+        val cand = short.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val ms = pairs.join(sel.select(col("doc_id").as("b_id")), "b_id")
+          .groupBy(col("a_id").as("doc_id"))
+          .agg(max(col("jac_pm")).as("maxsim_pm"))
+        val pick = cand.join(ms, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("rel_pm"),
+            coalesce(col("maxsim_pm"), lit(0L)).as("maxsim_pm"))
+          .withColumn("mmr",
+            lit(7L) * col("rel_pm") - lit(3L) * col("maxsim_pm"))
+          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+          .select(lit(step).as("mmr_rk"), col("doc_id"), col("rel_pm"),
+            col("maxsim_pm"), col("mmr"))
+        sel = sel.union(pick)
+        if (step % 2 == 0 && step < mmrPicks) sel = sel.localCheckpoint()
+      }
+      sel.orderBy(col("mmr_rk"))
+    },
+    Some {
+      val steps = (2 to mmrPicks).map { t =>
+        val prev = s"sel_${t - 1}"
+        s"""
+        ms_$t AS (SELECT a_id AS doc_id, MAX(jac_pm) AS maxsim_pm
+                  FROM pairs JOIN $prev s ON s.doc_id = pairs.b_id
+                  GROUP BY a_id),
+        pick_$t AS (
+          SELECT $t AS mmr_rk, c.doc_id, c.rel_pm,
+                 COALESCE(m.maxsim_pm, 0) AS maxsim_pm,
+                 7 * c.rel_pm - 3 * COALESCE(m.maxsim_pm, 0) AS mmr
+          FROM short c
+          LEFT JOIN ms_$t m ON m.doc_id = c.doc_id
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+          ORDER BY mmr DESC, c.doc_id LIMIT 1),
+        sel_$t AS MATERIALIZED (
+          SELECT * FROM $prev UNION ALL
+          SELECT doc_id, rel_pm, maxsim_pm, mmr FROM pick_$t)"""
+      }.mkString(",")
+      s"""
+      WITH $bm25SqlCtes,
+      short0 AS (SELECT doc_id,
+                        CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS f
+                 FROM bmscore
+                 ORDER BY score DESC, doc_id LIMIT $mmrShort),
+      short AS MATERIALIZED (
+        SELECT doc_id,
+               CAST((1000 * f) // (SELECT MAX(f) FROM short0) AS BIGINT)
+                 AS rel_pm
+        FROM short0),
+      tk2 AS (SELECT d2.doc_id, list_distinct(string_split(d2.text, ' ')) AS ta
+              FROM documents d2 JOIN short USING (doc_id)),
+      pairs AS MATERIALIZED (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST((1000 * len(list_intersect(x.ta, y.ta)))
+                    // len(list_distinct(x.ta || y.ta)) AS BIGINT) AS jac_pm
+        FROM tk2 x JOIN tk2 y ON x.doc_id <> y.doc_id),
+      sel_1 AS MATERIALIZED (
+        SELECT doc_id, rel_pm, CAST(0 AS BIGINT) AS maxsim_pm,
+               7 * rel_pm AS mmr
+        FROM short ORDER BY 7 * rel_pm DESC, doc_id LIMIT 1),$steps,
+      fin AS (SELECT 1 AS mmr_rk, doc_id, rel_pm, maxsim_pm, mmr FROM sel_1
+              ${(2 to mmrPicks).map(t =>
+                s"UNION ALL SELECT $t, doc_id, rel_pm, maxsim_pm, mmr FROM pick_$t")
+                .mkString(" ")})
+      SELECT mmr_rk, doc_id, rel_pm, maxsim_pm, CAST(mmr AS BIGINT) AS mmr
+      FROM fin ORDER BY mmr_rk"""
+    })
 }
