@@ -31,16 +31,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Determinism: min() is order-free, so the labeling is unique — safe to
   * hash-compare across engines. The DuckDB oracle computes the same
-  * closure with a recursive CTE (Spark has no recursive CTE; the job
-  * loop IS the Spark-native equivalent, with `localCheckpoint` cutting
-  * the per-round lineage growth — on a multi-tenant cluster prefer
-  * reliable `checkpoint` to survive executor loss).
+  * closure with a recursive CTE (Spark 4 grew WITH RECURSIVE —
+  * `x_recursive_cte` proves it — but its UnionLoop appends every step's
+  * rows, the wrong shape for a label FIXPOINT that rewrites labels per
+  * round; the job loop IS the Spark-native equivalent, with
+  * `localCheckpoint` cutting the per-round lineage growth — on a
+  * multi-tenant cluster prefer reliable `checkpoint` to survive
+  * executor loss).
   */
 object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
     dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
-    pageRank)
+    pageRank, bfsHops)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -361,4 +364,69 @@ object GraphOps {
       ${(1 to prIters).map(iter).mkString(",")}
       SELECT node, pr FROM pr$prIters ORDER BY pr DESC, node LIMIT 10"""
     })
+
+  // ------------------------------------------------------------ BFS
+  private val bfsMaxHops = 3
+
+  /** Frontier BFS core, factored for structural tests: min-hop distance
+    * (node, hops ≤ [[bfsMaxHops]]) from the 3 smallest node ids of the
+    * undirected edge list. Classic frontier expansion: each round joins
+    * the CURRENT frontier (not the whole distance table) against the arc
+    * list, anti-joins out already-settled nodes, and the new frontier is
+    * exactly the nodes first reached this round — per-round shuffle cost
+    * ∝ |frontier|·avg-degree, total Σ = |reached arcs|, never
+    * nodes × rounds. Monotone min-distance semantics make the result
+    * order-free (deterministic, hash-gateable). Frontiers are
+    * lineage-cut per round ([[cut]]); 3 rounds keep even the reliable-
+    * checkpoint variant cheap. */
+  private[graft] def bfsHopsFrom(e: DataFrame): DataFrame = {
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .transform(cut) // edge derivation costs a self-join — derive once
+    val seeds = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .distinct().orderBy(col("node")).limit(3)
+    var dist = seeds.select(col("node"), lit(0L).as("hops")).transform(cut)
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to bfsMaxHops) {
+      val nxt = arcs
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .transform(cut)
+      frontier = nxt.select(col("node"))
+      dist = dist.union(nxt)
+    }
+    dist
+  }
+
+  /** Multi-source BFS hop distance — reachability radius over the
+    * co-purchase graph (curation analog: "how far does contamination
+    * spread from these seed documents through the near-dup graph").
+    * The DuckDB oracle is a depth-bounded recursive CTE aggregated with
+    * MIN(d): path enumeration is fine at oracle scale, while the engine
+    * side runs the frontier form that stays linear in |edges| at 100 TB
+    * (an unbounded path walk is exponential in the hop budget). */
+  val bfsHops: GQuery = GQuery(
+    "g_bfs_hops",
+    "multi-source frontier BFS: min hop distance (<=3) from 3 seed nodes",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      bfsHopsFrom(e).orderBy(col("node"))
+    },
+    Some(s"""
+      WITH RECURSIVE $edgesSql,
+      arcs AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+                            UNION ALL SELECT v, u FROM edges),
+      seeds AS (SELECT node FROM (SELECT u AS node FROM edges
+                                  UNION SELECT v FROM edges) t
+                ORDER BY node LIMIT 3),
+      walk(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION ALL
+        SELECT a.dst, w.d + 1 FROM walk w
+        JOIN arcs a ON a.src = w.node WHERE w.d < $bfsMaxHops)
+      SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+      FROM walk GROUP BY node ORDER BY node"""))
 }

@@ -22,7 +22,93 @@ object SqlFuncs {
   def queries: Seq[GQuery] = Seq(
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
-    lateralJoin, unpivotQ, windowDistribution, variantJson)
+    lateralJoin, unpivotQ, windowDistribution, variantJson, recursiveCte,
+    sqlUdf)
+
+  // ------------------------------------------------------------ recursion
+  /** WITH RECURSIVE calendar-spine gap-fill — the canonical recursive-CTE
+    * production pattern: a date spine LEFT-JOINs daily aggregates so
+    * zero-activity days survive (a plain GROUP BY silently drops them).
+    * Spark 4 executes the recursion as `UnionLoopExec` — the anchor seeds
+    * an iteration whose step output feeds the next step, the same shape
+    * [[GraphOps]] builds as an explicit driver job loop for CC/BFS, here
+    * expressed in pure SQL (DataFusion grew the same operator,
+    * RecursiveQueryExec — SURVEY §2b note).
+    *
+    * Scale shape: the recursion only ever touches the spine (bounded by
+    * the calendar — 31 rows here, a few thousand for a decade of days);
+    * the fact table aggregates FIRST through one ordinary two-phase agg,
+    * and the tiny spine joins the aggregate. Recursion depth is the
+    * calendar length, independent of data volume. */
+  val recursiveCte: GQuery = GQuery(
+    "x_recursive_cte",
+    "WITH RECURSIVE calendar-spine gap-fill over March-1995 orders",
+    (spark, dir) => {
+      Catalog.registerAll(spark, dir)
+      spark.sql("""
+        WITH RECURSIVE spine(day) AS (
+          SELECT DATE'1995-03-01'
+          UNION ALL SELECT date_add(day, 1) FROM spine WHERE day < DATE'1995-03-31'),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+                 COUNT(DISTINCT o_custkey) AS n_custs
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP'1995-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP'1995-04-01 00:00:00'
+          GROUP BY 1)
+        SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+               COALESCE(d.n_custs, 0) AS n_custs
+        FROM spine s LEFT JOIN daily d ON d.day = s.day
+        ORDER BY s.day""")
+    },
+    Some("""
+      WITH RECURSIVE spine(day) AS (
+        SELECT DATE '1995-03-01'
+        UNION ALL SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine
+        WHERE day < DATE '1995-03-31'),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+             COALESCE(d.n_custs, 0) AS n_custs
+      FROM spine s LEFT JOIN daily d ON d.day = s.day
+      ORDER BY s.day"""))
+
+  /** SQL-defined scalar UDFs (`CREATE TEMPORARY FUNCTION … RETURN expr`,
+    * Spark 4): the declarative UDF path. Unlike a JVM closure UDF the
+    * body is inlined into the plan at analysis time, so it stays inside
+    * whole-stage codegen and Catalyst pushes/prunes straight through it
+    * — the UDF surface with zero optimizer cost (the JVM typed-Aggregator
+    * and native-Expression paths are proven separately in
+    * AggregatorsSpec / `v_knn_native`). Oracle: the same bodies inlined
+    * by hand — definition and use site must agree semantically. */
+  val sqlUdf: GQuery = GQuery(
+    "x_sql_udf",
+    "SQL scalar UDFs (CREATE FUNCTION .. RETURN) inlined into an aggregate",
+    (spark, dir) => {
+      Catalog.registerAll(spark, dir)
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 150000 THEN 'mid' ELSE 'large' END""")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION urgent(pri STRING)
+        RETURNS BOOLEAN RETURN pri IN ('1-URGENT', '2-HIGH')""")
+      spark.sql("""
+        SELECT price_band(o_totalprice) AS band, COUNT(*) AS n_orders,
+               COUNT(IF(urgent(o_orderpriority), 1, NULL)) AS n_urgent
+        FROM orders GROUP BY 1 ORDER BY band""")
+    },
+    Some("""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'large' END AS band,
+             COUNT(*) AS n_orders,
+             COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END)
+               AS n_urgent
+      FROM orders GROUP BY 1 ORDER BY band"""))
 
   /** Distribution window functions: percent_rank, cume_dist, NTILE — the
     * remaining rank-family members (rank/dense_rank/row_number proven in

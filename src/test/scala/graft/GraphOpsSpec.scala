@@ -98,6 +98,38 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("frontier BFS equals brute-force shortest hops on seeded random graphs") {
+    import spark.implicits._
+    // the per-round frontier/anti-join machinery must agree with a
+    // driver-side Dijkstra-on-unit-weights on shapes it was never tuned
+    // for — including nodes beyond the hop budget (absent from output)
+    val rng = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val n = 6 + rng.nextInt(10)
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rng.nextDouble() < 0.25
+      } yield (u.toLong, v.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val got = GraphOps.bfsHopsFrom(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: BFS from the 3 smallest present node ids
+        val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val seeds = present.take(3)
+        val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2) }
+        var dist = seeds.map(_ -> 0L).toMap
+        var frontier = seeds.toSet
+        for (h <- 1 to 3) {
+          val nxt = frontier.flatMap(nbr.getOrElse(_, Nil)) -- dist.keySet
+          dist = dist ++ nxt.map(_ -> h.toLong)
+          frontier = nxt
+        }
+        assert(got === dist, s"trial $trial (n=$n, |E|=${edges.size})")
+      }
+    }
+  }
+
   test("g_jaccard_links scores are consistent with direct neighbor-set computation") {
     val rows = Registry.byName("g_jaccard_links").run(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -90,6 +90,37 @@ class SqlSpec extends SparkSpec {
     assert(sql === df)
   }
 
+  test("x_recursive_cte executes as an iterative UnionLoop, not an unrolled union") {
+    val df = Registry.byName("x_recursive_cte").run(spark, sf0001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("UnionLoop"), s"expected UnionLoopExec in:\n$s")
+    // gap-fill contract: every calendar day survives, zero-activity days as 0
+    val rows = df.collect()
+    assert(rows.length === 31)
+    assert(rows.map(_.getDate(0).toString).toSeq === // contiguous spine
+      (1 to 31).map(d => f"1995-03-$d%02d"))
+  }
+
+  test("x_sql_udf bodies are inlined at analysis time (no ScalaUDF, codegen intact)") {
+    val df = Registry.byName("x_sql_udf").run(spark, sf0001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("ScalaUDF"), s"SQL UDF fell back to a black-box UDF:\n$s")
+    // the function body appears as a plain CASE WHEN projected right above
+    // the scan — Catalyst sees through it (codegen + pushdown apply as if
+    // the user had written the expression by hand)
+    assert(s.contains("CASE WHEN"), s"expected the inlined body in:\n$s")
+    // and the result equals the hand-inlined expression path
+    val expect = Catalog.table(spark, sf0001, "orders")
+      .groupBy(when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "mid").otherwise("large").as("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("n_urgent"))
+      .orderBy("band")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
   test("explicit hash/round-robin/range repartitioning takes effect") {
     val l = Catalog.table(spark, sf0001, "lineitem")
     assert(Partitioning.numPartitions(Partitioning.roundRobin(l, 7)) === 7)
