@@ -21,7 +21,51 @@ object EventOps {
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
-      attribution, funnelSteps, slidingStats, markovTransitions)
+      attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv)
+
+  /** Cohort lifetime-value matrix: users grouped by first-activity week
+    * (their cohort), then per weeks-since-cohort age: how many are still
+    * active and what they spend. The canonical growth-analytics pivot
+    * input (cohort × age), and the curation analog of "contribution of
+    * each crawl snapshot's new documents over subsequent snapshots".
+    * Weekly grain because the fixture spans one month; the month form is
+    * the same query with a different trunc unit.
+    *
+    * Scale shape: the cohort assignment is one groupBy(user) min-week
+    * aggregate joined back on user_id — the per-user dimension shuffles
+    * once; the LTV matrix is one further two-phase agg on
+    * (cohort, age), whose cardinality is weeks² — tiny regardless of
+    * data volume. Week starts are exact integer day arithmetic on
+    * epoch-us (both engines trunc weeks to Monday); money through dsum
+    * (order-free fix6). */
+  val cohortLtv: GQuery = GQuery(
+    "a_cohort_ltv",
+    "cohort-week x weeks-since-cohort active users and revenue",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), col("value"),
+          trunc(expr("date_add(DATE'1970-01-01', CAST(ts div 86400000000000 AS INT))"),
+            "week").as("wk"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("age"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          dsum(col("value")).as("revenue"))
+        .orderBy(col("cohort"), col("age"))
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, value,
+                        date_trunc('week', CAST(ts AS DATE)) AS wk
+                 FROM events),
+      cohorts AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+      SELECT CAST(cohort AS DATE) AS cohort,
+             CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS age,
+             COUNT(DISTINCT e.user_id) AS n_active,
+             ${dsumSql("value")} AS revenue
+      FROM e JOIN cohorts ON e.user_id = cohorts.user_id
+      GROUP BY cohort, wk
+      ORDER BY cohort, age"""))
 
   /** Range join: each event lands in the value band containing it. With
     * a small band dimension this is the broadcast-nested-loop pattern

@@ -20,7 +20,7 @@ object Extras {
     unionDistinct,
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
-    dailyRollup, fuzzyMatch)
+    dailyRollup, fuzzyMatch, basketPairs)
 
   /** Blocked fuzzy entity matching — the edit-distance half of entity
     * resolution (the set-similarity half is TextOps' n-gram/minhash
@@ -631,6 +631,62 @@ object Extras {
     * fix6 makes the double revenue identical regardless of merge order or
     * engine). AVG-style partials would need (sum, count) pairs, never
     * pre-divided averages. */
+  /** Market-basket co-occurrence with lift — the classic retail
+    * affinity analysis (and, for corpus curation, the same shape as
+    * "which tag/source pairs co-occur more than independence predicts").
+    *
+    * Scale shape: pair generation is a self-join on the ORDER key, so
+    * per-order work is C(basket,2) with basket size bounded by the data
+    * model (≤7 lineitems/order in TPC-H) — Σk² like the triangle
+    * counter, never |items|². The per-part order counts are a
+    * |part|-sized dimension joined back (broadcast-eligible), and the
+    * total-order count is a 1-row aggregate cross-joined (the pinned
+    * scalar pattern). Lift = P(p1,p2)/(P(p1)·P(p2)) computed as one IEEE
+    * division of exact BIGINT products, round(·,6) — tie-free for
+    * integer ratios (same argument as g_jaccard_links). */
+  val basketPairs: GQuery = GQuery(
+    "a_basket_pairs",
+    "market-basket part-pair co-occurrence with lift vs independence",
+    (spark, dir) => {
+      val items = Catalog.table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = items.select(col("ok"), col("pk").as("p1"))
+        .join(items.select(col("ok"), col("pk").as("p2")), "ok")
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
+      val perPart = items.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+      val nOrders = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(perPart.withColumnRenamed("pk", "p1")
+          .withColumnRenamed("n_part", "n_p1")), "p1")
+        .join(broadcast(perPart.withColumnRenamed("pk", "p2")
+          .withColumnRenamed("n_part", "n_p2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("n_both"), col("n_p1"), col("n_p2"),
+          round((col("n_both") * col("n_orders")).cast(DoubleType) /
+            (col("n_p1") * col("n_p2")).cast(DoubleType), 6).as("lift"))
+        .orderBy(col("n_both").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+      pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_both
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      per_part AS (SELECT pk, COUNT(*) AS n_part FROM items GROUP BY pk),
+      tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items)
+      SELECT p1, p2, n_both, c1.n_part AS n_p1, c2.n_part AS n_p2,
+             ROUND(CAST(n_both * n_orders AS DOUBLE) /
+                   CAST(c1.n_part * c2.n_part AS DOUBLE), 6) AS lift
+      FROM pairs JOIN per_part c1 ON c1.pk = p1
+                 JOIN per_part c2 ON c2.pk = p2, tot
+      ORDER BY n_both DESC, p1, p2
+      LIMIT 20"""))
+
   val dailyRollup: GQuery = GQuery(
     "a_daily_rollup",
     "daily partial aggregates re-aggregated to monthly (partial-merge pattern)",

@@ -43,7 +43,7 @@ object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
     dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
-    pageRank, bfsHops)
+    pageRank, bfsHops, kCore)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -429,4 +429,80 @@ object GraphOps {
         JOIN arcs a ON a.src = w.node WHERE w.d < $bfsMaxHops)
       SELECT node, CAST(MIN(d) AS BIGINT) AS hops
       FROM walk GROUP BY node ORDER BY node"""))
+
+  // ------------------------------------------------------------ k-core
+  private val kCoreK = 2
+  private val kCoreOracleRounds = 12
+
+  /** Iterative k-core peel, factored for structural tests: repeatedly
+    * drop nodes whose degree (within the surviving subgraph) is < k
+    * until no node is dropped; return (node, deg) of the survivors with
+    * their in-core degree. The peel is confluent — WHICH order nodes
+    * are removed in never changes the fixpoint — so the result is
+    * deterministic and hash-gateable.
+    *
+    * Scale shape: each round is one semi-join of the arc list against
+    * the surviving node set (shuffle ∝ surviving arcs, shrinking
+    * monotonically) + one degree aggregate; the driver-side convergence
+    * check is a count action, not a data collect. Rounds are bounded by
+    * the peel depth (pendant-chain length — small for co-occurrence
+    * graphs; [[kCoreMaxRounds]] is a runaway stop). Lineage cut per
+    * round ([[cut]]). */
+  private[graft] val kCoreMaxRounds = 40
+  private[graft] def kCorePeel(e: DataFrame, k: Int): (DataFrame, Int) = {
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .transform(cut)
+    def degrees(nodes: DataFrame): DataFrame = arcs
+      .join(nodes.withColumnRenamed("node", "src"), "src")
+      .join(nodes.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var nodes = arcs.select(col("src").as("node")).distinct().transform(cut)
+    var n = nodes.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < kCoreMaxRounds) {
+      rounds += 1
+      val kept = degrees(nodes).filter(col("deg") >= k)
+        .select(col("node")).transform(cut)
+      val m = kept.count()
+      converged = m == n
+      n = m
+      nodes = kept
+    }
+    (degrees(nodes), rounds)
+  }
+
+  /** 2-core of the co-supply graph — strip pendant tendrils so only the
+    * cyclically-connected backbone remains (curation analog: drop
+    * documents whose near-dup evidence hangs off a single link before
+    * trusting cluster structure). The DuckDB oracle unrolls
+    * [[kCoreOracleRounds]] peel rounds as a CTE chain; KCoreSpec pins
+    * that the engine fixpoint lands within that budget, and the peel's
+    * confluence makes extra oracle rounds no-ops. */
+  val kCore: GQuery = GQuery(
+    "g_kcore",
+    s"$kCoreK-core backbone of the co-supply graph via iterative peeling",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      kCorePeel(e, kCoreK)._1.orderBy(col("node"))
+    },
+    Some {
+      def round(i: Int) = s"""
+        n$i AS (
+          SELECT src AS node, COUNT(*) AS deg FROM arcs
+          WHERE src IN (SELECT node FROM n${i - 1})
+            AND dst IN (SELECT node FROM n${i - 1})
+          GROUP BY src HAVING COUNT(*) >= $kCoreK)"""
+      s"""
+      WITH $edgesSql,
+      arcs AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+                            UNION ALL SELECT v, u FROM edges),
+      n0 AS (SELECT DISTINCT src AS node FROM arcs),
+      ${(1 to kCoreOracleRounds).map(round).mkString(",")}
+      SELECT src AS node, COUNT(*) AS deg FROM arcs
+      WHERE src IN (SELECT node FROM n$kCoreOracleRounds)
+        AND dst IN (SELECT node FROM n$kCoreOracleRounds)
+      GROUP BY src ORDER BY node"""
+    })
 }

@@ -23,7 +23,48 @@ object SqlFuncs {
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
     lateralJoin, unpivotQ, windowDistribution, variantJson, recursiveCte,
-    sqlUdf)
+    sqlUdf, tryFuncs)
+
+  /** Error-safe `try_*` arithmetic — the ANSI-mode safety valves. The
+    * session runs ANSI (GraftSession pins it, matching the reference's
+    * strict-SQL semantics), where 1/0 and bad casts THROW; the try_
+    * family turns row-level poison into NULLs so one malformed record
+    * can't kill a 100 TB job. Covered: try_divide (NULL on zero
+    * denominator), try_cast (NULL on unparseable string), try_element_at
+    * (NULL out of bounds). Division output is quantized via the fix6
+    * floor grid (pure IEEE per-row arithmetic — no round() tie risk;
+    * NULL propagates through floor/cast). Oracle: NULLIF guards +
+    * TRY_CAST + DuckDB's native NULL-on-OOB list indexing. */
+  val tryFuncs: GQuery = GQuery(
+    "x_try_funcs",
+    "try_divide/try_cast/try_element_at error-safe row-level arithmetic",
+    (spark, dir) => {
+      Catalog.registerAll(spark, dir)
+      spark.sql("""
+        SELECT o_orderkey,
+               o_custkey % 5 AS d,
+               CAST(FLOOR(try_divide(o_totalprice, o_custkey % 5)
+                          * 1000000 + 0.5) AS BIGINT) AS div6,
+               CAST(try_cast(CASE WHEN o_custkey % 3 = 0 THEN 'n/a'
+                                  ELSE CAST(o_custkey AS STRING) END
+                             AS INT) AS BIGINT) AS parsed,
+               try_element_at(split(o_orderpriority, '-'), 2) AS prio_word,
+               try_element_at(split(o_orderpriority, '-'), 3) AS beyond
+        FROM orders WHERE o_orderkey <= 200
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey,
+             o_custkey % 5 AS d,
+             CAST(FLOOR(o_totalprice / NULLIF(o_custkey % 5, 0)
+                        * 1000000 + 0.5) AS BIGINT) AS div6,
+             CAST(TRY_CAST(CASE WHEN o_custkey % 3 = 0 THEN 'n/a'
+                                ELSE CAST(o_custkey AS VARCHAR) END
+                           AS INTEGER) AS BIGINT) AS parsed,
+             string_split(o_orderpriority, '-')[2] AS prio_word,
+             string_split(o_orderpriority, '-')[3] AS beyond
+      FROM orders WHERE o_orderkey <= 200
+      ORDER BY o_orderkey"""))
 
   // ------------------------------------------------------------ recursion
   /** WITH RECURSIVE calendar-spine gap-fill — the canonical recursive-CTE

@@ -26,7 +26,7 @@ object TextOps {
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
-    gopherRules, bpeTrain, bpeApply)
+    gopherRules, bpeTrain, bpeApply, featureHash)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1407,4 +1407,55 @@ object TextOps {
       FROM dw JOIN w$bpeMerges w ON w.word = dw.word
       GROUP BY source
       ORDER BY source"""))
+
+  // --------------------------------------------------- feature hashing
+  /** Feature-hashing ("hashing trick") classifier plumbing — the exact
+    * Spark-side mechanics of a fastText-style linear text model at
+    * corpus scale: tokens hash into a fixed 4096-bucket feature space
+    * (no vocabulary build, no driver-side dictionary — the property that
+    * lets the featurizer run scan-parallel over 100 TB), sparse
+    * per-doc (bucket, count) features aggregate map-side, and the score
+    * is the sparse dot product against a dense weight table. The
+    * WEIGHTS here are a hash-derived deterministic stand-in (integer in
+    * [-1000, 1000] per bucket — no labeled training set exists in the
+    * fixture; a learned model would broadcast its real weight table into
+    * the identical plan), so the score column is exact integer
+    * arithmetic, hash-gateable on any engine.
+    *
+    * Scale shape: explode → two-phase agg on (doc, bucket) — the only
+    * shuffle, ∝ distinct (doc,bucket) pairs, ≤ token count; the weight
+    * "join" is pure per-row arithmetic (a real table would broadcast).
+    * Output is per-doc, one row per document. */
+  val featureHash: GQuery = GQuery(
+    "t_feature_hash",
+    "hashing-trick sparse features + linear score per doc (fastText plumbing)",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), pmod(h60(col("tok")), lit(4096L)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), col("bucket"), col("cnt"),
+          (pmod(h60(concat(lit("w"), col("bucket"))), lit(2001L)) - 1000L).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_features"), sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("w")).as("score"))
+        .withColumn("label", when(col("score") >= 0L, "pos").otherwise("neg"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH feat AS (
+        SELECT doc_id, ${h60Sql("tok")} % 4096 AS bucket, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, bucket),
+      scored AS (
+        SELECT doc_id, bucket, cnt,
+               ${h60Sql("'w' || bucket")} % 2001 - 1000 AS w
+        FROM feat)
+      SELECT doc_id, COUNT(*) AS n_features,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * w) AS BIGINT) AS score,
+             CASE WHEN CAST(SUM(cnt * w) AS BIGINT) >= 0
+                  THEN 'pos' ELSE 'neg' END AS label
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 }

@@ -130,6 +130,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-core peel equals brute-force peel on seeded random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 8).foreach { trial =>
+      val n = 6 + rng.nextInt(10)
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rng.nextDouble() < 0.3
+      } yield (u.toLong, v.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val (df, _) = GraphOps.kCorePeel(edges.toDF("u", "v"), 2)
+        val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute-force confluent peel
+        var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        var changed = true
+        def deg(s: Set[Long]) = edges.filter(e => s(e._1) && s(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        while (changed) {
+          val d = deg(alive)
+          val kept = alive.filter(v => d.getOrElse(v, 0L) >= 2)
+          changed = kept != alive
+          alive = kept
+        }
+        assert(got === deg(alive).toMap, s"trial $trial (n=$n, |E|=${edges.size})")
+      }
+    }
+  }
+
+  test("g_kcore engine fixpoint lands within the oracle's unrolled round budget") {
+    // the DuckDB oracle unrolls 12 peel rounds; the engine loop must
+    // converge at least that fast on the fixture graph or the two sides
+    // would diverge at the gate
+    val e = GraphOps.coSupplyEdges(Catalog.table(spark, sf0001, "lineitem"))
+    val (_, rounds) = GraphOps.kCorePeel(e, 2)
+    assert(rounds <= 12, s"engine needed $rounds rounds, oracle unrolls 12")
+  }
+
   test("g_jaccard_links scores are consistent with direct neighbor-set computation") {
     val rows = Registry.byName("g_jaccard_links").run(spark, sf0001).collect()
     assert(rows.nonEmpty)

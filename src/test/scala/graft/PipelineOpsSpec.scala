@@ -171,6 +171,45 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ hybrid RRF
+  test("feature hash: buckets bounded, label matches score sign, tokens conserved") {
+    val rows = Registry.byName("t_feature_hash").run(spark, sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (nFeat, nTok, score, label) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nFeat >= 1 && nFeat <= 4096, "feature count within hash space")
+      assert(nTok >= nFeat, "sparse features can't exceed token count")
+      assert(label === (if (score >= 0) "pos" else "neg"))
+    }
+    // n_tokens must equal the raw whitespace token count (nothing dropped
+    // by the hashing trick — every token lands in some bucket)
+    val d = Catalog.table(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) === d(r.getLong(0)), s"doc ${r.getLong(0)}"))
+  }
+
+  test("basket pairs: lift and counts agree with direct per-order recomputation") {
+    val rows = Registry.byName("a_basket_pairs").run(spark, sf0001).collect()
+    assert(rows.length === 20)
+    val items = Catalog.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val perPart = items.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nOrders = byOrder.size.toLong
+    rows.foreach { r =>
+      val (p1, p2, nBoth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val direct = byOrder.values.count(s => s(p1) && s(p2)).toLong
+      assert(nBoth === direct, s"pair ($p1,$p2)")
+      assert(r.getLong(3) === perPart(p1) && r.getLong(4) === perPart(p2))
+      val lift = (nBoth * nOrders).toDouble / (perPart(p1) * perPart(p2)).toDouble
+      val expected = new java.math.BigDecimal(lift) // Spark round() = HALF_UP
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(r.getDouble(5) === expected, s"lift ($p1,$p2)")
+    }
+  }
+
   test("hybrid rrf: per-query top-5, scores bounded and monotone, legs agree") {
     val rows = Registry.byName("r_hybrid_rrf").run(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
