@@ -20,7 +20,7 @@ object Extras {
     unionDistinct,
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
-    dailyRollup, fuzzyMatch, basketPairs)
+    dailyRollup, fuzzyMatch, basketPairs, zorderQ)
 
   /** Blocked fuzzy entity matching — the edit-distance half of entity
     * resolution (the set-similarity half is TextOps' n-gram/minhash
@@ -686,6 +686,33 @@ object Extras {
                  JOIN per_part c2 ON c2.pk = p2, tot
       ORDER BY n_both DESC, p1, p2
       LIMIT 20"""))
+
+  /** Cross-engine proof of the [[graft.plans.ZOrder]] interleave
+    * expression: the z-value is pure shift/and/add integer arithmetic,
+    * so the 64-cell histogram of the corpus's z-space occupancy must
+    * hash-match DuckDB computing the identical formula. The LAYOUT
+    * benefit (files written in z order prune on BOTH filter columns via
+    * ordinary footer min-max stats) is measured in ZOrderSpec with real
+    * parquet reads — a result-hash gate can't see row-group skips. */
+  val zorderQ: GQuery = GQuery(
+    "x_zorder",
+    "Morton z-value interleave of (partkey, suppkey) buckets: cell histogram",
+    (spark, dir) => {
+      import graft.plans.ZOrder
+      Catalog.table(spark, dir, "lineitem")
+        .select(ZOrder.zExpr("l_partkey % 64", "l_suppkey % 64", 6).as("z"))
+        .groupBy((col("z") / 64).cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      SELECT CAST(z // 64 AS BIGINT) AS cell, COUNT(*) AS n,
+             MIN(z) AS z_min, MAX(z) AS z_max
+      FROM (SELECT ${graft.plans.ZOrder.zExprSql("l_partkey % 64", "l_suppkey % 64", 6)} AS z
+            FROM lineitem)
+      GROUP BY cell
+      ORDER BY cell"""))
 
   val dailyRollup: GQuery = GQuery(
     "a_daily_rollup",

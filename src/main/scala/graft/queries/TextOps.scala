@@ -26,7 +26,7 @@ object TextOps {
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
-    gopherRules, bpeTrain, bpeApply, featureHash)
+    gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1458,4 +1458,47 @@ object TextOps {
              CASE WHEN CAST(SUM(cnt * w) AS BIGINT) >= 0
                   THEN 'pos' ELSE 'neg' END AS label
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
+  // --------------------------------------------------- percentile trim
+  /** Score-percentile corpus trimming — the FineWeb-style "drop the
+    * bottom quartile by quality score" selection step, in the
+    * scale-safe shape: the global P25 boundary is ONE exact-percentile
+    * aggregate (a scalar), cross-joined back broadcast — the same
+    * pattern that replaced a_rfm_segments' global NTILE window (no
+    * single-task sort of the corpus, ever). At 100 TB the exact
+    * percentile swaps for approx_percentile with identical plan shape.
+    * The score is an integer (word-token count), so the P25 boundary
+    * interpolates on quarter steps — exact in binary, no float-boundary
+    * risk in the keep test. Output: the per-source before/after audit.
+    */
+  val qualityTrim: GQuery = GQuery(
+    "p_quality_trim",
+    "drop the bottom score quartile: per-source survivor audit",
+    (spark, dir) => {
+      val d = spread(Catalog.table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(expr("regexp_extract_all(text, '\\\\w+', 0)")).cast("long").as("score"))
+      val p25 = d.agg(expr("percentile(score, 0.25)").as("p25"))
+      d.crossJoin(broadcast(p25))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("p25"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("score") >= col("p25"), col("n_chars"))
+            .otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS score
+        FROM documents),
+      p AS (SELECT quantile_cont(score, 0.25) AS p25 FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN score >= p25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN score >= p25 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
+      FROM d, p
+      GROUP BY source
+      ORDER BY source"""))
 }

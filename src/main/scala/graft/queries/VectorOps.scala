@@ -26,7 +26,7 @@ object VectorOps {
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
       quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor,
-      clusterSelect, pcaPower)
+      clusterSelect, pcaPower, outliers)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -1455,4 +1455,75 @@ object VectorOps {
             FROM scored) t
       WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  // ------------------------------------------------------------ outliers
+  /** Per-label embedding outlier audit — the "mislabeled / corrupt vector"
+    * filter a curation pipeline runs before trusting embeddings for
+    * dedup or selection: distance to the OWN label's centroid, flagged
+    * when it exceeds 2× the label's mean distance.
+    *
+    * Determinism: centroids land on the round-6 grid (same as
+    * v_centroids); each squared-deviation term is fix6-quantized BEFORE
+    * the per-vector sum, so distances are exact BIGINTs, and the outlier
+    * test `dist·n > 2·Σdist` is an integer cross-multiplication — no
+    * float boundary anywhere (same discipline as the Gopher ratio
+    * rules).
+    *
+    * Scale shape: one posexplode (scan-parallel), centroid agg output is
+    * labels×dims (tiny, broadcast back), per-vector distance is a
+    * two-phase integer agg on vec_id, label stats again labels-sized and
+    * broadcast. Nothing global, nothing quadratic. */
+  val outliers: GQuery = GQuery(
+    "v_outliers",
+    "per-label centroid-distance outlier audit (2x-mean integer test)",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val dims = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("v").cast("double").as("v"))
+      val cent = dims.groupBy(col("label"), col("pos"))
+        .agg(round(davg(col("v")), 6).as("c"))
+      val dist = dims.join(broadcast(cent), Seq("label", "pos"))
+        .select(col("vec_id"), col("label"),
+          fix6((col("v") - col("c")) * (col("v") - col("c"))).as("t6"))
+        .groupBy(col("vec_id"), col("label")).agg(sum(col("t6")).as("dist6"))
+      val stats = dist.groupBy(col("label"))
+        .agg(sum(col("dist6")).as("sum6"), count(lit(1)).as("n"))
+      dist.join(broadcast(stats), "label")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dist6") * col("n") > lit(2L) * col("sum6"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(col("dist6")).as("m6"), sum(col("dist6")).as("s6"))
+        .select(col("label"), col("n_vecs"), col("n_outliers"),
+          (col("m6").cast("double") / 1000000.0d).as("max_dist"),
+          (expr("s6 div n_vecs").cast("double") / 1000000.0d).as("mean_dist"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, pos, ROUND(${davgSql("v")}, 6) AS c
+        FROM dims GROUP BY label, pos),
+      dist AS (
+        SELECT vec_id, d.label,
+               CAST(SUM(${fix6Sql("(v - c) * (v - c)")}) AS BIGINT) AS dist6
+        FROM dims d JOIN cent ON cent.label = d.label AND cent.pos = d.pos
+        GROUP BY vec_id, d.label),
+      stats AS (
+        SELECT label, CAST(SUM(dist6) AS BIGINT) AS sum6, COUNT(*) AS n
+        FROM dist GROUP BY label)
+      SELECT d.label, COUNT(*) AS n_vecs,
+             CAST(SUM(CASE WHEN d.dist6 * s.n > 2 * s.sum6
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(MAX(d.dist6) AS DOUBLE) / 1000000.0 AS max_dist,
+             CAST(CAST(SUM(d.dist6) AS BIGINT) // COUNT(*) AS DOUBLE)
+               / 1000000.0 AS mean_dist
+      FROM dist d JOIN stats s ON s.label = d.label
+      GROUP BY d.label
+      ORDER BY d.label"""))
 }
