@@ -21,7 +21,93 @@ object EventOps {
   def queries: Seq[GQuery] =
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
-      attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv)
+      attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
+      interpolate)
+
+  /** Hourly resample + linear gap interpolation per user — the
+    * time-series regularization step (sensor/metric pipelines: turn an
+    * irregular event stream into a dense grid a model can consume).
+    * Per user: the hourly grid spans first..last observed hour
+    * (sequence explode — fanout bounded by the span, never a global
+    * calendar), observed hours carry their exact fix6 value sum, and
+    * missing hours interpolate linearly between the nearest observed
+    * neighbors via IGNORE NULLS carry windows (the as-of pattern, both
+    * directions, per-user partitions — no global sort).
+    *
+    * Determinism: observed values live on the 1e-6 grid (dsum); the
+    * interpolation `prev + (next−prev)·Δh/span` is a fixed-shape IEEE
+    * expression — bit-identical per row on any engine — and the result
+    * is floor-quantized to fix6 BEFORE the per-user total, so the audit
+    * sums are exact BIGINTs. Output is the per-user audit (n_hours,
+    * n_obs, n_filled, series total), one row per user. */
+  val interpolate: GQuery = GQuery(
+    "e_interpolate",
+    "hourly resample with linear gap interpolation: per-user audit",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Catalog.table(spark, dir, "events")
+        .groupBy(col("user_id"), expr("ts div 3600000000000").as("h"))
+        .agg(dsum(col("value")).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+        .select(col("user_id"), explode(expr("sequence(hmin, hmax)")).as("h"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "h"), "left_outer")
+        .select(col("user_id"), col("h"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wPrev).as("ph"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wNext).as("nh"))
+        .select(col("user_id"), col("v"),
+          fix6(when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double"))).as("i6"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_obs"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+          (sum(col("i6")).cast("double") / 1000000.0d).as("series_total"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+               ${dsumSql("value")} AS v
+        FROM events GROUP BY user_id, h),
+      grid AS (
+        SELECT user_id, unnest(generate_series(hmin, hmax)) AS h
+        FROM (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+              FROM hourly GROUP BY user_id) s),
+      joined AS (
+        SELECT g.user_id, g.h, v FROM grid g
+        LEFT JOIN hourly USING (user_id, h)),
+      carried AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM joined)
+      SELECT user_id, COUNT(*) AS n_hours,
+             CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+             CAST(CAST(SUM(${fix6Sql(
+      "CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE) END")}) AS BIGINT) AS DOUBLE) / 1000000.0 AS series_total
+      FROM carried
+      GROUP BY user_id
+      ORDER BY user_id"""))
 
   /** Cohort lifetime-value matrix: users grouped by first-activity week
     * (their cohort), then per weeks-since-cohort age: how many are still

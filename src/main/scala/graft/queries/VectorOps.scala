@@ -26,7 +26,7 @@ object VectorOps {
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
       quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor,
-      clusterSelect, pcaPower, outliers)
+      clusterSelect, pcaPower, outliers, knnGraph)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -1526,4 +1526,64 @@ object VectorOps {
       FROM dist d JOIN stats s ON s.label = d.label
       GROUP BY d.label
       ORDER BY d.label"""))
+
+  // ------------------------------------------------------------ kNN graph
+  /** Approximate kNN-GRAPH construction — every vector's top-3
+    * neighbors, the input primitive for graph clustering, SemDeDup-style
+    * community pruning, and diffusion-based selection. Unlike
+    * v_lsh_ann's fixed query set, this is the all-vectors self-join
+    * form: candidates are pairs sharing a bucket in ANY of the 16
+    * banded LSH tables (cost Σ_tables Σ_buckets |bucket|² — bucket-
+    * bounded, never n²; k grows with log(corpus) to keep buckets
+    * reducer-sized), exact cosine re-scores candidates only, and the
+    * per-vector top-3 is a LITERAL-limit rank window (WindowGroupLimit
+    * fires — no per-partition full sort survives; see the project
+    * memory on rank-limit literals). Same scoring fold as v_knn_brute,
+    * so sims are bit-identical cross-engine. */
+  val knnGraph: GQuery = GQuery(
+    "v_knn_graph",
+    "approximate kNN graph: per-vector top-3 via banded-LSH self-join",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val b = bandedBuckets(spark, e)
+      val cand = b.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+        .join(b.select(col("tbl"), col("bucket"), col("vec_id").as("b_id")),
+          Seq("tbl", "bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("a_id"), col("embedding")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("q_emb")),
+          "b_id")
+        .select(col("a_id"), col("b_id"), cosineSim.as("sim"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a_id").as("vec_id"), col("rk"), col("b_id").as("nbr_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("vec_id"), col("rk"))
+    },
+    Some(s"""
+      WITH b AS ($bandedSql),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+        FROM b a JOIN b bb
+          ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+         AND a.vec_id <> bb.vec_id),
+      scored AS (
+        SELECT a_id, b_id,
+               ${dotSql("ea.embedding", "eb.embedding")} /
+               (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+                sqrt(${dotSql("eb.embedding", "eb.embedding")})) AS sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = a_id
+        JOIN embeddings eb ON eb.vec_id = b_id),
+      ranked AS (
+        SELECT a_id, b_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+                 ORDER BY sim DESC, b_id) AS INTEGER) AS rk
+        FROM scored)
+      SELECT a_id AS vec_id, rk, b_id AS nbr_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rk <= 3
+      ORDER BY vec_id, rk"""))
 }

@@ -217,6 +217,32 @@ class DifferentialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("v_knn_graph edge recall vs exhaustive per-vector top-3 is quantified") {
+    // exhaustive ground truth for EVERY vector (not just the 3-query
+    // fixture): all-pairs cosine top-3, driver-side at sf0.001 scale
+    val e = Catalog.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = e.flatMap { case (id, v) =>
+      e.filter(_._1 != id).map { case (oid, ov) => (id, oid, cos(v, ov)) }
+        .sortBy { case (_, oid, s) => (-s, oid) }.take(3).map(t => (t._1, t._2))
+    }.toSet
+    val graph = Registry.byName("v_knn_graph").run(spark, sf0001)
+      .select(col("vec_id"), col("nbr_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = graph.intersect(truth).size.toDouble / truth.size
+    info(f"kNN-graph edge recall@3 on sf0.001 = $recall%.3f " +
+      f"(${graph.intersect(truth).size}/${truth.size} true edges)")
+    assert(recall >= 0.7, f"kNN-graph recall collapsed: $recall%.3f")
+    assert(graph.forall { case (a, b) => a != b })
+  }
+
   test("v_lsh_ann recall@3 vs brute-force ground truth is quantified") {
     // ground truth: brute-force top-3 (v_knn_brute emits top-5; take rk<=3)
     val brute = Registry.byName("v_knn_brute").run(spark, sf0001)
