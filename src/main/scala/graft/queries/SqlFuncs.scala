@@ -23,7 +23,40 @@ object SqlFuncs {
     groupingSetsQ, arrayFuncs, percentiles, regexFuncs, lateralExplode,
     bitwiseFuncs, scalarFuncs, mapFuncs, condAgg, statsAgg, windowLeadLag,
     lateralJoin, unpivotQ, windowDistribution, variantJson, recursiveCte,
-    sqlUdf, tryFuncs)
+    sqlUdf, tryFuncs, stringAgg)
+
+  /** LISTAGG-style ordered string aggregation — the report/export
+    * surface every warehouse ships. Spark's collect_set is
+    * partition-order NONdeterministic, so the deterministic spelling is
+    * collect_set → sort_array → concat_ws: the sort pins the element
+    * order no matter how partials merged, which is exactly what makes
+    * the result hash-gateable (and partition-layout invariant at
+    * cluster scale). The oracle is DuckDB's native
+    * `string_agg(DISTINCT … ORDER BY …)`. Group cardinality bounds the
+    * list length (|statuses| ≤ 3 here) — at 100 TB keep LISTAGG to
+    * bounded-domain columns or cap with slice(). */
+  val stringAgg: GQuery = GQuery(
+    "x_string_agg",
+    "ordered LISTAGG: sorted distinct status list + flag roster per priority",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      o.groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          concat_ws("|", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("priority"))
+    },
+    Some("""
+      SELECT o_orderpriority AS priority,
+             string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY priority"""))
 
   /** Error-safe `try_*` arithmetic — the ANSI-mode safety valves. The
     * session runs ANSI (GraftSession pins it, matching the reference's
