@@ -19,15 +19,56 @@ object Catalog {
 
   /** Read one table of the driver-generated testdata layout.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * BIGINT of epoch-nanos behind this legacy flag (set defensively here so
-    * driver-built sessions work too). Event queries do their time math in
-    * epoch integers — which is also the engine-portable comparison currency.
+    * `events.ts` contract: every event query does its time math on a BIGINT
+    * of epoch-nanoseconds — the engine-portable comparison currency (DuckDB
+    * oracles use `epoch_ns(ts)`). Fixture generations have shipped the
+    * column as parquet TIMESTAMP(NANOS) *and* as timestamp[us] (naive), so
+    * the read normalizes whatever the footer declares to that contract:
+    *
+    *  - TIMESTAMP(NANOS): only readable behind the legacy flag (set
+    *    defensively here so driver-built sessions work too) → already a
+    *    BIGINT of epoch-ns, passed through.
+    *  - timestamp[us] naive (isAdjustedToUTC=false → TIMESTAMP_NTZ): the
+    *    wall clock IS the UTC instant by the generator's contract. The
+    *    NTZ→TIMESTAMP cast resolves the wall clock in the session timezone,
+    *    so the session tz is pinned to UTC first (measured: to_utc_timestamp
+    *    tricks are NOT tz-independent — under America/New_York they shift
+    *    every epoch by the zone offset); under UTC the cast is exact and
+    *    DST-free.
+    *  - timestamp[us] instant (isAdjustedToUTC=true → TIMESTAMP): already an
+    *    instant; `unix_micros` is tz-independent.
+    *
+    * Any other physical type fails loudly here — one clear error instead of
+    * fifteen analysis errors downstream.
+    *
+    * Scale note: normalizing in the scan expression trades parquet
+    * row-group pruning on `ts` (a computed column takes no PushedFilter)
+    * for a fixture-proof contract; event queries are full-scan shaped, so
+    * at 100 TB the right layout lever is the partitioned-by-day write
+    * (`writePartitioned`), not min/max pruning on this column.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df // nanos fixture + legacy flag
+        case TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions
+              .expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+        case TimestampType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts inferred as $other — fixture regenerated with an " +
+              "unsupported physical type; extend Catalog.table's " +
+              "normalization (contract: BIGINT epoch-nanos)")
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register every table of `sfDir` as a temp view (idempotent). */

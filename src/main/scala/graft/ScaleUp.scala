@@ -35,12 +35,11 @@ object ScaleUp {
       s"unrecognized 4th argument '${args(3)}' — the only supported flag is 'saltText'")
     val saltText = args.length > 3
     val spark = GraftSession.get()
-    // events.ts is TIMESTAMP(NANOS) — readable only as BIGINT epoch-nanos
-    // behind the legacy flag (same as Catalog.table); the replica then
-    // carries plain INT64, which Catalog reads identically
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def table(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // events goes through Catalog.table so ts is normalized to the BIGINT
+    // epoch-ns contract whatever the fixture's physical type (nanos or
+    // micros); the replica then carries plain INT64, which Catalog reads
+    // identically
+    def table(t: String): DataFrame = Catalog.table(spark, src, t)
 
     // id-space base per keyed table: max(pk)+1 on the source
     val base: Map[String, Long] = primaryKey.map { case (t, k) =>

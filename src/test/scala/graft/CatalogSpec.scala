@@ -20,6 +20,48 @@ class CatalogSpec extends SparkSpec {
     assert(df.filter(col("name") === "BETA").head.getDouble(2) === 20.25)
   }
 
+  test("events.ts normalizes to epoch-ns BIGINT under every fixture flavor") {
+    // Fixture regenerations have silently flipped events.ts between parquet
+    // TIMESTAMP(NANOS) and naive timestamp[us]; this pins Catalog.table's
+    // contract — ts is ALWAYS a BIGINT of epoch-nanos with the wall clock
+    // read as UTC — under all three physical flavors, so the next silent
+    // regeneration reds this one test, not fifteen queries.
+    val wallMicros = 1704067798778549L // 2024-01-01 00:09:58.778549 UTC
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+
+    def writeEvents(sub: String, tsType: DataType, tsVal: Any): String = {
+      val d = s"$dir/$sub"
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType)))
+      val row = org.apache.spark.sql.Row(1L, tsVal)
+      spark.createDataFrame(
+        java.util.Arrays.asList(row), schema)
+        .write.parquet(s"$d/events.parquet")
+      d
+    }
+
+    // flavor 1: INT64 epoch-ns (what the nanos fixture reads as behind the
+    // legacy flag, and what ScaleUp replicas physically carry)
+    val dLong = writeEvents("long", LongType, wallMicros * 1000L)
+    // flavor 2: naive micros (TIMESTAMP_NTZ) — the current driver fixture
+    val dNtz = writeEvents("ntz", TimestampNTZType,
+      java.time.LocalDateTime.ofEpochSecond(
+        wallMicros / 1000000L, (wallMicros % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC))
+    // flavor 3: instant micros (TIMESTAMP) — isAdjustedToUTC=true
+    val dTz = writeEvents("tz", TimestampType,
+      java.time.Instant.ofEpochSecond(
+        wallMicros / 1000000L, (wallMicros % 1000000L) * 1000L))
+
+    for (d <- Seq(dLong, dNtz, dTz)) {
+      val e = Catalog.table(spark, d, "events")
+      assert(e.schema("ts").dataType === LongType,
+        s"flavor $d must normalize ts to BIGINT")
+      assert(e.select(col("ts")).head.getLong(0) === wallMicros * 1000L,
+        s"flavor $d must read the wall clock as the UTC instant")
+    }
+  }
+
   test("memtable preload caches and registers") {
     val df = Catalog.cacheTable(spark, sf0001, "region")
     assert(df.storageLevel.useMemory, "cacheTable should persist in memory")
