@@ -18,7 +18,12 @@ object Bench {
     // matches the repo's bench_results protocol so the driver artifact and
     // the local record are directly comparable
     val iterations = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for local iteration (the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -207,20 +207,57 @@ object VectorOps {
   private val annPlanesPerTable = 4
 
   /** Per-(vector, table) bucket id: sign pattern of that table's planes. */
-  private def bandedBuckets(spark: SparkSession, e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
-      .join(broadcast(planesN(spark, 64, annTables * annPlanesPerTable)), "pos")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(fix6(col("w") * col("v").cast("double"))).as("proj"))
-      .groupBy(col("vec_id"), expr(s"p div $annPlanesPerTable").as("tbl"))
-      .agg(sum(when(col("proj") > 0,
-        expr(s"shiftleft(1L, p % $annPlanesPerTable)")).otherwise(0L)).as("bucket"))
+  /** Corpus-scaled band width: smallest b ≥ [[annPlanesPerTable]] with
+    * expected bucket occupancy N/2^b ≤ [[annTargetBucket]]. Fixed-width
+    * bands make per-bucket candidate pairs grow quadratically with the
+    * corpus (the round-4 `v_knn_graph` weakness); scaling the bit width
+    * with N keeps Σ|bucket|² ∝ N·target — the self-join stays linear at
+    * 100 TB (b=29 at 10^10 vectors, well inside the BIGINT bucket).
+    * Pure integer arithmetic so the Spark and DuckDB computations agree
+    * exactly (a float log2 differs in the last ulp near powers of two). */
+  private val annTargetBucket = 32
+  private[graft] def bandBits(n: Long): Int =
+    (annPlanesPerTable to 40)
+      .find(k => n <= annTargetBucket.toLong * (1L << k)).getOrElse(40)
 
+  /** Driver-side twin of [[planesN]]'s md5-derived weight for plane `p`,
+    * dimension `pos` — tiny (16·b × 64 doubles), so the whole plane
+    * matrix embeds as a literal and banding becomes a zero-shuffle
+    * scalar projection per vector (no explode, no join, no aggregate —
+    * the same encode-is-a-projection shape as the PQ/IVF assigners). */
+  private def planeWeight(p: Int, pos: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$pos".getBytes("UTF-8"))
+    val hex = h.map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0 - 0.5
+  }
+
+  /** Per-corpus banded buckets: [[bandUdf]] with the corpus-scaled
+    * [[bandBits]] width — a primitive-array UDF (not a higher-order-
+    * function expression, which Spark evaluates interpreted — measured
+    * 2× slower; the UDF loop is one JIT'd zero-shuffle scan computing
+    * the EXACT fix6 arithmetic of the SQL path). */
+  private def bandedBuckets(spark: SparkSession, e: DataFrame): DataFrame = {
+    val band = bandUdf(annTables, bandBits(e.count()))
+    // materialize once: every consumer references the bucket frame twice
+    // (self-join / query-probe), and without the cut each reference would
+    // re-run the banding scan (N·16 rows — linear, safe to checkpoint)
+    e.select(col("vec_id"), explode(band(col("embedding"))).as("tb"))
+      .select(col("vec_id"), col("tb._1").as("tbl"), col("tb._2").as("bucket"))
+      .localCheckpoint()
+  }
+
+  /** Oracle twin of [[bandedBuckets]] incl. the corpus-scaled band width
+    * (CTE `bw` mirrors [[bandBits]] with the same integer search). */
   private val bandedSql =
-    s"""SELECT vec_id, p // $annPlanesPerTable AS tbl,
+    s"""WITH bw AS (
+          SELECT MIN(k) AS b
+          FROM (SELECT CAST(unnest(range($annPlanesPerTable, 41)) AS INTEGER) AS k)
+          WHERE (SELECT COUNT(*) FROM embeddings)
+                  <= $annTargetBucket * (1::BIGINT << k))
+        SELECT vec_id, p // (SELECT b FROM bw) AS tbl,
           CAST(SUM(CASE WHEN proj > 0
-                        THEN 1::BIGINT << (p % $annPlanesPerTable) ELSE 0 END)
+                        THEN 1::BIGINT << (p % (SELECT b FROM bw)) ELSE 0 END)
                AS BIGINT) AS bucket
         FROM (SELECT vec_id, p,
                      SUM(CAST(FLOOR(w * v * 1000000 + 0.5) AS BIGINT)) AS proj
@@ -230,12 +267,12 @@ object VectorOps {
               JOIN (SELECT p, pos,
                            (('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT
                              % 1000000) / 1000000.0 - 0.5 AS w
-                    FROM (SELECT CAST(unnest(range(${annTables * annPlanesPerTable}))
+                    FROM (SELECT CAST(unnest(range((SELECT $annTables * b FROM bw)))
                                       AS INTEGER) AS p)
                     CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos)) pl
                 USING (pos)
               GROUP BY vec_id, p) s
-        GROUP BY vec_id, p // $annPlanesPerTable"""
+        GROUP BY vec_id, p // (SELECT b FROM bw)"""
 
   val lshAnn: GQuery = GQuery(
     "v_lsh_ann",
@@ -465,6 +502,92 @@ object VectorOps {
       ${kmeansSqlCtes("vecs", "seed", ivfIters, "km")},
       cells AS MATERIALIZED (${kmeansAssignSql("vecs", s"km_c$ivfIters")})"""
 
+  /** Corpus-scaled sub-bucket bits for [[semDedup]]: smallest r ≥ 0 with
+    * expected cell size N/[[ivfK]] ≤ [[semTargetCell]]·2^r. SemDeDup's
+    * quadratic term is Σ|cell|²; with fixed k it grows as N²/k (the
+    * round-4 weakness). Scaling k ∝ N fixes the pairing but makes
+    * TRAINING quadratic (assignment is N·k distance evals — measured
+    * 28 s at the 10× replica). Instead the trained cells stay fixed-k
+    * (shared, cached [[ivfIndex]] — training linear) and each cell is
+    * subdivided by r sign-hash bits from [[semTables]] independent LSH
+    * band tables ([[planeWeight]] planes — the [[bandedBuckets]]
+    * machinery applied within cells): candidates are pairs sharing
+    * (cell, bucket) in ANY table, so pair work is bounded by sub-bucket
+    * size ∝ [[semTargetCell]] at any corpus. r = 0 at gate scale (the
+    * sub-split engages only beyond N = ivfK·target), where candidates
+    * degenerate to exactly the per-cell pairs. The LSH split is the
+    * documented recall trade: a near-dup pair at threshold sim 0.35
+    * survives ≥1-of-$semTables band match with p ≈ 0.85 at r = 2. */
+  private val semTargetCell = 50
+  private val semTables = 4
+  private[graft] def semSubBits(n: Long): Int =
+    (0 to 40).find(r =>
+      n <= ivfK.toLong * semTargetCell * (1L << r)).getOrElse(40)
+
+  /** Per-id banding of `(id, emb)` rows: [[planeWeight]] sign-hash over
+    * `tables`×`bits` planes as a primitive-loop UDF (see
+    * [[bandedBuckets]] for why a UDF). bits = 0 → bucket 0 every table
+    * (the degenerate no-split band). */
+  private def bandUdf(tables: Int, bits: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val planes: Array[Array[Double]] = (0 until tables * bits).map { p =>
+      (1 to 64).map(pos => planeWeight(p, pos)).toArray
+    }.toArray
+    udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var i = 0
+        while (i < bits) {
+          val w = planes(t * bits + i)
+          var proj = 0L
+          var d = 0
+          while (d < v.length) {
+            proj += math.floor(w(d) * v(d).toDouble * 1000000.0 + 0.5).toLong
+            d += 1
+          }
+          if (proj > 0L) bucket |= 1L << i
+          i += 1
+        }
+        (t, bucket)
+      }
+    }
+  }
+
+  /** Oracle twin of [[bandUdf]] applied to the `embeddings` table:
+    * (vec_id, tbl, bucket) rows, with the bit count from `bitsSql`
+    * (a scalar subquery). Handles bits = 0 via the tables×vec grid +
+    * left join (no proj rows → COALESCE 0 buckets). */
+  private def bandedSqlFor(tables: Int, bitsSql: String): String =
+    s"""SELECT g.vec_id, g.t AS tbl,
+          COALESCE(SUM(CASE WHEN s.proj > 0
+                            THEN 1::BIGINT << (s.p % NULLIF(($bitsSql), 0))
+                            ELSE 0 END), 0) AS bucket
+        FROM (SELECT vec_id, CAST(unnest(range($tables)) AS INTEGER) AS t
+              FROM embeddings) g
+        LEFT JOIN (
+          SELECT vec_id, p,
+                 SUM(CAST(FLOOR(w * v * 1000000 + 0.5) AS BIGINT)) AS proj
+          FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings) t
+          JOIN (SELECT p, pos,
+                       (('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT
+                         % 1000000) / 1000000.0 - 0.5 AS w
+                FROM (SELECT CAST(unnest(range((SELECT $tables * ($bitsSql))))
+                                  AS INTEGER) AS p)
+                CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos)) pl
+            USING (pos)
+          GROUP BY vec_id, p) s
+          ON s.vec_id = g.vec_id AND s.p // NULLIF(($bitsSql), 0) = g.t
+        GROUP BY g.vec_id, g.t"""
+
+  /** Scalar-subquery twin of [[semSubBits]]. */
+  private val semBitsSql: String =
+    s"""SELECT MIN(k) FROM (SELECT CAST(unnest(range(0, 41)) AS INTEGER) AS k)
+        WHERE (SELECT COUNT(*) FROM embeddings)
+                <= $ivfK * $semTargetCell * (1::BIGINT << k)"""
+
   val ivfAnn: GQuery = GQuery(
     "v_ivf_ann",
     s"IVF ANN: $ivfK trained k-means cells, probe $ivfNprobe, exact re-rank top-3",
@@ -529,11 +652,12 @@ object VectorOps {
     * deduplication"): cluster embeddings with k-means, compare pairs ONLY
     * within a cluster, and drop all but one member of each near-dup pair.
     * Reuses the SAME trained IVF index as [[ivfAnn]] ([[ivfIndex]],
-    * session-cached) — one index, many uses. Candidate cost is
-    * Σ|cell|²/2 instead of corpus²/2: with balanced learned cells that is
-    * a 1/k reduction, and at 100 TB the per-cell pair generation is an
-    * embarrassingly parallel self-join per cell (the paper's exact
-    * shape). The verdict for a dropped vector is deterministic: its
+    * session-cached) — fixed k, so training stays linear — and splits
+    * oversized cells with corpus-scaled LSH sub-buckets ([[semSubBits]]):
+    * candidate cost is bounded by sub-bucket size instead of cell size,
+    * so pair generation stays linear in the corpus at 100 TB while the
+    * per-(cell,bucket) self-join keeps the paper's embarrassingly
+    * parallel shape. The verdict for a dropped vector is deterministic: its
     * keeper is the smallest-id partner among its ≥-threshold pairs
     * (min-struct, integer argmin), similarity exact (sequential fold),
     * so the output hash-gates like everything else.
@@ -563,13 +687,32 @@ object VectorOps {
       // one group per distinct embedding per cell; gid = min member id
       val grp = withC.groupBy(col("cell"), col("embedding"))
         .agg(min(col("vec_id")).as("gid"), count(lit(1)).as("gn"))
+      // corpus-scaled LSH sub-split of oversized cells ([[semSubBits]]):
+      // candidate group pairs must share (cell, band bucket) in ≥1 of the
+      // semTables tables; r = 0 (gate scale) gives bucket 0 everywhere =
+      // plain per-cell pairing
+      val band = bandUdf(semTables, semSubBits(e.count()))
+      val gb = grp
+        .select(col("cell"), col("gid"), explode(band(col("embedding"))).as("tb"))
+        .select(col("cell"), col("gid"), col("tb._1").as("tbl"),
+          col("tb._2").as("bucket"))
+        .localCheckpoint()
+      val candPairs = gb.as("bx").join(gb.as("by"),
+          col("bx.cell") === col("by.cell") && col("bx.tbl") === col("by.tbl") &&
+            col("bx.bucket") === col("by.bucket") &&
+            col("bx.gid") < col("by.gid"))
+        .select(col("bx.cell").as("cell"), col("bx.gid").as("ga"),
+          col("by.gid").as("gb")).distinct()
       // inter-group sims: one fold per distinct pair, both verdict
       // directions derived from it (the min member of the partner group
       // is always the argmin candidate for any member it qualifies for)
-      val gp = grp.as("x").join(grp.as("y"),
-          col("x.cell") === col("y.cell") && col("x.gid") < col("y.gid"))
-        .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
-          cosineSimCols("x.embedding", "y.embedding").as("sim"))
+      val gemb = grp.select(col("cell"), col("gid"), col("embedding"))
+      val gp = candPairs
+        .join(gemb.select(col("cell"), col("gid").as("ga"),
+          col("embedding").as("ea")), Seq("cell", "ga"))
+        .join(gemb.select(col("cell"), col("gid").as("gb"),
+          col("embedding").as("eb")), Seq("cell", "gb"))
+        .select(col("ga"), col("gb"), cosineSimCols("ea", "eb").as("sim"))
         .filter(col("sim") >= 0.35)
       // intra-group sim: identical bytes, same fold the member pair ran
       val gSelf = grp.filter(col("gn") >= 2)
@@ -591,14 +734,26 @@ object VectorOps {
     },
     Some(s"""
       WITH $ivfTrainSql,
-      wc AS (SELECT e.vec_id, ce.j AS cell, e.embedding
-             FROM embeddings e JOIN cells ce ON ce.id = e.vec_id),
+      wc AS MATERIALIZED (
+        SELECT e.vec_id, ce.j AS cell, e.embedding
+        FROM embeddings e JOIN cells ce ON ce.id = e.vec_id),
+      bnd AS MATERIALIZED (${bandedSqlFor(semTables, semBitsSql)}),
+      bndc AS MATERIALIZED (
+        SELECT b.vec_id, w.cell, b.tbl, b.bucket
+        FROM bnd b JOIN wc w USING (vec_id)),
+      cp AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM bndc x JOIN bndc y
+          ON x.cell = y.cell AND x.tbl = y.tbl AND x.bucket = y.bucket
+         AND x.vec_id < y.vec_id),
       pairs AS (
-        SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        SELECT cp.a_id, cp.b_id,
                ${dotSql("x.embedding", "y.embedding")} /
                (sqrt(${dotSql("x.embedding", "x.embedding")}) *
                 sqrt(${dotSql("y.embedding", "y.embedding")})) AS sim
-        FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        FROM cp
+        JOIN embeddings x ON x.vec_id = cp.a_id
+        JOIN embeddings y ON y.vec_id = cp.b_id),
       kept AS (
         SELECT b_id AS dropped_id, a_id AS kept_id, sim,
                ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
@@ -1534,8 +1689,9 @@ object VectorOps {
     * v_lsh_ann's fixed query set, this is the all-vectors self-join
     * form: candidates are pairs sharing a bucket in ANY of the 16
     * banded LSH tables (cost Σ_tables Σ_buckets |bucket|² — bucket-
-    * bounded, never n²; k grows with log(corpus) to keep buckets
-    * reducer-sized), exact cosine re-scores candidates only, and the
+    * bounded, never n²; [[bandBits]] widens the band with the corpus so
+    * expected |bucket| stays ≤ [[annTargetBucket]] and the self-join is
+    * linear at 100 TB), exact cosine re-scores candidates only, and the
     * per-vector top-3 is a LITERAL-limit rank window (WindowGroupLimit
     * fires — no per-partition full sort survives; see the project
     * memory on rank-limit literals). Same scoring fold as v_knn_brute,
