@@ -54,8 +54,17 @@ object BenchFull {
     }
 
     val prev = readPrevAverages(outPath)
+    // provenance stamps: a proof artifact without {commit, testdata_mtime}
+    // is undatable against HEAD/fixtures (the round-4 staleness lesson)
+    val commit =
+      try new String(Runtime.getRuntime.exec(Array("git", "rev-parse", "HEAD"))
+        .getInputStream.readAllBytes()).trim
+      catch { case _: Throwable => "unknown" }
+    val fixtureMtime =
+      try new java.io.File(sfDir).listFiles().map(_.lastModified()).max / 1000
+      catch { case _: Throwable => 0L }
     val json = new StringBuilder
-    json ++= s"""{"context":{"benchmark_version":"${BuildInfo.version}","engine":"graft-spark","num_cpus":${Runtime.getRuntime.availableProcessors},"start_time":${System.currentTimeMillis() / 1000},"arguments":["$sfDir","iterations=$iterations"]},"queries":["""
+    json ++= s"""{"context":{"benchmark_version":"${BuildInfo.version}","engine":"graft-spark","num_cpus":${Runtime.getRuntime.availableProcessors},"start_time":${System.currentTimeMillis() / 1000},"commit":"$commit","testdata_mtime":$fixtureMtime,"arguments":["$sfDir","iterations=$iterations"]},"queries":["""
     json ++= results.map { case (name, qStart, success, iters) =>
       val arr = iters.map { case (ms, n) =>
         s"""{"elapsed":$ms,"row_count":$n}"""

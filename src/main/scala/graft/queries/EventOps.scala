@@ -43,36 +43,42 @@ object EventOps {
   val interpolate: GQuery = GQuery(
     "e_interpolate",
     "hourly resample with linear gap interpolation: per-user audit",
+    // Work is ∝ OBSERVED (user, hour) rows, never the time-span grid: the
+    // round-4 form materialized users × full hour range (131 M rows at the
+    // 10× replica — 215 s) to interpolate each missing hour individually.
+    // A linear gap's hourly values sum in closed form — for a gap of g
+    // missing hours between observations (h_p, pv) and (h_n, nv) with
+    // d = h_n - h_p:  Σ = g·pv + (nv-pv)·(g(g+1)/2)/d — so one lead()
+    // over observed rows replaces the grid entirely. Each gap contribution
+    // is fix6-quantized as ONE term (the grid form quantized per hour;
+    // same 1e-6 grain, and the oracle computes the identical expression so
+    // the gate stays exact). n_hours is pure arithmetic: hmax - hmin + 1.
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Catalog.table(spark, dir, "events")
         .groupBy(col("user_id"), expr("ts div 3600000000000").as("h"))
         .agg(dsum(col("value")).as("v"))
-      val grid = hourly.groupBy(col("user_id"))
-        .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
-        .select(col("user_id"), explode(expr("sequence(hmin, hmax)")).as("h"))
-      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      grid.join(hourly, Seq("user_id", "h"), "left_outer")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      hourly
         .select(col("user_id"), col("h"), col("v"),
-          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
-          last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
-            .over(wPrev).as("ph"),
-          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
-          first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
-            .over(wNext).as("nh"))
-        .select(col("user_id"), col("v"),
-          fix6(when(col("v").isNotNull, col("v"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              (col("h") - col("ph")).cast("double") /
-              (col("nh") - col("ph")).cast("double"))).as("i6"))
+          lead(col("h"), 1).over(w).as("nh"),
+          lead(col("v"), 1).over(w).as("nv"))
+        .select(col("user_id"), col("h"), col("v"),
+          fix6(col("v")).as("obs6"),
+          when(col("nh") > col("h") + 1,
+            fix6((col("nh") - col("h") - 1).cast("double") * col("v") +
+              (col("nv") - col("v")) *
+                (((col("nh") - col("h") - 1) * (col("nh") - col("h")) / 2L)
+                  .cast("double") / (col("nh") - col("h")).cast("double"))))
+            .otherwise(0L).as("gap6"),
+          when(col("nh").isNotNull, col("nh") - col("h") - 1)
+            .otherwise(0L).as("gapn"))
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_hours"),
-          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_obs"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
-          (sum(col("i6")).cast("double") / 1000000.0d).as("series_total"))
+        .agg((max(col("h")) - min(col("h")) + 1L).as("n_hours"),
+          count(lit(1)).as("n_obs"),
+          sum(col("gapn")).as("n_filled"),
+          (sum(col("obs6") + col("gap6")).cast("double") / 1000000.0d)
+            .as("series_total"))
         .orderBy(col("user_id"))
     },
     Some(s"""
@@ -80,32 +86,25 @@ object EventOps {
         SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
                ${dsumSql("value")} AS v
         FROM events GROUP BY user_id, h),
-      grid AS (
-        SELECT user_id, unnest(generate_series(hmin, hmax)) AS h
-        FROM (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
-              FROM hourly GROUP BY user_id) s),
-      joined AS (
-        SELECT g.user_id, g.h, v FROM grid g
-        LEFT JOIN hourly USING (user_id, h)),
-      carried AS (
+      led AS (
         SELECT user_id, h, v,
-               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY h
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
-               first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY h
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
-        FROM joined)
-      SELECT user_id, COUNT(*) AS n_hours,
-             CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
-             CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-             CAST(CAST(SUM(${fix6Sql(
-      "CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE) END")}) AS BIGINT) AS DOUBLE) / 1000000.0 AS series_total
-      FROM carried
+               LEAD(h) OVER (PARTITION BY user_id ORDER BY h) AS nh,
+               LEAD(v) OVER (PARTITION BY user_id ORDER BY h) AS nv
+        FROM hourly),
+      terms AS (
+        SELECT user_id, h, v,
+               ${fix6Sql("v")} AS obs6,
+               CASE WHEN nh > h + 1 THEN ${fix6Sql(
+      "CAST(nh - h - 1 AS DOUBLE) * v + (nv - v) * (CAST((nh - h - 1) * (nh - h) // 2 AS DOUBLE) / CAST(nh - h AS DOUBLE))")}
+                    ELSE 0 END AS gap6,
+               CASE WHEN nh IS NOT NULL THEN nh - h - 1 ELSE 0 END AS gapn
+        FROM led)
+      SELECT user_id, MAX(h) - MIN(h) + 1 AS n_hours,
+             COUNT(*) AS n_obs,
+             CAST(SUM(gapn) AS BIGINT) AS n_filled,
+             CAST(CAST(SUM(obs6 + gap6) AS BIGINT) AS DOUBLE) / 1000000.0
+               AS series_total
+      FROM terms
       GROUP BY user_id
       ORDER BY user_id"""))
 

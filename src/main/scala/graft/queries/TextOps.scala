@@ -379,33 +379,69 @@ object TextOps {
   }
 
   /** Band join + exact-Jaccard verify over a (doc_id, s0..s15, arr)
-    * signature frame — the post-signature half of the LSH pipeline. */
+    * signature frame — the post-signature half of the LSH pipeline.
+    *
+    * Dedup-before-near-dup (round 5): identical shingle sets (⇒ identical
+    * signatures) are collapsed to one representative BEFORE the band join
+    * — the verify work is per DISTINCT set pair, and member pairs expand
+    * back at the end. Output-equal to the naive per-doc form (identical
+    * sets give Jaccard exactly 1.0 intra-group and the rep's value for
+    * every cross pair), but on a duplication-heavy corpus — the web case
+    * LSH dedup exists for — the quadratic band-bucket work shrinks by the
+    * duplication factor squared: the 10× replica bench went superlinear
+    * (16×) without this. The expansion join is ∝ output size, which is
+    * itself quadratic in duplication — that part is inherent to emitting
+    * every pair. */
   private[queries] def pairsFromSig(sig: DataFrame, threshold: Double): DataFrame = {
+    val sigCols = (0 until 16).map(i => col(s"s$i"))
+    val keyed = sig.select(
+      (col("doc_id") +: sigCols :+ array_sort(col("arr")).as("ak")): _*)
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(sigCols :+ col("ak"): _*)
+    val withG = keyed
+      .select(col("doc_id") +: sigCols :+ col("ak") :+
+        min(col("doc_id")).over(wKey).as("gid") :+
+        count(lit(1)).over(wKey).as("gn"): _*)
+      .localCheckpoint()
+    val mem = withG.select(col("doc_id"), col("gid"))
+    val reps = withG.filter(col("doc_id") === col("gid"))
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
         .cast("binary")).as(s"bh$b"))
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(expr(
+    val bands = reps.select(col("gid") +: bandCols: _*)
+      .select(col("gid"), explode(expr(
         "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
           " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("gid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
-    val sets = sig.select(col("doc_id"), col("arr"))
-    cands
-      .join(sets.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
-      .select(col("a_id"), col("b_id"),
+    val sets = reps.select(col("gid"), col("ak"))
+    val interReps = cands
+      .join(sets.select(col("gid").as("ga"), col("ak").as("a_arr")), "ga")
+      .join(sets.select(col("gid").as("gb"), col("ak").as("b_arr")), "gb")
+      .select(col("ga"), col("gb"),
         size(array_intersect(col("a_arr"), col("b_arr"))).as("n_common"),
         size(col("a_arr")).as("a_sz"), size(col("b_arr")).as("b_sz"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("ga"), col("gb"),
         round(col("n_common").cast("double") /
           (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
+    val inter = interReps
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = reps.filter(col("gn") >= 2).select(col("gid"))
+      .join(mem.select(col("gid"), col("doc_id").as("da")), "gid")
+      .join(mem.select(col("gid"), col("doc_id").as("db")), "gid")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("a_id"), col("db").as("b_id"),
+        lit(1.0).as("jacc"))
+    inter.union(intra)
   }
 
   /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Catalog, GQuery}
 import graft.util.Num._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
@@ -393,13 +394,22 @@ object TpchLike {
     (spark, dir) => {
       val s = Catalog.table(spark, dir, "supplier")
       val n = Catalog.table(spark, dir, "nation")
+      // ONE supplier scan: the global threshold is derived from the group
+      // sums themselves (the raw scaled-BIGINT accumulators window-sum to
+      // EXACTLY the global SUM(fix6), so the /1e6 * 0.05 matches the
+      // oracle's dsum bit-for-bit). The window is a single 25-row
+      // partition — nation cardinality is bounded, so this holds at any
+      // corpus size and drops the separate threshold-aggregate job +
+      // broadcast that made this query a two-scan, three-job plan.
       val grouped = s
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("s_acctbal")).as("value"))
-      val threshold = s.agg((dsum(col("s_acctbal")) * lit(0.05)).as("threshold"))
+        .agg(dsum(col("s_acctbal")).as("value"),
+          sum(fix6(col("s_acctbal"))).as("raw"))
+      val all = Window.partitionBy()
       grouped
-        .crossJoin(broadcast(threshold))
+        .withColumn("threshold",
+          sum(col("raw")).over(all).cast("double") / 1000000.0d * lit(0.05))
         .filter(col("value") > col("threshold"))
         .select(col("n_name"), col("value"))
         .orderBy(col("value").desc, col("n_name"))
