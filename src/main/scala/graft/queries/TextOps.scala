@@ -398,11 +398,13 @@ object TextOps {
       (col("doc_id") +: sigCols :+ array_sort(col("arr")).as("ak")): _*)
     val wKey = org.apache.spark.sql.expressions.Window
       .partitionBy(sigCols :+ col("ak"): _*)
+    // no checkpoint here: the group window's exchange is reused across the
+    // three references (ReusedExchange), and a checkpoint would hide the
+    // signature-table scans the PlanSpec "no corpus re-scan" pin verifies
     val withG = keyed
       .select(col("doc_id") +: sigCols :+ col("ak") :+
         min(col("doc_id")).over(wKey).as("gid") :+
         count(lit(1)).over(wKey).as("gn"): _*)
-      .localCheckpoint()
     val mem = withG.select(col("doc_id"), col("gid"))
     val reps = withG.filter(col("doc_id") === col("gid"))
     val bandCols = (0 until 4).map(b =>
