@@ -41,6 +41,16 @@ object VectorOps {
         sqrt(expr("aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
           " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))
 
+  /** Native codegen'd cosine over two float-array columns
+    * ([[graft.functions.CosineSim]]) — bit-equal to the composable fold
+    * (same sequential left-folds; FunctionsSpec pins the equality), but
+    * one fused whole-stage-codegen loop instead of an interpreted lambda
+    * chain per pair. Used on every heavy pair-scoring path; [[knnBrute]]
+    * deliberately keeps the composable form as the lambda-chain coverage
+    * anchor ([[knnNative]] is its native twin). */
+  private def cosineSimNative(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
   /** Sequential double dot product of two float lists (DuckDB oracle side;
     * the Spark side is the same left-fold via `aggregate(zip_with(...))`). */
   private[queries] def dotSql(a: String, b: String): String =
@@ -292,7 +302,7 @@ object VectorOps {
       val scored = cand
         .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
         .join(broadcast(qSet), "q_id")
-        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
+        .select(col("q_id"), col("n_id"), cosineSimNative("embedding", "q_emb").as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -609,7 +619,7 @@ object VectorOps {
         .join(broadcast(probed), Seq("j"))
         .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(qSet), "q_id")
-        .select(col("q_id"), col("vec_id").as("n_id"), cosineSim.as("sim"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cosineSimNative("embedding", "q_emb").as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -712,12 +722,12 @@ object VectorOps {
           col("embedding").as("ea")), Seq("cell", "ga"))
         .join(gemb.select(col("cell"), col("gid").as("gb"),
           col("embedding").as("eb")), Seq("cell", "gb"))
-        .select(col("ga"), col("gb"), cosineSimCols("ea", "eb").as("sim"))
+        .select(col("ga"), col("gb"), cosineSimNative("ea", "eb").as("sim"))
         .filter(col("sim") >= 0.35)
       // intra-group sim: identical bytes, same fold the member pair ran
       val gSelf = grp.filter(col("gn") >= 2)
         .select(col("gid").as("g"), col("gid").as("cand"),
-          cosineSimCols("embedding", "embedding").as("sim"))
+          cosineSimNative("embedding", "embedding").as("sim"))
         .filter(col("sim") >= 0.35)
       val cands = gp.select(col("gb").as("g"), col("ga").as("cand"), col("sim"))
         .union(gp.select(col("ga").as("g"), col("gb").as("cand"), col("sim")))
@@ -1064,12 +1074,12 @@ object VectorOps {
           slice(col("embedding"), 1, 16).as("emb16"))
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim16", cosineSimCols("emb16", "q_emb16"))
+        .withColumn("sim16", cosineSimNative("emb16", "q_emb16"))
       val w16 = Window.partitionBy(col("q_id"))
         .orderBy(col("sim16").desc, col("vec_id"))
       val rerank = short.withColumn("rk16", row_number().over(w16))
         .filter(col("rk16") <= 20)
-        .withColumn("sim", cosineSimCols("embedding", "q_emb"))
+        .withColumn("sim", cosineSimNative("embedding", "q_emb"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       rerank.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -1155,7 +1165,7 @@ object VectorOps {
       val rerank = short
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
-        .withColumn("sim", cosineSimCols("embedding", "q_emb"))
+        .withColumn("sim", cosineSimNative("embedding", "q_emb"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       rerank.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -1375,7 +1385,7 @@ object VectorOps {
       val scored = shortlist
         .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
         .join(broadcast(qSet), "q_id")
-        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
+        .select(col("q_id"), col("n_id"), cosineSimNative("embedding", "q_emb").as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -1524,7 +1534,7 @@ object VectorOps {
       val scored = shortlist
         .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
         .join(broadcast(qSet), "q_id")
-        .select(col("q_id"), col("n_id"), cosineSim.as("sim"))
+        .select(col("q_id"), col("n_id"), cosineSimNative("embedding", "q_emb").as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -1711,7 +1721,7 @@ object VectorOps {
         .join(e.select(col("vec_id").as("a_id"), col("embedding")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("q_emb")),
           "b_id")
-        .select(col("a_id"), col("b_id"), cosineSim.as("sim"))
+        .select(col("a_id"), col("b_id"), cosineSimNative("embedding", "q_emb").as("sim"))
       val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
