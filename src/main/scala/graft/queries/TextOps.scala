@@ -25,7 +25,8 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams, hashSplit,
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
+    substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
@@ -1093,6 +1094,136 @@ object TextOps {
       FROM ng JOIN top USING (h)
       GROUP BY ng.h
       ORDER BY n_occurrences DESC, ngram"""))
+
+  /** Exact-substring duplication audit (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * substring-dedup result, re-expressed as distributed dataflow): for
+    * every document pair, the LONGEST run of tokens shared verbatim,
+    * plus how many distinct rare 8-grams they share at all (a
+    * symmetric statistic, stable under the pair-id orientation). Where
+    * [[dupNgrams]] counts individual repeated grams, this finds the
+    * maximal contiguous duplicated SPANS — the thing substring dedup
+    * actually cuts.
+    *
+    * Distributed shape (no suffix array): (1) every token position emits
+    * its sliding 8-gram hash; (2) rare-gram anchoring — grams shared by
+    * 2..20 docs — discards boilerplate grams whose bucket pair-count
+    * grows quadratically while true long dups stay anchored (the same
+    * bounded-bucket principle as the LSH family); (3) matching positions
+    * join into (a, b, ia, ib) anchors; (4) a run of L consecutive shared
+    * grams lies on ONE diagonal d = ia - ib, so per (a, b, d) the
+    * classic islands trick (ia − row_number over ia) labels each
+    * contiguous run, whose gram count R covers R+7 tokens. Work is
+    * ∝ matching anchor pairs (bucket-bounded), windows partition on
+    * (a, b, d) — never a corpus-global sort. */
+  val substrRuns: GQuery = GQuery(
+    "t_substr_runs",
+    "longest verbatim shared token run per doc pair (rare 8-gram anchors, diagonal islands)",
+    // Exact-dup collapse FIRST (dedup-before-near-dup, as the minhash and
+    // semdedup families): identical texts form a group; anchors, diagonals
+    // and runs are computed once between group REPRESENTATIVES, and member
+    // pairs expand at the end. Output-equal to the naive per-doc form —
+    // the DuckDB oracle deliberately stays the naive definition, so the
+    // gate PROVES the collapse equivalence. Intra-group pairs (identical
+    // texts) reduce to per-rep consecutive-rare-position islands: any
+    // off-diagonal self-match run lies inside a d=0 consecutive stretch,
+    // so the d=0 maximum dominates. Gram rarity still counts member DOCS
+    // (Σ gn over distinct (gram, group)), matching the naive filter.
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = spread(Catalog.table(spark, dir, "documents"))
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"), col("text"),
+          md5(col("text").cast("binary")).as("tkey"))
+      // two-phase digest grouping: only (tkey, doc_id) shuffles — the
+      // full texts never move (a text-partitioned window was measured 4×
+      // slower at sf0.1 purely from shuffling document bodies)
+      val groups = d0.groupBy(col("tkey"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
+      val mem = d0.select(col("doc_id"), col("tkey"))
+        .join(groups.select(col("tkey"), col("gid")), "tkey")
+        .select(col("doc_id"), col("gid"))
+      val g = d0.join(groups.select(col("gid"), col("gn")),
+          col("doc_id") === col("gid"))
+        .select(col("gid"), col("gn"), split(col("text"), " ").as("tk"))
+        .select(col("gid"), col("gn"), posexplode(expr(
+          "transform(sequence(1, size(tk) - 7)," +
+            " i -> array_join(slice(tk, i, 8), ' '))")).as(Seq("p0", "ng")))
+        .select(col("gid"), col("gn"), (col("p0") + 1).as("pos"),
+          h60(col("ng")).as("h"))
+      val rare = g.select(col("h"), col("gid"), col("gn")).distinct()
+        .groupBy(col("h")).agg(sum(col("gn")).as("nd"))
+        .filter(col("nd").between(2, 20)).select(col("h"))
+      val gr = g.join(rare, "h").select(col("gid"), col("pos"), col("h"))
+        .localCheckpoint()
+      val isl = gr.as("x").join(gr.as("y"),
+          col("x.h") === col("y.h") && col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"), col("x.h").as("h"),
+          col("x.pos").as("ia"), (col("x.pos") - col("y.pos")).as("d"))
+        .withColumn("isl", col("ia") - row_number().over(
+          Window.partitionBy(col("ga"), col("gb"), col("d"))
+            .orderBy(col("ia"))))
+      val interStats = isl
+        .groupBy(col("ga"), col("gb"), col("d"), col("isl"))
+        .agg(count(lit(1)).as("ng_run"))
+        .groupBy(col("ga"), col("gb"))
+        .agg((max(col("ng_run")) + 7L).as("max_run_tokens"))
+        .join(isl.groupBy(col("ga"), col("gb"))
+          .agg(countDistinct(col("h")).as("n_shared_grams")),
+          Seq("ga", "gb"))
+      val selfIsl = gr.withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy(col("gid")).orderBy(col("pos"))))
+      val selfStats = selfIsl.groupBy(col("gid"), col("isl"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("gid")).agg((max(col("run")) + 7L).as("max_run_tokens"))
+        .join(gr.groupBy(col("gid"))
+          .agg(countDistinct(col("h")).as("n_shared_grams")), "gid")
+      val interOut = interStats
+        .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+        .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+        .select(least(col("da"), col("db")).as("a_id"),
+          greatest(col("da"), col("db")).as("b_id"),
+          col("max_run_tokens"), col("n_shared_grams"))
+      val intraOut = selfStats
+        .join(mem.select(col("gid"), col("doc_id").as("da")), "gid")
+        .join(mem.select(col("gid"), col("doc_id").as("db")), "gid")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("a_id"), col("db").as("b_id"),
+          col("max_run_tokens"), col("n_shared_grams"))
+      interOut.union(intraOut)
+        .filter(col("max_run_tokens") >= 15)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS MATERIALIZED (
+        SELECT doc_id, pos, ${h60Sql("ng")} AS h
+        FROM (SELECT doc_id, g.i AS pos,
+                     array_to_string(tk[g.i:g.i + 7], ' ') AS ng
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7))
+                               AS i) g) s),
+      rare AS (SELECT h FROM g GROUP BY h
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20),
+      gr AS MATERIALIZED (SELECT g.* FROM g JOIN rare USING (h)),
+      isl AS MATERIALIZED (
+        SELECT a_id, b_id, h, ia, d,
+               ia - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, d
+                                       ORDER BY ia) AS isl
+        FROM (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.h AS h,
+                     x.pos AS ia, x.pos - y.pos AS d
+              FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id)),
+      runs AS (SELECT a_id, b_id, MAX(ng_run) + 7 AS max_run_tokens
+               FROM (SELECT a_id, b_id, COUNT(*) AS ng_run
+                     FROM isl GROUP BY a_id, b_id, d, isl)
+               GROUP BY a_id, b_id),
+      sh AS (SELECT a_id, b_id,
+                    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_grams
+             FROM isl GROUP BY a_id, b_id)
+      SELECT runs.a_id, runs.b_id, max_run_tokens, n_shared_grams
+      FROM runs JOIN sh USING (a_id, b_id)
+      WHERE max_run_tokens >= 15
+      ORDER BY a_id, b_id"""))
 
   /** Deterministic train/val/test split — the last step before a corpus
     * ships to training. Assignment is a pure hash of doc_id (stable across
