@@ -50,4 +50,21 @@ class FunctionsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("corpus-scaled LSH parameters: exact integer boundaries") {
+    import graft.queries.VectorOps.{bandBits, semSubBits}
+    // bandBits: smallest b ≥ 4 with N ≤ 32·2^b — pure integer search, so
+    // Spark and the DuckDB oracle's range-scan formulation agree exactly
+    // even where a float log2 would sit on an ulp boundary
+    assert(bandBits(1) === 4)
+    assert(bandBits(512) === 4)    // 32·2^4 exactly — boundary stays low
+    assert(bandBits(513) === 5)
+    assert(bandBits(2000) === 6)   // the sf0.1 corpus
+    assert(bandBits(10_000_000_000L) === 29) // the 100 TB shape fits BIGINT buckets
+    // semSubBits: smallest r ≥ 0 with N ≤ ivfK·50·2^r (ivfK = 10)
+    assert(semSubBits(500) === 0)  // gate scale: no sub-split, exact per-cell pairs
+    assert(semSubBits(501) === 1)
+    assert(semSubBits(2000) === 2) // sf0.1
+    assert(semSubBits(20000) === 6)
+  }
 }
