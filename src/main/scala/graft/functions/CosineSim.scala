@@ -96,7 +96,10 @@ object GraftFunctions {
   private val fns: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (cs: Seq[Expression]) => CosineSim(cs(0), cs(1))))
+      (cs: Seq[Expression]) => CosineSim(cs(0), cs(1))),
+    ("damerau_levenshtein",
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (cs: Seq[Expression]) => DamerauLevenshtein(cs(0), cs(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, info, builder) =>

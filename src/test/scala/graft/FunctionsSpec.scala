@@ -67,4 +67,64 @@ class FunctionsSpec extends SparkSpec {
     assert(semSubBits(2000) === 2) // sf0.1
     assert(semSubBits(20000) === 6)
   }
+
+  // ---------------------------------------------------- damerau_levenshtein
+
+  private def dl(a: String, b: String): Int =
+    graft.functions.EditDistance.damerau(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("damerau_levenshtein is the FULL metric, not OSA") {
+    // the discriminating pair: OSA forbids edits after a transposition
+    // (CA→AC→ABC would be 2 but OSA answers 3); DuckDB's function answers
+    // 2 (probed), so the full Lowrance-Wagner metric is what hash-gates
+    assert(dl("CA", "ABC") === 2)
+    assert(dl("abc", "ca") === 2)
+    assert(dl("abcd", "acbd") === 1)   // one adjacent transposition
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("", "ab") === 2)
+    assert(dl("ab", "") === 2)
+    assert(dl("same", "same") === 0)
+    assert(dl("a", "a") === 0)
+  }
+
+  test("damerau_levenshtein metric properties on random strings") {
+    val rnd = new scala.util.Random(42)
+    def s() = (0 until rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 0 until 500) {
+      val (a, b, c) = (s(), s(), s())
+      val ab = dl(a, b)
+      assert(ab === dl(b, a), s"symmetry broke on '$a','$b'")
+      assert(ab >= math.abs(a.length - b.length) && ab <= math.max(a.length, b.length),
+        s"bounds broke on '$a','$b'")
+      assert(ab <= dl(a, c) + dl(c, b), s"triangle broke on '$a','$c','$b'")
+      assert(ab === 0 === (a == b), s"identity broke on '$a','$b'")
+    }
+  }
+
+  test("damerau_levenshtein: SQL registration, lev upper bound, codegen≡interpreted") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def s() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      (s(), s())
+    }
+    val df = rows.toDF("a", "b")
+    val out = df.select(expr("damerau_levenshtein(a, b)").as("dl"),
+      levenshtein(col("a"), col("b")).as("lev")).collect()
+    out.foreach(r => assert(r.getInt(0) <= r.getInt(1),
+      "full DL can never exceed Levenshtein (transpositions only add options)"))
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(expr("damerau_levenshtein(a, b)")).collect()
+      assert(out.map(_.getInt(0)).toSeq === interp.map(_.getInt(0)).toSeq,
+        "interpreted path diverged from codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
