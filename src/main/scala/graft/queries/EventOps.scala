@@ -22,7 +22,48 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate)
+      interpolate, streaks)
+
+  /** Consecutive-day activity streaks — the gaps-and-islands pattern on
+    * the integer day grid (the session twin [[sessionize]] works on a
+    * continuous time gap instead). Island key = day − row_number(): any
+    * run of consecutive days collapses to one constant, so streak
+    * membership falls out of one per-user window pass with NO self-join.
+    *
+    * Distribution: distinct (user, day) is a two-phase aggregate; the
+    * window shuffles once on user_id with per-user state (streaming-
+    * compatible keying); the streak histogram is a tiny final aggregate.
+    * Everything is linear in events at any corpus size. */
+  val streaks: GQuery = GQuery(
+    "e_streaks",
+    "gaps-and-islands: consecutive-active-day streak histogram",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val days = e.select(col("user_id"),
+        expr("ts div 86400000000000").as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("len"))
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("len"))
+    },
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+      isl AS (SELECT user_id,
+                     day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS isl
+              FROM days),
+      streak AS (SELECT user_id, isl, COUNT(*) AS len
+                 FROM isl GROUP BY user_id, isl)
+      SELECT len, COUNT(*) AS n_streaks,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM streak GROUP BY len ORDER BY len"""))
 
   /** Hourly resample + linear gap interpolation per user — the
     * time-series regularization step (sensor/metric pipelines: turn an

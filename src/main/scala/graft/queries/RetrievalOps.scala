@@ -19,7 +19,122 @@ import org.apache.spark.sql.functions._
 object RetrievalOps {
 
   def queries: Seq[GQuery] = Seq(bm25Search, docPerplexity, dsirSelect, pplBuckets,
-    hybridRrf, mmrRerank)
+    hybridRrf, mmrRerank, rankEval)
+
+  // ------------------------------------------------------------ rank eval
+  /** Offline retrieval-quality evaluation: precision/recall/MRR/nDCG at
+    * k ∈ {1,5,10,20} of the [[bm25Scored]] run, with graded relevance
+    * labels derived deterministically from the corpus itself (rel(doc) =
+    * how many of the query terms the doc contains, 0–3) — the eval
+    * harness every retrieval pipeline needs next to its index.
+    *
+    * Distribution shape: labels come from the same single corpus scan
+    * BM25 already does; the run's top-20 is TakeOrderedAndProject and
+    * every downstream frame (ranked list, ideal-gain list, k-grid) is
+    * ≤ 20 rows and broadcast — corpus size only enters through the two
+    * scans. The ideal DCG comes from the corpus-wide rel HISTOGRAM
+    * (4 counters), not a global sort of per-doc gains.
+    *
+    * Determinism: ranks are tie-broken by doc_id in both engines; each
+    * DCG term is quantized to the fix6 grid and accumulated exactly
+    * (dsum), so nDCG hash-gates despite log2. */
+  // lazy: declared above the bm25 helpers it closes over; `queries` is a
+  // def, so forcing happens after object init completes
+  lazy val rankEval: GQuery = GQuery(
+    "r_rank_eval",
+    "precision/recall/MRR/nDCG at k of the BM25 run vs term-coverage labels",
+    (spark, dir) => {
+      val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // graded relevance from total query-term frequency (presence alone is
+      // near-universal on this corpus — tf buckets actually discriminate)
+      val termPred = bmTerms.map(t => s"x = '$t'").mkString(" or ")
+      val rel = d.select(col("doc_id"),
+          expr(s"size(filter(tk, x -> $termPred))").as("c"))
+        .select(col("doc_id"),
+          when(col("c") >= 6, 3).when(col("c") >= 3, 2)
+            .when(col("c") >= 1, 1).otherwise(0).as("rel"))
+      val stats = rel.agg(
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("c1"))
+      val shortlist = bm25Scored(spark, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      // rank over the bounded 20-row shortlist (single-partition window is
+      // fine HERE: the shortlist is constant-size at any corpus scale)
+      val run = shortlist.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val ranked = rel.join(broadcast(run), "doc_id")
+        .select(col("rank"), col("rel"))
+      val gain = (pow(lit(2.0d), col("rel")) - lit(1.0d)) /
+        log2(col("rank").cast("double") + lit(1.0d))
+      val ideal = spark.range(1, 21).select(col("id").as("rank"))
+        .crossJoin(broadcast(stats))
+        .select(col("rank"),
+          when(col("rank") <= col("c3"), 3)
+            .when(col("rank") <= col("c3") + col("c2"), 2)
+            .when(col("rank") <= col("c3") + col("c2") + col("c1"), 1)
+            .otherwise(0).as("rel"))
+      val ks = spark.createDataFrame(Seq(Tuple1(1), Tuple1(5), Tuple1(10), Tuple1(20)))
+        .toDF("k")
+      val perK = ks.crossJoin(broadcast(ranked)).filter(col("rank") <= col("k"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_hits"),
+          max(when(col("rel") >= 1, lit(1.0d) / col("rank").cast("double"))
+            .otherwise(lit(0.0d))).as("mrr"),
+          dsum(gain).as("dcg"))
+      val idealK = ks.crossJoin(broadcast(ideal)).filter(col("rank") <= col("k"))
+        .groupBy(col("k")).agg(dsum(gain).as("idcg"))
+      perK.join(broadcast(idealK), "k").crossJoin(broadcast(stats))
+        .select(col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6).as("precision"),
+          round(col("n_hits").cast("double") / col("n_rel").cast("double"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("k"))
+    },
+    Some(s"""
+      WITH $bm25SqlCtes,
+      d2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      rel AS (SELECT doc_id,
+                CASE WHEN c >= 6 THEN 3 WHEN c >= 3 THEN 2
+                     WHEN c >= 1 THEN 1 ELSE 0 END AS rel
+              FROM (SELECT doc_id,
+                           len(list_filter(tk, x ->
+                             ${bmTerms.map(t => s"x = '$t'").mkString(" OR ")})) AS c
+                    FROM d2) cnt),
+      rstats AS (SELECT SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS n_rel,
+                        SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS c3,
+                        SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS c2,
+                        SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS c1
+                 FROM rel),
+      run AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM (SELECT * FROM bmscore ORDER BY score DESC, doc_id LIMIT 20) s),
+      ranked AS (SELECT rank, rel FROM run JOIN rel USING (doc_id)),
+      ideal AS (SELECT i AS rank,
+                       CASE WHEN i <= c3 THEN 3
+                            WHEN i <= c3 + c2 THEN 2
+                            WHEN i <= c3 + c2 + c1 THEN 1 ELSE 0 END AS rel
+                FROM (SELECT unnest(range(1, 21)) AS i) pos CROSS JOIN rstats),
+      ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+      per_k AS (SELECT k,
+                       SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS n_hits,
+                       MAX(CASE WHEN rel >= 1
+                                THEN CAST(1 AS DOUBLE) / CAST(rank AS DOUBLE)
+                                ELSE CAST(0 AS DOUBLE) END) AS mrr,
+                       ${dsumSql("(POW(2, rel) - 1) / LOG2(CAST(rank AS DOUBLE) + 1)")} AS dcg
+                FROM ks CROSS JOIN ranked WHERE rank <= k GROUP BY k),
+      ideal_k AS (SELECT k,
+                       ${dsumSql("(POW(2, rel) - 1) / LOG2(CAST(rank AS DOUBLE) + 1)")} AS idcg
+                  FROM ks CROSS JOIN ideal WHERE rank <= k GROUP BY k)
+      SELECT k, n_hits,
+             ROUND(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE), 6) AS precision,
+             ROUND(CAST(n_hits AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) AS recall,
+             ROUND(mrr, 6) AS mrr,
+             ROUND(dcg / idcg, 6) AS ndcg
+      FROM per_k JOIN ideal_k USING (k) CROSS JOIN rstats
+      ORDER BY k"""))
 
   // ------------------------------------------------------------ BM25
   private val bmK1 = 1.2

@@ -80,7 +80,8 @@ class RegistrySpec extends SparkSpec {
     "t_feature_hash" -> 500, "x_try_funcs" -> 201,
     "v_outliers" -> 10, "p_quality_trim" -> 20, "x_zorder" -> 16,
     "e_interpolate" -> 15, "v_knn_graph" -> 1500, "x_string_agg" -> 5,
-    "t_substr_runs" -> 27, "x_damerau" -> 3)
+    "t_substr_runs" -> 27, "x_damerau" -> 3, "e_streaks" -> 18,
+    "r_rank_eval" -> 4)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
