@@ -120,13 +120,21 @@ object TpchLike {
       val c = Catalog.table(spark, dir, "customer")
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
+      // aggregate-below-join: the group key is l_orderkey and the
+      // customer/date predicates are order-level, so per-order revenue can
+      // be summed BEFORE any join (map-side combine on the
+      // orderkey-clustered lineitem files) — the join then carries one
+      // narrow row per qualifying order, and AQE can broadcast the
+      // customer-filtered orders side instead of sort-merging raw lineitem
+      val rev = l.filter(col("l_shipdate") > d("1998-03-15"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       c.filter(col("c_mktsegment") === "BUILDING")
         .join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("o_orderdate") < d("1998-03-15") && col("l_shipdate") > d("1998-03-15"))
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
-        .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
-        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .filter(col("o_orderdate") < d("1998-03-15"))
+        .join(rev, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -150,10 +158,18 @@ object TpchLike {
     (spark, dir) => {
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
+      // EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate:
+      // pre-aggregating lineitem to one (orderkey, max_ship) row turns the
+      // 4-rows-per-key semi-join sort into a map-side-combined aggregate
+      // (lineitem files are orderkey-clustered, so partial agg collapses
+      // near-fully before the shuffle) and lets AQE broadcast the 3-month
+      // orders slice; at full scale both sides hash on orderkey — one
+      // co-keyed shuffle either way, with 4x fewer probe rows.
+      val maxShip = l.groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
       o.filter(col("o_orderdate") >= d("1997-07-01") && col("o_orderdate") < d("1997-10-01"))
-        .join(l,
-          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
-          "left_semi")
+        .join(maxShip,
+          col("l_orderkey") === col("o_orderkey") && col("max_ship") > col("o_orderdate"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
@@ -180,13 +196,21 @@ object TpchLike {
       val s = Catalog.table(spark, dir, "supplier")
       val n = Catalog.table(spark, dir, "nation")
       val r = Catalog.table(spark, dir, "region")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA" &&
-          col("o_orderdate") >= d("1996-01-01") && col("o_orderdate") < d("1997-01-01"))
+      // fact-first join order: lineitem is ALWAYS the stream side. Written
+      // dimension-last, the planner's pruned-column size estimate can put
+      // the whole fact table under the broadcast threshold and collect it
+      // to the driver (observed at the SF1 replica: 6M-row lineitem on a
+      // BroadcastExchange) — the one shape that cannot survive scale-up.
+      val asiaN = n.join(broadcast(r),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      l.join(o.filter(col("o_orderdate") >= d("1996-01-01") &&
+            col("o_orderdate") < d("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .join(c, col("c_custkey") === col("o_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -234,15 +258,28 @@ object TpchLike {
       val c = Catalog.table(spark, dir, "customer")
       val n1 = Catalog.table(spark, dir, "nation").alias("n1")
       val n2 = Catalog.table(spark, dir, "nation").alias("n2")
-      s.join(l, col("s_suppkey") === col("l_suppkey"))
-        .join(o, col("o_orderkey") === col("l_orderkey"))
-        .join(c, col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+      // derived-filter pushdown: the disjunctive pair predicate implies
+      // BOTH roles are one of the two nations, so supplier and customer
+      // are pre-cut to 2/25 of their rows BEFORE touching the fact
+      // table — lineitem shrinks ~12x at its first (broadcast) join
+      // instead of after four joins; the asymmetric pair-OR survives as
+      // a residual filter on the tiny joined result
+      val sCut = s.join(broadcast(
+          n1.filter(col("n1.n_name").isin("NATION_1", "NATION_2"))),
+        col("s_nationkey") === col("n1.n_nationkey"))
+      val cCut = c.join(broadcast(
+          n2.filter(col("n2.n_name").isin("NATION_1", "NATION_2"))),
+        col("c_nationkey") === col("n2.n_nationkey"))
+      // cut BOTH fact inputs before the orderkey join: lineitem through
+      // the supplier side, orders through the customer side — neither
+      // full fact table ever sits on a hash-build side
+      val oCut = o.join(cCut, col("c_custkey") === col("o_custkey"))
+      l.filter(col("l_shipdate").between(d("1996-01-01"), d("1997-12-31")))
+        .join(sCut, col("s_suppkey") === col("l_suppkey"))
+        .join(oCut, col("o_orderkey") === col("l_orderkey"))
         .filter(
-          ((col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
-            (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1")) &&
-            col("l_shipdate").between(d("1996-01-01"), d("1997-12-31")))
+          (col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
+            (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
         .select(
           col("n1.n_name").as("supp_nation"),
           col("n2.n_name").as("cust_nation"),
@@ -282,14 +319,20 @@ object TpchLike {
       val n1 = Catalog.table(spark, dir, "nation").alias("n1")
       val n2 = Catalog.table(spark, dir, "nation").alias("n2")
       val r = Catalog.table(spark, dir, "region")
-      p.filter(col("p_type") === "ECONOMY")
-        .join(l, col("p_partkey") === col("l_partkey"))
+      // region predicate pushed below the fact joins: customers are cut
+      // to the AMERICA region (≈1/5) via a broadcast dimension chain
+      // BEFORE joining, so non-qualifying rows never ride through the
+      // orders/customer join (without CBO join reorder, a trailing
+      // region filter would only be applied after the full 8-table join)
+      val cAmerica = c.join(broadcast(
+          n1.join(broadcast(r), col("n1.n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "AMERICA")),
+        col("c_nationkey") === col("n1.n_nationkey"))
+      l.join(p.filter(col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
         .join(s, col("s_suppkey") === col("l_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("c_nationkey") === col("n1.n_nationkey"))
-        .join(broadcast(r), col("n1.n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "AMERICA")
+        .join(cAmerica, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("s_nationkey") === col("n2.n_nationkey"))
         .select(
           year(col("o_orderdate")).as("o_year"),
@@ -364,11 +407,14 @@ object TpchLike {
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
       val n = Catalog.table(spark, dir, "nation")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
+      // fact-first (see q5): returned lineitems stream against the
+      // 3-month orders slice, then the per-customer dimensions
+      l.filter(col("l_returnflag") === "R")
+        .join(o.filter(col("o_orderdate") >= d("1997-10-01") &&
+            col("o_orderdate") < d("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .filter(col("o_orderdate") >= d("1997-10-01") && col("o_orderdate") < d("1998-01-01") &&
-          col("l_returnflag") === "R")
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
@@ -462,11 +508,14 @@ object TpchLike {
     (spark, dir) => {
       val c = Catalog.table(spark, dir, "customer")
       val o = Catalog.table(spark, dir, "orders")
-      c.join(o,
-          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "5-LOW",
-          "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+      // aggregate-below-outer-join: count orders per custkey FIRST (narrow
+      // 2-column shuffle with map-side combine), then left-join customers
+      // to the counts — the join carries one row per customer instead of
+      // one per order, and the per-custkey group-by disappears
+      val perCust = o.filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("k"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
@@ -601,17 +650,19 @@ object TpchLike {
       val c = Catalog.table(spark, dir, "customer")
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
+      // the IN-subquery aggregate IS the output aggregate: sum_qty per
+      // qualifying order is exactly the HAVING sum, so one lineitem
+      // aggregation serves both the semi-filter and the result — no second
+      // lineitem scan/join (and no fact table ever sits on a build side)
       val bigOrders = l
         .groupBy(col("l_orderkey").as("bk"))
-        .agg(dsum(col("l_quantity")).as("tot"))
-        .filter(col("tot") > 150)
-        .select(col("bk"))
-      o.join(bigOrders, col("o_orderkey") === col("bk"), "left_semi")
-        .join(c, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast(DateType).as("o_orderdate"), col("o_totalprice"))
         .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      o.join(bigOrders, col("o_orderkey") === col("bk"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
