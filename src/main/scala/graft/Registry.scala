@@ -25,7 +25,8 @@ object Registry {
       graft.queries.EventOps.queries ++
       graft.multimodal.MediaOps.queries ++
       graft.queries.Canaries.queries ++
-      graft.queries.RetrievalOps.queries
+      graft.queries.RetrievalOps.queries ++
+      graft.queries.SketchOps.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
