@@ -763,14 +763,17 @@ object TpchLike {
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-      val perOrder = lo
-        .groupBy(col("l_orderkey").as("gk"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      lo.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("gk"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      // one pass instead of aggregate + join-back: both distinct-supplier
+      // counts come from whole-partition window sets keyed on the order —
+      // a single orderkey shuffle/sort of ONE lineitem scan (the agg form
+      // recomputed `lo` — two scans, two joins); per-group set size is
+      // bounded by suppliers-per-order, so window state is O(1)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      lo
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(s, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name") === "NATION_3")
