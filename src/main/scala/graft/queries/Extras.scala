@@ -20,7 +20,56 @@ object Extras {
     unionDistinct,
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
-    dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ)
+    dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin)
+
+  /** Skew-mitigated (salted) join, oracle-proven output-equal to the
+    * plain join. THE hot-key defense at 100 TB: a shuffle join hashes
+    * each key to one reducer, so one pathological key (the null user,
+    * the default supplier) serializes its entire row mass onto a single
+    * task. Salting splits every fact row's key into (key, salt∈[0,S))
+    * with a deterministic per-row hash and replicates the dimension row
+    * S× — the hot key's mass now spreads over S reducers, at the price
+    * of an S× dimension expansion (dimensions are small; facts are not).
+    *
+    * The oracle is the PLAIN join with no salt anywhere — the gate
+    * hash-proves the rewrite is invisible to results. A SHUFFLE_HASH
+    * hint keeps the exercise honest at test scale (broadcast would
+    * bypass the salted shuffle being demonstrated; at 100 TB this form
+    * is for dims past the broadcast threshold — under it, broadcast and
+    * skip salting entirely). AQE's skewedJoin covers sort-merge skew at
+    * runtime (enabled in GraftSession); explicit salting is the plan-
+    * level form that also covers hash joins and grouped aggregation. */
+  val saltedJoin: GQuery = GQuery(
+    "x_salted_join",
+    "salted (skew-spread) fact-dim join == plain join, revenue by nation",
+    (spark, dir) => {
+      val S = 8
+      val l = Catalog.table(spark, dir, "lineitem")
+      val s = Catalog.table(spark, dir, "supplier")
+      val salted = l.select(col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"),
+        (TextOps.h60(concat_ws(":", lit("salt"), col("l_orderkey"),
+          col("l_linenumber"))) % S).as("salt"))
+      val dimRep = s.select(col("s_suppkey"), col("s_nationkey"),
+        explode(expr(s"sequence(0, ${S - 1})")).as("salt"))
+      salted.hint("shuffle_hash")
+        .join(dimRep, salted("l_suppkey") === dimRep("s_suppkey") &&
+          salted("salt") === dimRep("salt"))
+        .groupBy(col("s_nationkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    },
+    // deliberately salt-free: the plain join IS the spec the salted
+    // rewrite must reproduce bit-for-bit
+    Some(s"""
+      SELECT s_nationkey,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""))
 
   /** Transposition-aware fuzzy matching through the graft-native
     * `damerau_levenshtein` Expression ([[graft.functions.DamerauLevenshtein]]

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.LongType
   */
 object SketchOps {
 
-  def queries: Seq[GQuery] = Seq(hllDistinct, cmsTopk)
+  def queries: Seq[GQuery] = Seq(hllDistinct, cmsTopk, bloomJoin, histoQuantile)
 
   /** 60-bit md5 hash of a string column — same contract as
     * [[TextOps.h60]] (kept local: that helper is package-private to its
@@ -166,4 +166,189 @@ object SketchOps {
       FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
       GROUP BY p.user_id, p.n_exact
       ORDER BY n_exact DESC, user_id"""))
+
+  // ------------------------------------------------------------ bloom join
+  private val BloomM = 4096      // bits
+  private val BloomK = 3         // hash functions
+  // deliberately loaded (~0.4 fill at gate scale) so false positives occur
+  // and the pass/true/fp accounting is exercised, not just reproduced
+
+  /** Bloom-filter semi-join reduction audit (Bloom 1970) — THE shuffle
+    * killer for a selective dim⨝fact join at 100 TB: build a tiny bit-set
+    * from the filtered dimension's join keys, broadcast it, and drop
+    * non-matching fact rows AT THE SCAN, before they pay the shuffle.
+    * Spark injects this automatically under AQE
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this query
+    * builds the filter explicitly with engine-portable hashes so the
+    * oracle audits the whole contract: every true match passes (no false
+    * negatives — the semi-join can only shrink, never break), and the
+    * false-positive rate is the predicted (1−e^(−kn/m))^k neighborhood.
+    *
+    * Shape: the filter is `n_keys·k` DISTINCT positions (≤ m = $BloomM
+    * rows) — broadcast, never shuffled; the probe is a per-fact-row
+    * k-expansion joined against that broadcast, so fact-side work is one
+    * scan with map-side joins only. Audit side (exact semi-join) is the
+    * expensive thing the filter replaces.
+    *
+    * Reference analog: runtime filter pushdown across the distributed
+    * boundary (the reference ships plan fragments to workers;
+    * a broadcast bit-set is the Spark-native equivalent). */
+  val bloomJoin: GQuery = GQuery(
+    "x_bloom_join",
+    s"bloom-filter (m=$BloomM, k=$BloomK) semi-join prefilter audit: pass/true/fp counts",
+    (spark, dir) => {
+      val c = Catalog.table(spark, dir, "customer")
+      val o = Catalog.table(spark, dir, "orders")
+      val dimKeys = c.filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_nationkey") < 5)
+        .select(col("c_custkey"))
+      val positions = dimKeys
+        .select(explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"),
+          col("c_custkey"))
+        .select((h60(concat_ws(":", col("i"), col("c_custkey"))) % BloomM)
+          .as("pos"))
+        .distinct()
+      val probe = o
+        .select(col("o_orderkey"), col("o_custkey"),
+          explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"))
+        .select(col("o_orderkey"),
+          (h60(concat_ws(":", col("i"), col("o_custkey"))) % BloomM).as("pos"))
+      val nPass = probe.join(broadcast(positions), Seq("pos"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === BloomK)
+        .agg(count(lit(1)).as("n_pass"))
+      val nTrue = o.join(broadcast(dimKeys),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_true"))
+      val nFact = o.agg(count(lit(1)).as("n_fact"))
+      nFact.crossJoin(broadcast(nPass)).crossJoin(broadcast(nTrue))
+        .select(col("n_fact"), col("n_pass"), col("n_true"),
+          (col("n_pass") - col("n_true")).as("n_fp"),
+          round((col("n_pass") - col("n_true")).cast("double") /
+            (col("n_fact") - col("n_true")).cast("double"), 6).as("fp_rate"))
+    },
+    Some(s"""
+      WITH dim AS (SELECT c_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5),
+      pos AS (SELECT DISTINCT
+                ${h60Sql("(CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR))")} % $BloomM AS pos
+              FROM dim CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS i) g),
+      probe AS (SELECT o_orderkey,
+                  ${h60Sql("(CAST(i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR))")} % $BloomM AS pos
+                FROM orders CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS i) g),
+      pass AS (SELECT COUNT(*) AS n_pass FROM (
+                 SELECT o_orderkey FROM probe JOIN pos USING (pos)
+                 GROUP BY o_orderkey HAVING COUNT(*) = $BloomK)),
+      tru AS (SELECT COUNT(*) AS n_true FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+      fact AS (SELECT COUNT(*) AS n_fact FROM orders)
+      SELECT n_fact, n_pass, n_true, n_pass - n_true AS n_fp,
+             ROUND(CAST(n_pass - n_true AS DOUBLE) /
+                   CAST(n_fact - n_true AS DOUBLE), 6) AS fp_rate
+      FROM fact CROSS JOIN pass CROSS JOIN tru"""))
+
+  // ------------------------------------------------------------ histogram quantile
+  private val HistB = 256        // equi-width buckets
+
+  /** Mergeable-histogram quantile audit: a fixed $HistB-bucket equi-width
+    * histogram over `o_totalprice` (two passes: min/max, then bucket
+    * counts — both map-side-combinable to ≤ $HistB rows per partition,
+    * mergeable across any partitioning), quantiles read off the
+    * cumulative counts by linear interpolation inside the landing
+    * bucket. Audited against the EXACT interpolated quantile computed
+    * the distributed way — global sort + row_number, interpolating
+    * between the two straddling rows with the same (1−f)·lo + f·hi
+    * formula on both engines (engine quantile aggregates are avoided:
+    * their interpolation arithmetic differs in the last ulp).
+    *
+    * 100-TB shape: the sketch is what production runs — two scans, ≤
+    * $HistB-row state, no sort; the exact side (a full global sort) is
+    * the audit-only path. Every arithmetic step is single-rounded
+    * IEEE-754 (sub, mul, div, add in a fixed order), so the hash gate
+    * passes bit-exactly on both engines. */
+  val histoQuantile: GQuery = GQuery(
+    "x_histo_quantile",
+    s"equi-width histogram (B=$HistB) p50/p90/p99 vs exact interpolated quantiles",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val v = o.select(col("o_totalprice").as("v"))
+      val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      val bucketed = v.crossJoin(broadcast(mm))
+        .select(least(floor((col("v") - col("mn")) * HistB / (col("mx") - col("mn"))),
+          lit(HistB - 1)).cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = bucketed.select(col("b"), col("cnt"),
+        sum(col("cnt")).over(wCum).as("cum"))
+      val qs = spark.range(1).select(
+        explode(array(lit(0.5d), lit(0.9d), lit(0.99d))).as("q"))
+      // histogram estimate: first bucket with cum >= q*n; linear interp inside
+      val est = qs.crossJoin(broadcast(mm)).crossJoin(broadcast(cum))
+        .filter(col("cum") >= col("q") * col("n"))
+        .groupBy(col("q"), col("mn"), col("mx"), col("n"))
+        .agg(min(col("b")).as("b0"))
+        .join(cum.withColumnRenamed("b", "b0"), Seq("b0"))
+        .select(col("q"), col("mn"), col("mx"), col("n"), col("b0"),
+          col("cnt"), col("cum"))
+        .select(col("q"), col("n"),
+          round(col("mn") + (col("b0").cast("double") +
+            (col("q") * col("n") - (col("cum") - col("cnt")).cast("double")) /
+              col("cnt").cast("double")) *
+            ((col("mx") - col("mn")) / HistB), 4).as("histo_est"))
+      // exact: global sort + row_number, interpolate at idx = q*(n-1)
+      val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      val ranked = v.select(col("v"),
+        (row_number().over(wRank) - 1).cast("double").as("r"))
+      val exact = qs.crossJoin(broadcast(mm))
+        .select(col("q"), (col("q") * (col("n") - 1)).as("idx"))
+        .select(col("q"), floor(col("idx")).as("lo_r"), col("idx"))
+        .join(ranked.withColumnRenamed("v", "lo_v"),
+          col("lo_r") === col("r")).drop("r")
+        .join(ranked.withColumnRenamed("v", "hi_v"),
+          col("lo_r") +
+            when(col("idx") > col("lo_r"), 1).otherwise(0) === col("r"))
+        .select(col("q"),
+          round(col("lo_v") * (lit(1.0d) - (col("idx") - col("lo_r"))) +
+            col("hi_v") * (col("idx") - col("lo_r")), 4).as("exact_q"))
+      est.join(exact, Seq("q"))
+        .select(col("q"), col("histo_est"), col("exact_q"),
+          round(col("histo_est") - col("exact_q"), 4).as("err"))
+        .orderBy(col("q"))
+    },
+    Some(s"""
+      WITH v AS (SELECT o_totalprice AS v FROM orders),
+      mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM v),
+      bucketed AS (SELECT CAST(LEAST(FLOOR((v - mn) * $HistB / (mx - mn)),
+                                     $HistB - 1) AS INT) AS b, COUNT(*) AS cnt
+                   FROM v CROSS JOIN mm GROUP BY 1),
+      cum AS (SELECT b, cnt, SUM(cnt) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM bucketed),
+      qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+      b0 AS (SELECT q, mn, mx, n, MIN(b) AS b0
+             FROM qs CROSS JOIN mm JOIN cum ON cum >= q * n
+             GROUP BY q, mn, mx, n),
+      est AS (SELECT q, n,
+                ROUND(mn + (CAST(b0 AS DOUBLE) +
+                  (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) *
+                  ((mx - mn) / $HistB), 4) AS histo_est
+              FROM b0 JOIN cum ON cum.b = b0.b0),
+      ranked AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS DOUBLE) AS r
+                 FROM v),
+      idxs AS (SELECT q, q * (n - 1) AS idx, FLOOR(q * (n - 1)) AS lo_r
+               FROM qs CROSS JOIN mm),
+      exact AS (SELECT i.q,
+                  ROUND(lo.v * (1.0 - (i.idx - i.lo_r)) +
+                        hi.v * (i.idx - i.lo_r), 4) AS exact_q
+                FROM idxs i
+                JOIN ranked lo ON lo.r = i.lo_r
+                JOIN ranked hi ON hi.r = i.lo_r +
+                  (CASE WHEN i.idx > i.lo_r THEN 1 ELSE 0 END))
+      SELECT e.q, e.histo_est, x.exact_q,
+             ROUND(e.histo_est - x.exact_q, 4) AS err
+      FROM est e JOIN exact x ON e.q = x.q
+      ORDER BY e.q"""))
 }

@@ -27,7 +27,8 @@ object TextOps {
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
     substrRuns, hashSplit,
-    gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim)
+    gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
+    containment, weightedSample, profileColumns)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1670,4 +1671,165 @@ object TextOps {
       FROM d, p
       GROUP BY source
       ORDER BY source"""))
+
+  // ------------------------------------------------------------ containment
+  /** Asymmetric containment near-dup (Broder 1997's second resemblance
+    * measure): `cont(A⊂B) = |A∩B| / |A|`. Jaccard misses the
+    * quote-expansion case — a short doc pasted verbatim inside a much
+    * longer one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment —
+    * and that is a REAL training-data leak (the short doc's content is
+    * still memorizable). Candidates come from the same shared-shingle
+    * equi-join as [[ngramJaccard]] (bounded window; the LSH-banded
+    * signature path is the scale form — containment needs only |A∩B| and
+    * the two set sizes, both of which [[minhashSig]]'s signature table
+    * already carries). Reported: pairs where either direction's
+    * containment ≥ 0.8, with the Jaccard each pair would have scored. */
+  /** The containment core over any (doc_id, text) frame — candidates
+    * share ≥ 1 shingle; emit pairs where either direction's containment
+    * clears `threshold`. */
+  private[graft] def containmentPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("sz", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("n_common").cast("double") / col("a_sz"), 6).as("cont_a"),
+        round(col("n_common").cast("double") / col("b_sz"), 6).as("cont_b"),
+        round(col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val containment: GQuery = GQuery(
+    "t_containment",
+    "asymmetric shingle containment >= 0.8 pairs (with their jaccard) on the doc window",
+    (spark, dir) =>
+      containmentPairs(
+        Catalog.table(spark, dir, "documents").filter(col("doc_id") < 500), 0.8),
+    Some(s"""
+      WITH sh AS (${shinglesSql.replace("FROM documents",
+        "FROM documents WHERE doc_id < 500")}),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+      SELECT a_id, b_id,
+             ROUND(CAST(n_common AS DOUBLE) / a.sz, 6) AS cont_a,
+             ROUND(CAST(n_common AS DOUBLE) / b.sz, 6) AS cont_b,
+             ROUND(CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common), 6) AS jacc
+      FROM common JOIN sizes a ON a.doc_id = a_id JOIN sizes b ON b.doc_id = b_id
+      WHERE ROUND(CAST(n_common AS DOUBLE) / a.sz, 6) >= 0.8
+         OR ROUND(CAST(n_common AS DOUBLE) / b.sz, 6) >= 0.8
+      ORDER BY a_id, b_id"""))
+
+  // ------------------------------------------------------------ weighted sample
+  /** Deterministic weighted sampling-without-replacement via priority
+    * sampling (Duffield, Lund & Thorup 2007): priority = w / u with
+    * u ~ U(0,1] derived from a seeded hash of the key — take the top-k
+    * priorities per stratum. Equivalent in expectation to
+    * weight-proportional sampling, and unlike Efraimidis-Spirakis's
+    * u^(1/w) key it needs NO transcendental function: one integer hash
+    * and one double division, both bit-identical across engines, so the
+    * sample is hash-gateable and reproducible run-to-run — which is what
+    * makes a 100-TB data mixture auditable (the "random" sample is a
+    * pure function of doc_id + seed, not of partition order).
+    *
+    * Scale shape: scan + per-row hash + per-stratum top-k window. At
+    * production scale swap row_number for a per-partition top-k
+    * pre-aggregate (TakeOrderedAndProject does this for global top-k;
+    * per-group, aggregate partial heaps) — per-reducer state is O(k). */
+  val weightedSample: GQuery = GQuery(
+    "t_weighted_sample",
+    "priority sampling: deterministic char-weighted top-5 docs per language",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val pri = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        (h60(concat(lit("ws:"), col("doc_id"))) % 1000000L + 1L).as("u"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars").cast("double") * 1000000.0d /
+            col("u").cast("double")).as("priority"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("priority").desc, col("doc_id"))
+      pri.select(col("lang"), col("doc_id"), col("n_chars"),
+          round(col("priority"), 4).as("priority"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""
+      WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars AS DOUBLE) * 1000000.0 /
+                 CAST(${h60Sql("('ws:' || CAST(doc_id AS VARCHAR))")} % 1000000
+                      + 1 AS DOUBLE) AS priority
+        FROM documents)
+      SELECT lang, doc_id, n_chars, ROUND(priority, 4) AS priority, rk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY priority DESC, doc_id) AS rk FROM pri)
+      WHERE rk <= 5
+      ORDER BY lang, rk"""))
+
+  // ------------------------------------------------------------ profile
+  /** Column-profiling report — the first query a pipeline runs against a
+    * new 100-TB drop: per column, row/null/distinct counts and min/max
+    * (rendered as text so heterogeneous columns share one report shape;
+    * `text` is profiled through its length — its raw min/max would put
+    * whole documents in a summary table). One scan per profiled column,
+    * each a two-phase aggregate; at scale the distinct counts would flip
+    * to approx_count_distinct (see ApproxSpec) — exact here because the
+    * gate hash-compares values. */
+  val profileColumns: GQuery = GQuery(
+    "t_profile",
+    "per-column profile of documents: rows/nulls/distinct/min/max",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      def prof(name: String, v: Column): DataFrame =
+        d.select(v.as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).cast("string").as("min_v"),
+            max(col("v")).cast("string").as("max_v"))
+          .select(lit(name).as("col"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      prof("lang", col("lang"))
+        .unionAll(prof("source", col("source")))
+        .unionAll(prof("n_chars", col("n_chars")))
+        .unionAll(prof("text_len", length(col("text")).cast("long")))
+        .orderBy(col("col"))
+    },
+    Some("""
+      SELECT 'lang' AS col, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct,
+             CAST(MIN(lang) AS VARCHAR) AS min_v, CAST(MAX(lang) AS VARCHAR) AS max_v
+      FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*),
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT source),
+             CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*),
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT n_chars),
+             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'text_len', COUNT(*),
+             CAST(SUM(CASE WHEN length(text) IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT length(text)),
+             CAST(MIN(length(text)) AS VARCHAR), CAST(MAX(length(text)) AS VARCHAR)
+      FROM documents
+      ORDER BY col"""))
 }

