@@ -20,7 +20,47 @@ object Extras {
     unionDistinct,
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
-    dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin)
+    dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
+    unionByName)
+
+  /** Name-based union across drifted schemas — the ingest reality at
+    * 100 TB: a table's files span generations (columns added, reordered,
+    * dropped), and positional UNION silently mis-binds them. Spark's
+    * `unionByName(allowMissingColumns = true)` aligns by NAME and
+    * null-fills absences (DuckDB: `UNION ALL BY NAME`). Modeled here as
+    * two generations of an order feed: an old one without priority, a new
+    * one with it and its columns reordered — the merged view keeps every
+    * row, binds columns correctly, and nulls the old generation's missing
+    * field. Parquet-side twin: `mergeSchema` on a multi-generation
+    * directory (CatalogSpec pins that path). */
+  val unionByName: GQuery = GQuery(
+    "x_union_by_name",
+    "schema-drift union: name-aligned, null-filling merge of two feed generations",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val gen0 = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val gen1 = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"), col("o_custkey"))
+      gen0.unionByName(gen1, allowMissingColumns = true)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("priority").asc_nulls_first)
+    },
+    Some(s"""
+      WITH merged AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL BY NAME
+        SELECT o_orderpriority, o_totalprice, o_orderkey, o_custkey
+        FROM orders WHERE o_orderkey % 3 = 1)
+      SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total
+      FROM merged
+      GROUP BY priority
+      ORDER BY priority ASC NULLS FIRST"""))
 
   /** Skew-mitigated (salted) join, oracle-proven output-equal to the
     * plain join. THE hot-key defense at 100 TB: a shuffle join hashes

@@ -83,7 +83,8 @@ class RegistrySpec extends SparkSpec {
     "t_substr_runs" -> 27, "x_damerau" -> 3, "e_streaks" -> 18,
     "r_rank_eval" -> 4, "x_hll_distinct" -> 1, "x_cms_topk" -> 15,
     "x_bloom_join" -> 1, "x_histo_quantile" -> 3, "x_salted_join" -> 10,
-    "t_containment" -> 28, "t_weighted_sample" -> 25, "t_profile" -> 4)
+    "t_containment" -> 28, "t_weighted_sample" -> 25, "t_profile" -> 4,
+    "x_union_by_name" -> 6)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)

@@ -17,9 +17,9 @@ import json, sys, time, re
 import duckdb
 
 
-def main(oracle_path, sfdir, bench_path, iters=3):
+def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d"):
     oracle = json.load(open(oracle_path))
-    tpch = {k: v for k, v in oracle.items() if re.match(r"^q\d\d", k)}
+    tpch = {k: v for k, v in oracle.items() if re.match(pattern, k)}
     con = duckdb.connect()
     import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -59,4 +59,5 @@ def main(oracle_path, sfdir, bench_path, iters=3):
 
 if __name__ == "__main__":
     it = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    main(sys.argv[1], sys.argv[2], sys.argv[3], it)
+    pat = sys.argv[5] if len(sys.argv) > 5 else r"^q\d\d"
+    main(sys.argv[1], sys.argv[2], sys.argv[3], it, pat)
