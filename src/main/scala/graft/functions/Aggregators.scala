@@ -56,4 +56,49 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
   }
+
+  /** Bounded per-group top-k by (score DESC, id ASC): the scale path for
+    * group-wise top-k. A `row_number().over(partitionBy(g).orderBy(...))`
+    * buffers and sorts EVERY row of a group on one reducer before keeping
+    * k; this aggregator's state never exceeds k rows per group at any
+    * stage — map-side partials keep k, merges keep k — so a billion-row
+    * group costs O(n·log k) flat and ships k rows across the shuffle
+    * (what TakeOrderedAndProject does for global top-k, provided here
+    * per-group). Buffer is sorted by the comparator; merge is a bounded
+    * fold — commutative and idempotent on distinct ids, so retries and
+    * speculative tasks are safe. Input/output rows are
+    * (score, id, payload); `id` MUST uniquely identify a row within the
+    * group — it is the deterministic tiebreak, and two rows sharing
+    * (score, id) with different payloads would make buffer order
+    * insertion-dependent. */
+  final case class TopKBy(k: Int)
+      extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)],
+        Seq[(Double, Long, Long)]] {
+    private def lt(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // score desc, id asc
+    override def zero: Seq[(Double, Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long, Long)], x: (Double, Long, Long))
+        : Seq[(Double, Long, Long)] = insert(b, x)
+    override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)])
+        : Seq[(Double, Long, Long)] = b.foldLeft(a)(insert)
+    override def finish(b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = b
+    private def insert(b: Seq[(Double, Long, Long)], x: (Double, Long, Long))
+        : Seq[(Double, Long, Long)] = {
+      val v = b.toIndexedSeq
+      if (v.size >= k && !lt(x, v.last)) return b // O(1) reject when full
+      var lo = 0; var hi = v.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(v(mid), x)) lo = mid + 1 else hi = mid
+      }
+      if (lo < v.size && v(lo) == x) b // idempotent on exact duplicates
+      else {
+        val inserted = (v.take(lo) :+ x) ++ v.drop(lo)
+        if (inserted.size > k) inserted.take(k) else inserted
+      }
+    }
+    override def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long, Long)]] = bufferEncoder
+  }
 }

@@ -28,7 +28,7 @@ object TextOps {
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
     substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
-    containment, weightedSample, profileColumns)
+    containment, weightedSample, topkGroup, profileColumns)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1763,6 +1763,51 @@ object TextOps {
           round(col("priority"), 4).as("priority"),
           row_number().over(w).as("rk"))
         .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""
+      WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars AS DOUBLE) * 1000000.0 /
+                 CAST(${h60Sql("('ws:' || CAST(doc_id AS VARCHAR))")} % 1000000
+                      + 1 AS DOUBLE) AS priority
+        FROM documents)
+      SELECT lang, doc_id, n_chars, ROUND(priority, 4) AS priority, rk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY priority DESC, doc_id) AS rk FROM pri)
+      WHERE rk <= 5
+      ORDER BY lang, rk"""))
+
+  /** The same per-stratum top-5 as [[weightedSample]], computed through
+    * the bounded-state [[graft.functions.Aggregators.TopKBy]] typed UDAF
+    * instead of a row_number window — THE scale form of group-wise
+    * top-k: the window sorts every row of a stratum on one reducer;
+    * the aggregator's partial state is ≤ k rows per group at every
+    * stage, so a billion-row stratum ships k rows across the shuffle.
+    * The oracle is the identical window-ranked SQL, so the gate
+    * hash-proves the bounded-state path emits exactly the rows the full
+    * sort would. */
+  val topkGroup: GQuery = GQuery(
+    "t_topk_group",
+    "bounded-state per-group top-k UDAF == full window sort (priority sample twin)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val pri = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        (h60(concat(lit("ws:"), col("doc_id"))) % 1000000L + 1L).as("u"))
+        .select(col("lang"),
+          (col("n_chars").cast("double") * 1000000.0d /
+            col("u").cast("double")).as("priority"),
+          col("doc_id"), col("n_chars"))
+      val top5 = udaf(graft.functions.Aggregators.TopKBy(5),
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      pri.groupBy(col("lang"))
+        .agg(top5(col("priority"), col("doc_id"), col("n_chars")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "row")))
+        .select(col("lang"), col("row._2").as("doc_id"),
+          col("row._3").as("n_chars"),
+          round(col("row._1"), 4).as("priority"),
+          (col("pos") + 1).as("rk"))
         .orderBy(col("lang"), col("rk"))
     },
     Some(s"""

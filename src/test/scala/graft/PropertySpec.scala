@@ -38,6 +38,23 @@ object PropertySpec extends Properties("graft.kernels") {
         m1 == m2 && m1.size <= 5 && m1 == (a ++ b).distinct.sorted.take(5)
     }
 
+  property("TopKBy merge is commutative, bounded, equals sort-take model") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 50L))),
+      Gen.listOf(Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 50L)))) {
+      (a: List[(Double, Long)], b: List[(Double, Long)]) =>
+        val agg = Aggregators.TopKBy(4)
+        def rows(l: List[(Double, Long)]) = l.map { case (s, i) => (s, i, i * 2) }
+        val ba = rows(a).foldLeft(agg.zero)(agg.reduce)
+        val bb = rows(b).foldLeft(agg.zero)(agg.reduce)
+        val m1 = agg.merge(ba, bb)
+        val m2 = agg.merge(bb, ba)
+        // model: global sort by (score desc, id asc), distinct rows, take 4
+        val model = (rows(a) ++ rows(b)).distinct
+          .sortBy { case (s, i, _) => (-s, i) }.take(4)
+        m1 == m2 && m1.size <= 4 && m1 == model
+    }
+
   property("universal minhash variant stays in [0, P)") = {
     val P = 1000000007L
     forAll(Gen.chooseNum(0L, P - 1), Gen.chooseNum(0, 15)) { (v: Long, s: Int) =>
