@@ -23,7 +23,9 @@ object Plans {
       "t_pack_sequences", "p_clean_corpus",
       "v_knn_native", "v_lsh_ann", "v_ivf_ann", "v_quantize", "e_sessionize",
       "g_triangle_count", "a_rfm_segments", "x_lateral_join",
-      "v_pq_ann", "v_ivfpq_ann", "e_upsert_compact")
+      "v_pq_ann", "v_ivfpq_ann", "e_upsert_compact",
+      "x_bloom_join", "x_salted_join", "a_incr_rollup", "t_topk_group",
+      "e_decimate")
     val md = new StringBuilder
     md ++= "# Physical plans (normalized) — headline queries\n\n"
     md ++= "Regenerate: `sbt \"runMain graft.Plans <sfDir> PLANS.md\"`\n"

@@ -22,7 +22,62 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate, streaks)
+      interpolate, streaks, decimate)
+
+  /** Min/max time-series decimation — how a billion-point series becomes
+    * a few thousand renderable/alertable points without losing its
+    * envelope: per (series, coarse bucket) keep exactly the extreme
+    * observations (the row holding the bucket's max value and the row
+    * holding its min), everything else drops. Deterministic ties
+    * (value, then earliest ts, then event_id) keep the output
+    * hash-gateable.
+    *
+    * Scale shape: one shuffle on (type, bucket) — per-partition window
+    * state is one bucket's rows; output is 2 rows per bucket regardless
+    * of input density, so downstream cost is ∝ time-span, not events.
+    * (A plain min/max AGGREGATE would lose WHICH row was extreme — the
+    * decimated series keeps real observations with their timestamps,
+    * which is what rendering and alert backtesting need.) */
+  val decimate: GQuery = GQuery(
+    "e_decimate",
+    "min/max decimation: per type x 6h-bucket keep only the extreme observations",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val b = e.select(col("event_type"),
+        expr("(ts div 21600000000000) * 21600").as("bucket_epoch"),
+        expr("ts div 1000").as("ts_us"), col("value"), col("event_id"))
+      val part = Window.partitionBy(col("event_type"), col("bucket_epoch"))
+      val ranked = b.select(col("event_type"), col("bucket_epoch"),
+        col("ts_us"), col("value"), col("event_id"),
+        row_number().over(part.orderBy(col("value").desc, col("ts_us"),
+          col("event_id"))).as("rmax"),
+        row_number().over(part.orderBy(col("value").asc, col("ts_us"),
+          col("event_id"))).as("rmin"))
+      val keep = (kind: String, rk: Column) => ranked.filter(rk === 1)
+        .select(col("event_type"), col("bucket_epoch"), lit(kind).as("kind"),
+          col("ts_us"), col("value"), col("event_id"))
+      keep("max", col("rmax")).unionAll(keep("min", col("rmin")))
+        .orderBy(col("event_type"), col("bucket_epoch"), col("kind"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type,
+               (epoch_ns(ts) // 21600000000000) * 21600 AS bucket_epoch,
+               epoch_ns(ts) // 1000 AS ts_us, value, event_id
+        FROM events),
+      ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                 ORDER BY value DESC, ts_us, event_id) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                 ORDER BY value ASC, ts_us, event_id) AS rmin
+        FROM b)
+      SELECT event_type, bucket_epoch, 'max' AS kind, ts_us, value, event_id
+      FROM ranked WHERE rmax = 1
+      UNION ALL
+      SELECT event_type, bucket_epoch, 'min' AS kind, ts_us, value, event_id
+      FROM ranked WHERE rmin = 1
+      ORDER BY event_type, bucket_epoch, kind"""))
 
   /** Consecutive-day activity streaks — the gaps-and-islands pattern on
     * the integer day grid (the session twin [[sessionize]] works on a

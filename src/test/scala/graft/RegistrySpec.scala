@@ -84,7 +84,8 @@ class RegistrySpec extends SparkSpec {
     "r_rank_eval" -> 4, "x_hll_distinct" -> 1, "x_cms_topk" -> 15,
     "x_bloom_join" -> 1, "x_histo_quantile" -> 3, "x_salted_join" -> 10,
     "t_containment" -> 28, "t_weighted_sample" -> 25, "t_profile" -> 4,
-    "x_union_by_name" -> 6, "a_incr_rollup" -> 80, "t_topk_group" -> 25)
+    "x_union_by_name" -> 6, "a_incr_rollup" -> 80, "t_topk_group" -> 25,
+    "e_decimate" -> 954)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
