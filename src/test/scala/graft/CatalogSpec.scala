@@ -123,6 +123,27 @@ class CatalogSpec extends SparkSpec {
     assert(w.filter(col("extra").isNotNull).count() === 0)
   }
 
+  test("parquet mergeSchema reads a multi-generation directory with null-fill") {
+    // the on-disk twin of x_union_by_name: one directory, two file
+    // generations with drifted schemas (column added + reordered)
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val n = Catalog.table(spark, sf0001, "nation")
+    n.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$dir/gen")
+    n.select(col("n_regionkey"), col("n_name"),
+        (col("n_nationkey") + 100).as("n_nationkey"))
+      .write.mode("append").parquet(s"$dir/gen")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/gen")
+    assert(merged.schema.fieldNames.toSet ===
+      Set("n_nationkey", "n_name", "n_regionkey"),
+      "merged footer schema must be the by-name union")
+    assert(merged.count() === n.count() * 2)
+    // generation-0 rows null-fill the column they never wrote
+    assert(merged.filter(col("n_regionkey").isNull).count() === n.count())
+    // and by-name binding: no value ever lands in the wrong column
+    assert(merged.filter(col("n_nationkey") >= 100).count() === n.count())
+  }
+
   test("ORC source/sink round-trips with compression") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val src = Catalog.table(spark, sf0001, "nation")

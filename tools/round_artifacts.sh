@@ -11,24 +11,24 @@ REP=/tmp/graft_${TAG}_sf1x
 VOUT=/tmp/graft_${TAG}_verify
 COUT=/tmp/graft_${TAG}_cluster
 
-echo "=== [1/6] 10x replica (ScaleUp) -> $REP"
+echo "=== [1/7] 10x replica (ScaleUp) -> $REP"
 [ -d "$REP/lineitem.parquet" ] || \
   sbt -batch "runMain graft.ScaleUp $SF1 $REP 10" > /tmp/${TAG}_scaleup.log 2>&1
-echo "=== [2/6] BenchFull @ sf0.1"
+echo "=== [2/7] BenchFull @ sf0.1"
 sbt -batch "runMain graft.BenchFull $SF1 bench_results/${TAG}_sf0.1.json 3" \
   > /tmp/${TAG}_bench01.log 2>&1
-echo "=== [3/6] BenchFull @ 10x replica"
+echo "=== [3/7] BenchFull @ 10x replica"
 sbt -batch "runMain graft.BenchFull $REP bench_results/${TAG}_sf1x.json 3" \
   > /tmp/${TAG}_bench1x.log 2>&1
-echo "=== [4/6] ClusterCheck (full registry, 2 executor JVMs) @ sf0.01"
+echo "=== [4/7] ClusterCheck (full registry, 2 executor JVMs) @ sf0.01"
 SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ClusterCheck $SF01 $COUT" \
   > /tmp/${TAG}_cluster.log 2>&1
 python3 tools/clustercheck_artifact.py "$COUT" "$SF01" \
   bench_results/${TAG}_clustercheck.json
-echo "=== [5/6] oracle_sql.json dump for anchors"
+echo "=== [5/7] oracle_sql.json dump for anchors"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
   > /tmp/${TAG}_verify.log 2>&1
-echo "=== [6/6] DuckDB anchors"
+echo "=== [6/7] DuckDB anchors"
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 > bench_results/${TAG}_duckdb_anchor_sf0.1.md
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
@@ -37,4 +37,11 @@ python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 '^(?!q\d\d)' \
   > bench_results/${TAG}_duckdb_anchor_ext_sf0.1.md
+echo "=== [7/7] 30x heavy-tail scale-headroom run (~SF3)"
+REP30=/tmp/graft_${TAG}_sf3x
+[ -d "$REP30/lineitem.parquet" ] || \
+  sbt -batch "runMain graft.ScaleUp $SF1 $REP30 30" > /tmp/${TAG}_scaleup30.log 2>&1
+HEAVY=p_dedup_canonical,t_dedup_clusters,t_minhash_lsh,t_minhash_lsh_mat,t_simhash_neardup,v_semdedup,v_knn_graph,v_lsh_ann,a_fuzzy_match,t_substr_runs,t_normalize,e_interpolate,a_basket_pairs,q18_in_subquery_having,p_clean_corpus,x_salted_join,e_decimate
+sbt -batch "runMain graft.BenchFull $REP30 bench_results/${TAG}_sf3x.json 2 $HEAVY" \
+  > /tmp/${TAG}_bench3x.log 2>&1
 echo "=== done"
