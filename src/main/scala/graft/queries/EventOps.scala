@@ -22,7 +22,70 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate, streaks, decimate)
+      interpolate, streaks, decimate, outOfOrder)
+
+  /** Watermark-policy audit: how late would events be under a given
+    * arrival order? The fixture arrives ts-sorted (zero disorder), so
+    * arrival is modeled as a deterministic hash permutation of event_id —
+    * the worst-case shuffle a multi-shard ingest can produce — and the
+    * batch-watermark mechanics are the real ones: arrival splits into
+    * 4096 batches (top bits of the 60-bit arrival hash), the watermark
+    * entering a batch is the max event-time of all PRIOR batches, and an
+    * event is late by (watermark − ts). The answer — how much mass lands
+    * beyond 1d/30d — is what sizes `withWatermark` in the streaming twin
+    * (streaming/StreamOps): too short drops the tail, too long holds
+    * state.
+    *
+    * Scale shape: per-batch maxima are one tiny two-phase aggregate
+    * (≤ 4096 rows), the prior-max running window runs on that tiny table,
+    * and classification is a broadcast join back — the event stream is
+    * scanned once and never globally sorted. */
+  val outOfOrder: GQuery = GQuery(
+    "e_out_of_order",
+    "batch-watermark lateness audit under a hashed arrival permutation",
+    (spark, dir) => {
+      val batchDiv = 281474976710656L // 2^48: 60-bit hash -> 4096 batches
+      val e = Catalog.table(spark, dir, "events")
+        .select(
+          conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long").as("arr"),
+          expr("ts div 1000").as("us"))
+        .withColumn("batch", expr(s"arr div $batchDiv"))
+      val wm = e.groupBy(col("batch")).agg(max(col("us")).as("mx"))
+        .withColumn("wm",
+          max(col("mx")).over(Window.orderBy(col("batch"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("batch"), col("wm"))
+      e.join(broadcast(wm), "batch")
+        .select(
+          when(col("wm").isNull || col("us") >= col("wm"), "a_on_time")
+            .when(col("wm") - col("us") <= 86400L * 1000000L, "b_late_1d")
+            .when(col("wm") - col("us") <= 2592000L * 1000000L, "c_late_30d")
+            .otherwise("d_late_gt_30d").as("bucket"),
+          when(col("wm") > col("us"), col("wm") - col("us"))
+            .otherwise(lit(0L)).as("late_us"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                 // 281474976710656 AS batch,
+               epoch_us(ts) AS us
+        FROM events),
+      wm AS (
+        SELECT batch, MAX(mx) OVER (ORDER BY batch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        FROM (SELECT batch, MAX(us) AS mx FROM e GROUP BY batch)),
+      c AS (SELECT us, wm FROM e JOIN wm USING (batch))
+      SELECT CASE WHEN wm IS NULL OR us >= wm THEN 'a_on_time'
+                  WHEN wm - us <= 86400::BIGINT * 1000000 THEN 'b_late_1d'
+                  WHEN wm - us <= 2592000::BIGINT * 1000000 THEN 'c_late_30d'
+                  ELSE 'd_late_gt_30d' END AS bucket,
+             COUNT(*) AS n,
+             MAX(CASE WHEN wm > us THEN wm - us ELSE 0 END) AS max_late_us
+      FROM c GROUP BY 1 ORDER BY 1"""))
 
   /** Min/max time-series decimation — how a billion-point series becomes
     * a few thousand renderable/alertable points without losing its

@@ -21,7 +21,7 @@ object Extras {
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
-    unionByName, incrRollup)
+    unionByName, incrRollup, partPrune, dppJoin, kAnonymize)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -973,4 +973,136 @@ object Extras {
              CAST(SUM(is_state) AS BIGINT) AS n_state_days,
              CAST(SUM(1 - is_state) AS BIGINT) AS n_delta_days
       FROM daily GROUP BY 1 ORDER BY 1"""))
+
+  /** Hive-style partition layout + static partition pruning — the
+    * physical-layout capability that makes a 100-TB fact table queryable
+    * at all: orders are written `partitionBy(o_year)` (directory-encoded
+    * partition column, the layout every warehouse uses for time-series
+    * facts), then read back with a partition-column filter. Spark's
+    * `PartitioningAwareFileIndex` resolves the filter against directory
+    * NAMES — the 6 non-matching years are never listed, opened, or
+    * footer-read (PartitionPruningSpec pins `PartitionFilters` and a
+    * selected-partition count of exactly 1 on this layout; this query is
+    * the oracle-gated end-to-end twin). At 100 TB that is
+    * the difference between scanning one year and scanning seven.
+    * Reference analog: partition_count/file-group pruning surface of its
+    * parquet registration (benchmarks/src/tpch/run.rs:328-333) — Spark's
+    * directory partitioning is the idiomatic equivalent. */
+  val partPrune: GQuery = GQuery(
+    "x_part_prune",
+    "hive-partitioned write, partition-pruned read: 1996 monthly revenue",
+    (spark, dir) => {
+      val root = TextOps.trackedTempDir("graft-part-") + "/orders_by_year"
+      Catalog.writePartitioned(
+        Catalog.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+            year(col("o_orderdate")).as("o_year")),
+        root, "o_year")
+      spark.read.parquet(root)
+        .filter(col("o_year") === 1996)
+        .groupBy(month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("mon"))
+    },
+    Some(s"""
+      SELECT month(o_orderdate) AS mon, COUNT(*) AS n_orders,
+             CAST(CAST(SUM(${fix6Sql("o_totalprice")}) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS revenue
+      FROM orders WHERE year(o_orderdate) = 1996
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Dynamic partition pruning — the runtime counterpart of
+    * [[partPrune]]: the fact side's partition filter is not known until
+    * the dimension side is FILTERED AND EXECUTED (here the dim rows
+    * selected by a stored tag that is opaque to static analysis because
+    * the dim is round-tripped through parquet, exactly like a real
+    * warehouse dimension). Spark plants a `dynamicpruning` subquery on
+    * the fact scan that reuses the join's broadcast result, so only the
+    * dim-selected years' directories are read — the star-schema
+    * date-dimension prune that decides whether a 100-TB join scans 3% or
+    * 100% of the fact. PartitionPruningSpec pins `dynamicpruning` in the
+    * executed plan for this layout; this query is the oracle-gated twin. */
+  val dppJoin: GQuery = GQuery(
+    "x_dpp",
+    "dynamic partition pruning: fact years selected by a filtered stored dim",
+    (spark, dir) => {
+      val root = TextOps.trackedTempDir("graft-dpp-")
+      val o = Catalog.table(spark, dir, "orders")
+      Catalog.writePartitioned(
+        o.select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year")),
+        root + "/fact", "o_year")
+      o.select(year(col("o_orderdate")).as("y")).distinct()
+        .select(col("y"), substring(md5(col("y").cast("string")), 1, 1).as("tag"))
+        .write.mode("overwrite").parquet(root + "/dim")
+      val fact = spark.read.parquet(root + "/fact")
+      val dim = spark.read.parquet(root + "/dim").filter(col("tag") < "8")
+      fact.join(broadcast(dim), col("o_year") === col("y"))
+        .groupBy(col("o_year"), col("tag"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT y, tag FROM (
+          SELECT DISTINCT year(o_orderdate) AS y,
+                 substr(md5(CAST(year(o_orderdate) AS VARCHAR)), 1, 1) AS tag
+          FROM orders)
+        WHERE tag < '8')
+      SELECT y AS o_year, tag, COUNT(*) AS n_orders,
+             CAST(CAST(SUM(${fix6Sql("o_totalprice")}) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS revenue
+      FROM orders JOIN dim ON year(o_orderdate) = y
+      GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** k-anonymity suppression (Sweeney 2002) — the privacy gate a
+    * training-data release runs after [[piiMask]]'s direct-identifier
+    * scrub: rows whose quasi-identifier combination (nation × segment ×
+    * coarse balance bucket) identifies fewer than K=10 people are folded
+    * into one suppressed '*' class, so every published equivalence class
+    * has ≥ K members. Shape at 100 TB: class sizes are ONE tiny two-phase
+    * aggregate (bounded by QI-combination cardinality, not rows),
+    * broadcast back for a scan-parallel suppress-and-reaggregate — the
+    * raw table is never shuffled. Balance means go through the fix6 grid
+    * so the published per-class statistic hash-matches DuckDB. */
+  val kAnonymize: GQuery = GQuery(
+    "p_k_anon",
+    "k-anonymity (K=10): suppress quasi-identifier classes smaller than K",
+    (spark, dir) => {
+      val K = 10L
+      val c = Catalog.table(spark, dir, "customer")
+        .select(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 5500.0d).cast("string").as("bal_b"),
+          col("c_acctbal"))
+      val sizes = c.groupBy(col("nat"), col("seg"), col("bal_b"))
+        .agg(count(lit(1)).as("cls_n"))
+      c.join(broadcast(sizes), Seq("nat", "seg", "bal_b"))
+        .select(
+          when(col("cls_n") >= K, col("nat")).otherwise(lit("*")).as("nat"),
+          when(col("cls_n") >= K, col("seg")).otherwise(lit("*")).as("seg"),
+          when(col("cls_n") >= K, col("bal_b")).otherwise(lit("*")).as("bal_b"),
+          col("c_acctbal"))
+        .groupBy(col("nat"), col("seg"), col("bal_b"))
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+        .select(col("nat"), col("seg"), col("bal_b"), col("n"),
+          round(col("avg_bal"), 4).as("avg_bal"))
+        .orderBy(col("nat"), col("seg"), col("bal_b"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+               CAST(CAST(FLOOR(c_acctbal / 5500.0) AS BIGINT) AS VARCHAR) AS bal_b,
+               c_acctbal
+        FROM customer),
+      sizes AS (SELECT nat, seg, bal_b, COUNT(*) AS cls_n
+                FROM q GROUP BY 1, 2, 3)
+      SELECT CASE WHEN cls_n >= 10 THEN q.nat ELSE '*' END AS nat,
+             CASE WHEN cls_n >= 10 THEN q.seg ELSE '*' END AS seg,
+             CASE WHEN cls_n >= 10 THEN q.bal_b ELSE '*' END AS bal_b,
+             COUNT(*) AS n,
+             ROUND(CAST(CAST(SUM(${fix6Sql("c_acctbal")}) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 / COUNT(*), 4) AS avg_bal
+      FROM q JOIN sizes USING (nat, seg, bal_b)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 }

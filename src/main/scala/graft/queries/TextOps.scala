@@ -28,7 +28,7 @@ object TextOps {
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
     substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
-    containment, weightedSample, topkGroup, profileColumns)
+    containment, weightedSample, topkGroup, profileColumns, slidingChunks)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -977,6 +977,56 @@ object TextOps {
       FROM packed
       GROUP BY source
       ORDER BY source"""))
+
+  /** Sliding-window chunking with stride — the OTHER long-document
+    * scheme next to [[packSequences]]'s concatenate-and-slice: each doc
+    * is cut into W=32-token windows advancing by S=24 (overlap W−S keeps
+    * boundary context, the BERT/retrieval-chunking recipe; packing
+    * instead concatenates docs densely for causal LM). All chunk
+    * accounting is closed-form integer math per row — n_chunks =
+    * 1 + ⌈(n_tok−W)/S⌉, duplicated = (n_chunks−1)(W−S), pad fills the
+    * last window — so the audit is one embarrassingly-parallel scan plus
+    * a per-source aggregate: zero shuffles of text at any corpus size,
+    * and the duplicated/pad overhead ratios the scheme trades against
+    * packing fall out per source. */
+  val slidingChunks: GQuery = GQuery(
+    "t_sliding_chunks",
+    "stride-overlap window chunking (W=32,S=24): per-source chunk/overlap stats",
+    (spark, dir) => {
+      val (w, s) = (32L, 24L)
+      Catalog.table(spark, dir, "documents")
+        .select(col("source"), size(toks(col("text"))).cast(LongType).as("n_tok"))
+        .withColumn("n_chunks",
+          when(col("n_tok") <= w, lit(1L))
+            .otherwise(lit(1L) + expr(s"(n_tok - $w + $s - 1) div $s")))
+        .withColumn("pad", (col("n_chunks") - 1L) * s + w - col("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tok"),
+          sum(col("n_chunks")).as("tot_chunks"),
+          sum((col("n_chunks") - 1L) * (w - s)).as("tot_dup"),
+          sum(col("pad")).as("tot_pad"),
+          round(sum((col("n_chunks") - 1L) * (w - s)).cast("double") /
+            sum(col("n_tok")).cast("double"), 6).as("dup_ratio"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT source, n_tok,
+               CASE WHEN n_tok <= 32 THEN 1
+                    ELSE 1 + (n_tok - 32 + 23) // 24 END AS n_chunks
+        FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+             CAST(SUM(n_chunks) AS BIGINT) AS tot_chunks,
+             CAST(SUM((n_chunks - 1) * 8) AS BIGINT) AS tot_dup,
+             CAST(SUM((n_chunks - 1) * 24 + 32 - n_tok) AS BIGINT) AS tot_pad,
+             ROUND(CAST(SUM((n_chunks - 1) * 8) AS DOUBLE) /
+                   CAST(SUM(n_tok) AS DOUBLE), 6) AS dup_ratio
+      FROM c GROUP BY source ORDER BY source"""))
 
   /** Corpus vocabulary statistics: global top-20 tokens by frequency —
     * explode + one count shuffle + top-k (map-side partial counts make

@@ -72,4 +72,14 @@ class PartitionPruningSpec extends SparkSpec {
       .filter(month(col("o_orderdate")).isin(4, 5, 6)).count()
     assert(q.head.getLong(0) === expected)
   }
+
+  test("x_dpp registry query: its own executed plan carries a dynamicpruning subquery") {
+    // the oracle gate proves x_dpp's VALUES; this pins its MECHANISM —
+    // the fact scan must be runtime-pruned by the filtered stored dim,
+    // not saved by a static rewrite of the tag predicate
+    val q = Registry.byName("x_dpp").run(spark, sf0001)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"x_dpp plan lost dynamic pruning:\n${planStr.take(2000)}")
+  }
 }
