@@ -21,7 +21,7 @@ object Extras {
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
-    unionByName, incrRollup, partPrune, dppJoin, kAnonymize)
+    unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1054,6 +1054,49 @@ object Extras {
                / 1000000.0 AS revenue
       FROM orders JOIN dim ON year(o_orderdate) = y
       GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** Bucketed co-located join — the physical layout that amortizes a
+    * repeated 100-TB fact-dim join: both sides are written
+    * `bucketBy(8, key) sortBy(key)` managed tables, so the join's
+    * distribution requirement is satisfied BY THE FILES and the
+    * sort-merge join runs with zero Exchange and zero Sort on either
+    * child — the shuffle is paid once at write time, then every
+    * subsequent join of these tables is scan-speed (the analog of the
+    * reference's sorted-file declaration, benchmarks/src/tpch/run.rs:334-339,
+    * lifted from one file to a co-partitioned layout).
+    * AggregatorsSpec pins ≤ 1 exchange (the post-join aggregate's) on
+    * this exact shape; the oracle is the PLAIN join — the layout must be
+    * invisible to results. The merge hint keeps the exercise honest at
+    * gate scale, where the dim would otherwise broadcast and bypass the
+    * bucketed path being demonstrated. */
+  val bucketJoin: GQuery = GQuery(
+    "x_bucket_join",
+    "bucketed+sorted co-located join == plain join: revenue by segment",
+    (spark, dir) => {
+      val pid = ProcessHandle.current().pid
+      val (oT, cT) = (s"graft_bkt_orders_$pid", s"graft_bkt_cust_$pid")
+      Catalog.writeBucketed(
+        Catalog.table(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice")),
+        oT, 8, "o_custkey", Seq("o_custkey"))
+      Catalog.writeBucketed(
+        Catalog.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        cT, 8, "c_custkey", Seq("c_custkey"))
+      spark.table(oT).hint("merge")
+        .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    // deliberately layout-free: the plain join IS the spec the bucketed
+    // layout must reproduce bit-for-bit
+    Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
 
   /** k-anonymity suppression (Sweeney 2002) — the privacy gate a
     * training-data release runs after [[piiMask]]'s direct-identifier

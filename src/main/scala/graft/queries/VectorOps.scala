@@ -26,7 +26,7 @@ object VectorOps {
   def queries: Seq[GQuery] =
     Seq(knnBrute, knnNative, centroids, lshBuckets, lshAnn, ivfAnn, cosNearDup,
       quantize, mrlAnn, bqAnn, dimStats, pqAnn, ivfPqAnn, semDedup, driftMonitor,
-      clusterSelect, pcaPower, outliers, knnGraph)
+      clusterSelect, pcaPower, outliers, knnGraph, radiusSearch)
 
   /** Composable-form cosine similarity between columns `embedding` and
     * `q_emb`: three sequential double left-folds (dot + both norms) —
@@ -333,6 +333,65 @@ object VectorOps {
       SELECT q_id, rk, n_id, ROUND(sim, 6) AS sim
       FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  /** Radius (range) search — the OTHER similarity-search contract next
+    * to top-k: return EVERYTHING within cosine ≥ τ of each query, with
+    * the result size data-dependent (dedup sweeps and recall-contract
+    * retrieval want "all matches", not "best 3"). Same multi-table LSH
+    * prefilter as [[lshAnn]] ([[bandedBuckets]], corpus-scaled band
+    * width), then exact cosine against candidates only; reported per
+    * query as candidate/hit counts + the hit-similarity envelope, so the
+    * output stays O(queries) however dense a neighborhood gets. At 100 TB
+    * the candidate set is the only thing scored — the corpus is scanned
+    * once to bucket, never per query. τ = 0.3 sits inside this corpus's
+    * similarity range (max pairwise ≈ 0.51) so the gate exercises real
+    * hits AND real prefilter rejections at every SF. */
+  val radiusSearch: GQuery = GQuery(
+    "v_radius_search",
+    "LSH-prefiltered cosine radius search (τ=0.3): per-query hit stats",
+    (spark, dir) => {
+      val tau = 0.3d
+      val e = Catalog.table(spark, dir, "embeddings")
+      val bb = bandedBuckets(spark, e)
+      val qSet = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qBuckets = bb.join(qSet.select(col("q_id")),
+        bb("vec_id") === col("q_id")).select(col("q_id"), col("tbl"), col("bucket"))
+      val cand = bb.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+        .join(broadcast(qSet), "q_id")
+        .select(col("q_id"), cosineSimNative("embedding", "q_emb").as("sim"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_hits"),
+          round(max(when(col("sim") >= tau, col("sim"))), 6).as("max_hit_sim"),
+          round(min(when(col("sim") >= tau, col("sim"))), 6).as("min_hit_sim"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH bb AS ($bandedSql),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 5),
+      qb AS (SELECT q_id, tbl, bucket FROM bb JOIN q ON bb.vec_id = q.q_id),
+      cand AS (SELECT DISTINCT q_id, bb.vec_id AS n_id
+               FROM bb JOIN qb USING (tbl, bucket)
+               WHERE bb.vec_id <> qb.q_id),
+      scored AS (
+        SELECT cand.q_id,
+               ${dotSql("n.embedding", "q_emb")} /
+               (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                sqrt(${dotSql("q_emb", "q_emb")})) AS sim
+        FROM cand
+        JOIN embeddings n ON n.vec_id = cand.n_id
+        JOIN q ON q.q_id = cand.q_id)
+      SELECT q_id, COUNT(*) AS n_cand,
+             CAST(SUM(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             ROUND(MAX(CASE WHEN sim >= 0.3 THEN sim END), 6) AS max_hit_sim,
+             ROUND(MIN(CASE WHEN sim >= 0.3 THEN sim END), 6) AS min_hit_sim
+      FROM scored GROUP BY q_id ORDER BY q_id"""))
 
   // ------------------------------------------------------------ k-means
   /** Deterministic distributed Lloyd's k-means — the trained quantizer

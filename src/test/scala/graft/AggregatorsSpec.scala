@@ -40,4 +40,16 @@ class AggregatorsSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected at most the post-agg exchange, got $shuffles:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("x_bucket_join registry query: sort-merge join with no exchange below the join") {
+    // the oracle gate proves x_bucket_join's VALUES equal the plain
+    // join; this pins the MECHANISM — the bucketed layout must satisfy
+    // the join's distribution requirement from the files
+    val q = Registry.byName("x_bucket_join").run(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"bucketed join must not exchange below the join, got $shuffles:\n$plan")
+  }
 }
