@@ -22,7 +22,81 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate, streaks, decimate, outOfOrder)
+      interpolate, streaks, decimate, outOfOrder, patternMatch)
+
+  /** Complex-event-processing (CEP) pattern matching — the Flink-CEP /
+    * MATCH_RECOGNIZE capability re-expressed relationally: each user's
+    * event-type history becomes one code string (event types map to
+    * single chars in deterministic (ts, event_id) order), and sequence
+    * patterns are plain regexes counted per user — 'cp' (click
+    * immediately followed by purchase), 'ee+' (an error burst),
+    * 's[^p]*p' (signup→first purchase span). All three constructs
+    * behave identically in Java regex and RE2, and matching is the same
+    * leftmost non-overlapping scan in both engines, so occurrence counts
+    * hash-gate exactly.
+    *
+    * Scale shape: ONE hash shuffle on user_id; per-user state is that
+    * user's own history (the same bounded-state assumption every CEP
+    * engine makes), built by array_sort(collect_list) — map-side
+    * partial-collected, never a global sort. Patterns are evaluated as
+    * three codegen'd columns over the per-user strings; the final
+    * aggregate is 1 row stacked to 3. */
+  val patternMatch: GQuery = GQuery(
+    "e_pattern_match",
+    "CEP regex patterns over per-user event-code sequences: users + occurrences",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+      val seqs = e
+        .select(col("user_id"),
+          struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("code")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(ev)), x -> x.code)"), "")
+          .as("seq"))
+      val counted = seqs.select(
+        expr("size(regexp_extract_all(seq, 'cp', 0))").as("n_cp"),
+        expr("size(regexp_extract_all(seq, 'ee+', 0))").as("n_burst"),
+        expr("size(regexp_extract_all(seq, 's[^p]*p', 0))").as("n_s2p"))
+      counted.agg(
+          sum(when(col("n_cp") > 0, 1L).otherwise(0L)).as("u_cp"),
+          sum(col("n_cp").cast("long")).as("o_cp"),
+          sum(when(col("n_burst") > 0, 1L).otherwise(0L)).as("u_burst"),
+          sum(col("n_burst").cast("long")).as("o_burst"),
+          sum(when(col("n_s2p") > 0, 1L).otherwise(0L)).as("u_s2p"),
+          sum(col("n_s2p").cast("long")).as("o_s2p"))
+        .select(expr(
+          "stack(3, 'click_purchase', u_cp, o_cp," +
+            " 'error_burst', u_burst, o_burst," +
+            " 'signup_to_purchase', u_s2p, o_s2p)" +
+            " AS (pattern, n_users, n_occurrences)"))
+        .orderBy(col("pattern"))
+    },
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                 ORDER BY epoch_us(ts), event_id) AS seq
+        FROM events GROUP BY user_id),
+      counted AS (
+        SELECT len(regexp_extract_all(seq, 'cp')) AS n_cp,
+               len(regexp_extract_all(seq, 'ee+')) AS n_burst,
+               len(regexp_extract_all(seq, 's[^p]*p')) AS n_s2p
+        FROM seqs),
+      agged AS (
+        SELECT CAST(SUM(CASE WHEN n_cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_cp,
+               CAST(SUM(n_cp) AS BIGINT) AS o_cp,
+               CAST(SUM(CASE WHEN n_burst > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_burst,
+               CAST(SUM(n_burst) AS BIGINT) AS o_burst,
+               CAST(SUM(CASE WHEN n_s2p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_s2p,
+               CAST(SUM(n_s2p) AS BIGINT) AS o_s2p
+        FROM counted)
+      SELECT 'click_purchase' AS pattern, u_cp AS n_users, o_cp AS n_occurrences FROM agged
+      UNION ALL
+      SELECT 'error_burst', u_burst, o_burst FROM agged
+      UNION ALL
+      SELECT 'signup_to_purchase', u_s2p, o_s2p FROM agged
+      ORDER BY pattern"""))
 
   /** Watermark-policy audit: how late would events be under a given
     * arrival order? The fixture arrives ts-sorted (zero disorder), so

@@ -21,7 +21,8 @@ object Extras {
     intersectKeys, exceptKeys, setOpsAll, fullOuter, crossJoinQ, distinctOrder,
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
-    unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin)
+    unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
+    dlqValidate)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1097,6 +1098,67 @@ object Extras {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
+
+  /** Validation quarantine (dead-letter accounting) — the ingest gate
+    * that keeps a 100-TB pipeline's bad rows out of downstream tables
+    * WITHOUT failing the job: every row is checked against a rule set
+    * (outlier value, staleness SLA, referential integrity against the
+    * customer dimension) and the report counts each rule's hits, the
+    * distinct quarantined total (a row can fail several rules), and the
+    * clean remainder. One scan + one dim join; every rule is a codegen'd
+    * predicate; the rule flags aggregate in the same pass (no per-rule
+    * re-scan). The referential check joins the dimension keys — at gate
+    * scale that broadcast-folds, at 100 TB the same plan shuffles on the
+    * key; either way the mechanics and the report are identical. */
+  val dlqValidate: GQuery = GQuery(
+    "p_dlq",
+    "validation quarantine: per-rule hit counts + quarantined/clean totals",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      val ck = Catalog.table(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), lit(1L).as("cust_ok"))
+      val flagged = o.join(ck, Seq("o_custkey"), "left")
+        .select(
+          (col("o_totalprice") > 400000.0d).as("f_high"),
+          (col("o_orderstatus") === "O" &&
+            col("o_orderdate") < to_timestamp(lit("1996-01-01"))).as("f_stale"),
+          col("cust_ok").isNull.as("f_orphan"))
+      flagged.agg(
+          sum(when(col("f_high"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("f_stale"), 1L).otherwise(0L)).as("n_stale"),
+          sum(when(col("f_orphan"), 1L).otherwise(0L)).as("n_orphan"),
+          sum(when(col("f_high") || col("f_stale") || col("f_orphan"), 1L)
+            .otherwise(0L)).as("n_quar"),
+          sum(when(!(col("f_high") || col("f_stale") || col("f_orphan")), 1L)
+            .otherwise(0L)).as("n_clean"))
+        .select(expr(
+          "stack(5, 'high_value', n_high, 'stale_open', n_stale," +
+            " 'orphan_customer', n_orphan, 'quarantined_total', n_quar," +
+            " 'clean', n_clean) AS (rule, n)"))
+        .orderBy(col("rule"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT (o_totalprice > 400000.0) AS f_high,
+               (o_orderstatus = 'O' AND
+                o_orderdate < TIMESTAMP '1996-01-01') AS f_stale,
+               (c.c_custkey IS NULL) AS f_orphan
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      agged AS (
+        SELECT CAST(SUM(CASE WHEN f_high THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(SUM(CASE WHEN f_stale THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+               CAST(SUM(CASE WHEN f_orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+               CAST(SUM(CASE WHEN f_high OR f_stale OR f_orphan
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_quar,
+               CAST(SUM(CASE WHEN NOT (f_high OR f_stale OR f_orphan)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM flagged)
+      SELECT 'high_value' AS rule, n_high AS n FROM agged
+      UNION ALL SELECT 'stale_open', n_stale FROM agged
+      UNION ALL SELECT 'orphan_customer', n_orphan FROM agged
+      UNION ALL SELECT 'quarantined_total', n_quar FROM agged
+      UNION ALL SELECT 'clean', n_clean FROM agged
+      ORDER BY rule"""))
 
   /** k-anonymity suppression (Sweeney 2002) — the privacy gate a
     * training-data release runs after [[piiMask]]'s direct-identifier
