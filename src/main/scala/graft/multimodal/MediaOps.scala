@@ -266,5 +266,55 @@ object MediaOps {
         FROM sig
         GROUP BY sig
         ORDER BY n_docs DESC, sig
-        LIMIT 10""")))
+        LIMIT 10""")),
+    GQuery(
+      "m_shard_manifest",
+      "webdataset-style shard packing manifest: per-shard counts/bytes/digest",
+      // Training-shard assembly: media blobs pack into fixed-budget
+      // shards (4 KiB here; real webdataset tars are ~1 GB) in doc_id
+      // order within each source, and the SHARD MANIFEST — what a
+      // training loader actually consumes — reports per shard the sample
+      // count, byte total, id range, and a content digest (md5 over the
+      // ordered per-blob md5s, so any blob change/reorder flips the
+      // shard digest). Assignment is tar-stream style: a blob belongs to
+      // the shard where its first byte lands (same running-sum discipline
+      // as t_pack_sequences, on bytes). Scale shape: one hash shuffle on
+      // source, per-source running sum, one aggregate per shard —
+      // manifest cost ∝ blobs, digest state ∝ shard contents, and shard
+      // writers parallelize per source exactly like real shard jobs.
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 4096L
+        val d = Catalog.table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            octet_length(col("text")).cast("long").as("nb"),
+            md5(encode(col("text"), "UTF-8")).as("h"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("start", coalesce(sum(col("nb")).over(w), lit(0L)))
+          .withColumn("shard", expr(s"start div $budget"))
+          .groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("n_samples"), sum(col("nb")).as("tot_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+            md5(encode(array_join(
+              expr("transform(array_sort(collect_list(struct(doc_id, h))), x -> x.h)"),
+              ""), "UTF-8")).as("digest"))
+          .orderBy(col("source"), col("shard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                 md5(text) AS h
+          FROM documents),
+        w AS (
+          SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM d)
+        SELECT source, start // 4096 AS shard, COUNT(*) AS n_samples,
+               CAST(SUM(nb) AS BIGINT) AS tot_bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               md5(string_agg(h, '' ORDER BY doc_id)) AS digest
+        FROM w
+        GROUP BY source, shard
+        ORDER BY source, shard""")))
 }
