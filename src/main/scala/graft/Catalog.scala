@@ -48,6 +48,12 @@ object Catalog {
     * (`writePartitioned`), not min/max pruning on this column.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // defensive: queries using the native expressions (cosine_sim,
+    // damerau_levenshtein) must work in DRIVER-built sessions too, where
+    // the extension injection of GraftSession never ran. Idempotent and
+    // cheap; removes a real ordering hazard (a standalone run of a query
+    // that assumed some earlier query had registered the functions).
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -24,7 +24,10 @@ class DistributionSpec extends SparkSpec {
     "v_quantize",            // two-pass calibration + audit
     "p_clean_corpus",        // composed pipeline
     "g_pagerank",            // iterative shuffle loop (fix6 re-quantized)
-    "r_dsir_select")         // broadcast-weight scoring + exact fix6 mean
+    "r_dsir_select",         // broadcast-weight scoring + exact fix6 mean
+    "e_pattern_match",       // array_sort(collect_list) — THE order-sensitive op
+    "m_shard_manifest",      // ordered per-shard digest over collect_list
+    "e_out_of_order")        // batch watermarks: tiny global window + broadcast back
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, sf0001)
