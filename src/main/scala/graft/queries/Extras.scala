@@ -22,7 +22,7 @@ object Extras {
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
     unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
-    dlqValidate)
+    dlqValidate, timeTravel)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1098,6 +1098,61 @@ object Extras {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
+
+  /** Multi-version time travel (lakehouse AS-OF reads, no table-format
+    * dependency): the table is a DELTA LOG in plain parquet — version 1
+    * is the base snapshot, version 2 a price-correction upsert batch,
+    * version 3 a tombstone (delete) batch — written `partitionBy(version)`
+    * so an AS-OF-v read `filter(version <= v)` PARTITION-PRUNES away
+    * every later commit. Snapshot reconstruction is latest-record-wins
+    * per key via `max(struct(version, ...))` — an ARGMAX as a two-phase
+    * aggregate with one-row-per-key state, no window, no global sort —
+    * then tombstones drop. The three snapshots give three different
+    * answers from one immutable layout: the audit/reproducibility
+    * property (train on yesterday's snapshot while today's commits land)
+    * that Delta/Iceberg provide, expressed in the engine's own
+    * primitives. Sibling of [[graft.queries.EventOps]]'s e_upsert_compact
+    * (which materializes ONE latest snapshot; this keeps them all). */
+  val timeTravel: GQuery = GQuery(
+    "x_time_travel",
+    "delta-log time travel: AS-OF snapshots v1/v2/v3 from one versioned layout",
+    (spark, dir) => {
+      val root = TextOps.trackedTempDir("graft-snap-") + "/orders_v"
+      val base = Catalog.table(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val v1 = base.select(col("k"), col("p"),
+        lit(false).as("deleted"), lit(1).as("version"))
+      val v2 = base.filter(col("k") % 7 === 0).select(col("k"),
+        (col("p") * 1.1d).as("p"), lit(false).as("deleted"), lit(2).as("version"))
+      val v3 = base.filter(col("k") % 11 === 0).select(col("k"),
+        lit(0.0d).as("p"), lit(true).as("deleted"), lit(3).as("version"))
+      Catalog.writePartitioned(v1.unionByName(v2).unionByName(v3), root, "version")
+      val log = spark.read.parquet(root)
+      (1 to 3).map { v =>
+        log.filter(col("version") <= v)
+          .groupBy(col("k"))
+          .agg(max(struct(col("version"), col("p"), col("deleted"))).as("r"))
+          .filter(!col("r.deleted"))
+          .agg(count(lit(1)).as("n_live"), dsum(col("r.p")).as("revenue"))
+          .select(lit(v).as("as_of"), col("n_live"), col("revenue"))
+      }.reduce(_.unionByName(_)).orderBy(col("as_of"))
+    },
+    Some(s"""
+      WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      vers AS (
+        SELECT k, p, FALSE AS del, 1 AS v FROM base
+        UNION ALL
+        SELECT k, p * 1.1, FALSE, 2 FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT k, 0.0, TRUE, 3 FROM base WHERE k % 11 = 0),
+      snap AS (
+        SELECT s.as_of, k, p, del,
+               ROW_NUMBER() OVER (PARTITION BY s.as_of, k ORDER BY v DESC) AS rn
+        FROM vers JOIN (VALUES (1), (2), (3)) s(as_of) ON v <= s.as_of)
+      SELECT as_of, COUNT(*) AS n_live,
+             ${dsumSql("p")} AS revenue
+      FROM snap WHERE rn = 1 AND NOT del
+      GROUP BY as_of ORDER BY as_of"""))
 
   /** Validation quarantine (dead-letter accounting) — the ingest gate
     * that keeps a 100-TB pipeline's bad rows out of downstream tables
