@@ -22,7 +22,7 @@ object Extras {
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
     unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
-    dlqValidate, timeTravel)
+    dlqValidate, timeTravel, seasonality)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1098,6 +1098,61 @@ object Extras {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
+
+  /** Seasonal decomposition (STL-lite): daily revenue splits into a
+    * 7-day centered moving-average trend and day-of-week seasonal
+    * indices — the classic retail weekly cycle extraction. Exactness
+    * discipline: the trend window SUMS exact fix6 BIGINTs (a windowed
+    * double average would be evaluation-order-dependent — Spark folds
+    * the frame, DuckDB may segment-tree it), residuals are kept scaled
+    * by 7 (`7·rev − Σ7`) so they stay exact integers until ONE final
+    * division per dow group, and only full 7-day frames contribute (edge
+    * frames have n<7 and a different scale factor). Scale shape:
+    * aggregate-first — the raw fact table collapses to one row per DAY
+    * before any window, so the global time-ordered window runs over a
+    * time-span-sized table (~2.5k rows for 7 years), not the corpus; at
+    * 100 TB that daily rollup is the only full scan. */
+  val seasonality: GQuery = GQuery(
+    "a_seasonality",
+    "STL-lite: 7-day centered trend + exact day-of-week seasonal indices",
+    (spark, dir) => {
+      val daily = Catalog.table(spark, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(fix6(col("o_totalprice"))).as("rev6"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("s7", sum(col("rev6")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("r7", col("rev6") * 7 - col("s7"))
+        .withColumn("dow", weekday(col("day")))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("rev6")).cast("double") /
+            (lit(1000000.0d) * count(lit(1))), 4).as("avg_rev"),
+          round(sum(col("r7")).cast("double") /
+            (lit(7000000.0d) * count(lit(1))), 4).as("seasonal"))
+        .orderBy(col("dow"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(${fix6Sql("o_totalprice")}) AS BIGINT) AS rev6
+        FROM orders GROUP BY 1),
+      framed AS (
+        SELECT day, rev6,
+               SUM(rev6) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+               COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        FROM daily)
+      SELECT (isodow(day) - 1) AS dow, COUNT(*) AS n_days,
+             ROUND(CAST(SUM(rev6) AS DOUBLE) / (1000000.0 * COUNT(*)), 4)
+               AS avg_rev,
+             ROUND(CAST(SUM(rev6 * 7 - s7) AS DOUBLE) /
+                   (7000000.0 * COUNT(*)), 4) AS seasonal
+      FROM framed WHERE n7 = 7
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Multi-version time travel (lakehouse AS-OF reads, no table-format
     * dependency): the table is a DELTA LOG in plain parquet — version 1

@@ -28,7 +28,8 @@ object TextOps {
     repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
     substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
-    containment, weightedSample, topkGroup, profileColumns, slidingChunks)
+    containment, weightedSample, topkGroup, profileColumns, slidingChunks,
+    winnow)
 
   /** Incremental-ingest novelty check — the verdict a streaming/batch
     * ingest pipeline needs per NEW document: exact duplicate of the
@@ -1027,6 +1028,95 @@ object TextOps {
              ROUND(CAST(SUM((n_chunks - 1) * 8) AS DOUBLE) /
                    CAST(SUM(n_tok) AS DOUBLE), 6) AS dup_ratio
       FROM c GROUP BY source ORDER BY source"""))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): per doc, hash every token 3-gram, slide a window
+    * of w=4 hashes, keep each window's minimum (rightmost on ties — the
+    * paper's robust-winnowing rule), and dedupe — the selected (pos, h)
+    * set GUARANTEES any shared substring of ≥ w+k−1 tokens leaves at
+    * least one common fingerprint, at expected density 2/(w+1). Distinct
+    * from [[fingerprint]] (k-min sketch: global doc signature, no
+    * positional guarantee); winnowing is the plagiarism/near-copy
+    * LOCATOR.
+    *
+    * Both engines compute the identical list formula per row (the window
+    * select is array arithmetic inside one projection — no window
+    * functions, no shuffle of text), so the whole fingerprint pass is
+    * embarrassingly parallel at any corpus size; only the tiny
+    * (source, h, doc) fingerprint triples shuffle for the
+    * cross-doc-sharing count. */
+  val winnow: GQuery = GQuery(
+    "t_winnow",
+    "MOSS winnowing (k=3,w=4): per-source fingerprint density + cross-doc sharing",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 6) // w+k-1: shortest winnowable doc
+        .withColumn("hs",
+          expr("transform(sequence(0, size(tk) - 3), i -> " +
+            "cast(conv(substring(md5(cast(concat_ws(' ', tk[i], tk[i+1], tk[i+2])" +
+            " as binary)), 1, 15), 16, 10) as bigint))"))
+        .withColumn("fps",
+          expr("array_distinct(transform(sequence(0, size(hs) - 4), j -> " +
+            "concat(cast(array_min(slice(hs, j + 1, 4)) as string), ':', " +
+            "cast(j + 4 - array_position(reverse(slice(hs, j + 1, 4)), " +
+            "array_min(slice(hs, j + 1, 4))) as string))))"))
+      val perDoc = d.select(col("doc_id"), col("source"),
+        (size(col("hs"))).cast("long").as("n_grams"),
+        (size(col("fps"))).cast("long").as("n_fp"))
+      val shared = d
+        .select(col("source"), col("doc_id"),
+          explode(expr("transform(fps, f -> split(f, ':')[0])")).as("h"))
+        .distinct()
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_shared_h"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("tot_grams"),
+          sum(col("n_fp")).as("tot_fp"),
+          round(sum(col("n_fp")).cast("double") /
+            sum(col("n_grams")).cast("double"), 6).as("density"))
+        .join(shared, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tot_grams"), col("tot_fp"),
+          col("density"), coalesce(col("n_shared_h"), lit(0L)).as("n_shared_h"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, source,
+               list_transform(range(0, len(tk) - 2), i ->
+                 ('0x' || substr(md5(tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]),
+                  1, 15))::BIGINT) AS hs
+        FROM base WHERE len(tk) >= 6),
+      fp AS (
+        SELECT doc_id, source, len(hs) AS n_grams,
+               list_distinct(list_transform(range(0, len(hs) - 3), j ->
+                 CAST(list_min(hs[j+1:j+4]) AS VARCHAR) || ':' ||
+                 CAST(j + 4 - list_position(list_reverse(hs[j+1:j+4]),
+                        list_min(hs[j+1:j+4])) AS VARCHAR))) AS fps
+        FROM hashed),
+      per_doc AS (
+        SELECT source, doc_id, n_grams, len(fps) AS n_fp FROM fp),
+      triples AS (
+        SELECT DISTINCT source, doc_id, split_part(f, ':', 1) AS h
+        FROM fp, unnest(fps) AS t(f)),
+      shared AS (
+        SELECT source, COUNT(*) AS n_shared_h
+        FROM (SELECT source, h FROM triples GROUP BY source, h
+              HAVING COUNT(*) >= 2)
+        GROUP BY source)
+      SELECT p.source, COUNT(*) AS n_docs,
+             CAST(SUM(n_grams) AS BIGINT) AS tot_grams,
+             CAST(SUM(n_fp) AS BIGINT) AS tot_fp,
+             ROUND(CAST(SUM(n_fp) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6)
+               AS density,
+             COALESCE(ANY_VALUE(s.n_shared_h), 0) AS n_shared_h
+      FROM per_doc p LEFT JOIN shared s ON p.source = s.source
+      GROUP BY p.source
+      ORDER BY p.source"""))
 
   /** Corpus vocabulary statistics: global top-20 tokens by frequency —
     * explode + one count shuffle + top-k (map-side partial counts make
