@@ -43,7 +43,7 @@ object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
     dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
-    pageRank, bfsHops, kCore)
+    pageRank, bfsHops, kCore, assortativity)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -243,6 +243,65 @@ object GraphOps {
               FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
               GROUP BY n)
       SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d"""))
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all edge orientations — ONE number that says
+    * whether hubs attach to hubs (positive, social-graph-like) or to
+    * leaves (negative, infrastructure-like), which decides whether
+    * hub-removal or leaf-pruning strategies (e.g. [[kcore]] peeling,
+    * sampling designs) will fragment the graph. Computed from exact
+    * integer moments (n, Σdx, Σdx², Σdy, Σdy², Σdxdy — the
+    * x_stats_agg discipline) with the float arithmetic confined to one
+    * final fixed-order expression, so the correlation hash-gates to 6
+    * decimals across engines. Scale: two narrow shuffles (degree count,
+    * degree join-back), both ∝ |edges|. */
+  val assortativity: GQuery = GQuery(
+    "g_assortativity",
+    "degree assortativity (endpoint-degree Pearson r) of the co-purchase graph",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      val nbr = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = nbr.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val joined = nbr
+        .join(deg.select(col("n").as("a"), col("d").as("dx")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("dy")), "b")
+      val m = joined.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy")).as("sy"), sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      val dd = (c: Column) => c.cast("double")
+      m.select(
+        expr("n div 2").as("n_edges"),
+        round((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (sqrt(dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+            sqrt(dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy")))),
+          6).as("assortativity"))
+    },
+    Some(s"""
+      WITH $edgesSql,
+      nbr AS (SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT a AS n, COUNT(*) AS d FROM nbr GROUP BY 1),
+      j AS (SELECT dx.d AS dx, dy.d AS dy
+            FROM nbr JOIN deg dx ON nbr.a = dx.n
+                     JOIN deg dy ON nbr.b = dy.n),
+      m AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy
+            FROM j)
+      SELECT n // 2 AS n_edges,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS assortativity
+      FROM m"""))
 
   /** Link prediction: neighbor-overlap Jaccard per existing edge, top-10.
     * jaccard = |N(u)∩N(v)| / (d(u)+d(v)-|N(u)∩N(v)|) — one integer
