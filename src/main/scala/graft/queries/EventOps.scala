@@ -22,7 +22,52 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate, streaks, decimate, outOfOrder, patternMatch)
+      interpolate, streaks, decimate, outOfOrder, patternMatch, cohortMatrix)
+
+  /** Weekly cohort-retention matrix — the full triangular report behind
+    * [[retention]]'s day-over-day single diagonal: users bucket into
+    * signup cohorts by FIRST-activity week, and cell (cohort, offset)
+    * counts how many are still active `offset` weeks later, as an exact
+    * percentage of cohort size. Weeks are pure integer epoch-week
+    * arithmetic (`ts div 7·86400e9` — no calendar functions, so both
+    * engines bucket identically), and the retention percentage is one
+    * fixed-order double expression of two exact integers.
+    *
+    * Scale shape: distinct (user, week) ∝ activity not events; cohorts
+    * are a per-user MIN (two-phase); one user-keyed join back; the
+    * matrix itself is weeks² — report-sized at any corpus. */
+  val cohortMatrix: GQuery = GQuery(
+    "a_cohort_matrix",
+    "weekly cohort retention matrix: cohort week x offset, pct of cohort",
+    (spark, dir) => {
+      val wkNs = 7L * 86400L * 1000000000L
+      val e = Catalog.table(spark, dir, "events")
+      val uw = e.select(col("user_id"), expr(s"ts div $wkNs").as("wk")).distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c"))
+      val sizes = cohort.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("c"), (col("wk") - col("c")).as("off"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "c")
+        .select(col("c").as("cohort_week"), col("off"), col("n_active"),
+          col("n_cohort"),
+          round(lit(100.0d) * col("n_active") / col("n_cohort"), 4).as("pct"))
+        .orderBy(col("cohort_week"), col("off"))
+    },
+    Some("""
+      WITH uw AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 604800000000 AS wk
+                  FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS c FROM uw GROUP BY user_id),
+      sizes AS (SELECT c, COUNT(*) AS n_cohort FROM cohort GROUP BY c),
+      cells AS (
+        SELECT c, wk - c AS off, COUNT(*) AS n_active
+        FROM uw JOIN cohort USING (user_id)
+        GROUP BY 1, 2)
+      SELECT c AS cohort_week, off, n_active, n_cohort,
+             ROUND(100.0 * n_active / n_cohort, 4) AS pct
+      FROM cells JOIN sizes USING (c)
+      ORDER BY cohort_week, off"""))
 
   /** Complex-event-processing (CEP) pattern matching — the Flink-CEP /
     * MATCH_RECOGNIZE capability re-expressed relationally: each user's
