@@ -22,7 +22,60 @@ object EventOps {
     Seq(sessionize, hourlyStats, jsonExtract, funnel, topUsers, retention,
       asofJoin, rangeJoin, intervalJoin, upsertCompact, anomalyZscore, scd2,
       attribution, funnelSteps, slidingStats, markovTransitions, cohortLtv,
-      interpolate, streaks, decimate, outOfOrder, patternMatch, cohortMatrix)
+      interpolate, streaks, decimate, outOfOrder, patternMatch, cohortMatrix,
+      stickiness)
+
+  /** DAU/WAU stickiness — the product-analytics engagement ratio: per
+    * week, weekly-active users, average daily-active users across that
+    * week's observed days, and stickiness = avgDAU/WAU (1.0 = everyone
+    * active every observed day). Day and week are the same integer
+    * epoch-floor family (`week = day div 7`), so bucketing is
+    * calendar-free and engine-exact; avgDAU and stickiness are
+    * fixed-order double expressions over exact integer counts.
+    * Scale shape: two distinct-aggregates ((user,day) and (user,week) —
+    * both ∝ activity, with map-side partials), then week-grain tiny
+    * joins; no window functions at all. */
+  val stickiness: GQuery = GQuery(
+    "e_stickiness",
+    "per-week DAU/WAU stickiness from integer epoch buckets",
+    (spark, dir) => {
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val dau = e.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .withColumn("week", expr("day div 7"))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val wau = e.select(col("user_id"), expr("day div 7").as("week")).distinct()
+        .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "week")
+        .select(col("week"), col("wau"), col("n_days"),
+          round(col("sum_dau").cast("double") / col("n_days").cast("double"), 4)
+            .as("avg_dau"),
+          round(col("sum_dau").cast("double") /
+            (col("n_days").cast("double") * col("wau").cast("double")), 4)
+            .as("stickiness"))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+      dau AS (SELECT day // 7 AS week, COUNT(*) AS n_days,
+                     CAST(SUM(dau) AS BIGINT) AS sum_dau
+              FROM (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+              GROUP BY 1),
+      wau AS (SELECT week, COUNT(*) AS wau
+              FROM (SELECT DISTINCT user_id, day // 7 AS week FROM ud)
+              GROUP BY week)
+      SELECT week, wau, n_days,
+             ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+               AS avg_dau,
+             ROUND(CAST(sum_dau AS DOUBLE) /
+                   (CAST(n_days AS DOUBLE) * CAST(wau AS DOUBLE)), 4)
+               AS stickiness
+      FROM dau JOIN wau USING (week)
+      ORDER BY week"""))
 
   /** Weekly cohort-retention matrix — the full triangular report behind
     * [[retention]]'s day-over-day single diagonal: users bucket into

@@ -43,7 +43,7 @@ object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
     dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
-    pageRank, bfsHops, kCore, assortativity)
+    pageRank, bfsHops, kCore, assortativity, clusteringCoeff)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -302,6 +302,49 @@ object GraphOps {
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                AS assortativity
       FROM m"""))
+
+  /** Global clustering coefficient — 3·triangles / wedges, the
+    * transitivity number that, next to [[assortativity]], characterizes
+    * the graph's texture (how often "friends of friends" close).
+    * Triangles reuse the oriented 3-way self-join of [[triangleCount]];
+    * wedges need no join at all: Σ d(d−1)/2 over the degree table (an
+    * integer identity — every unordered neighbor pair at a center is one
+    * wedge). The ratio is one fixed-order double division of two exact
+    * BIGINTs, round(·,6). Scale: the wedge side is degree-table-sized;
+    * the triangle join is the standard Σd² candidate bound. (Declared
+    * after [[edgesSql]] — object vals initialize in declaration order.) */
+  val clusteringCoeff: GQuery = GQuery(
+    "g_clustering_coeff",
+    "global clustering coefficient: 3*triangles / wedges over the co-purchase graph",
+    (spark, dir) => {
+      val e = coSupplyEdges(Catalog.table(spark, dir, "lineitem"))
+      val paths = e.select(col("u").as("a"), col("v").as("b"))
+        .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      val tri = paths.join(
+        e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      wedges.crossJoin(broadcast(tri))
+        .select(col("n_wedges"), col("n_triangles"),
+          round(lit(3.0d) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6).as("global_cc"))
+    },
+    Some(s"""
+      WITH $edgesSql,
+      deg AS (SELECT n, COUNT(*) AS d
+              FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+              GROUP BY n),
+      w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      tri AS (SELECT COUNT(*) AS n_triangles
+              FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_wedges, n_triangles,
+             ROUND(3.0 * CAST(n_triangles AS DOUBLE) /
+                   CAST(n_wedges AS DOUBLE), 6) AS global_cc
+      FROM w CROSS JOIN tri"""))
 
   /** Link prediction: neighbor-overlap Jaccard per existing edge, top-10.
     * jaccard = |N(u)∩N(v)| / (d(u)+d(v)-|N(u)∩N(v)|) — one integer

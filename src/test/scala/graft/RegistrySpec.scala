@@ -91,7 +91,8 @@ class RegistrySpec extends SparkSpec {
     "x_bucket_join" -> 5, "v_radius_search" -> 5,
     "e_pattern_match" -> 3, "p_dlq" -> 5, "m_shard_manifest" -> 43,
     "x_time_travel" -> 3, "a_seasonality" -> 7, "t_winnow" -> 20,
-    "g_assortativity" -> 1, "a_cohort_matrix" -> 5)
+    "g_assortativity" -> 1, "a_cohort_matrix" -> 5,
+    "g_clustering_coeff" -> 1, "e_stickiness" -> 5)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
