@@ -310,7 +310,7 @@ object MediaOps {
           SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
           FROM d)
-        SELECT source, start // 4096 AS shard, COUNT(*) AS n_samples,
+        SELECT source, CAST(start // 4096 AS BIGINT) AS shard, COUNT(*) AS n_samples,
                CAST(SUM(nb) AS BIGINT) AS tot_bytes,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
                md5(string_agg(h, '' ORDER BY doc_id)) AS digest

@@ -12,14 +12,30 @@ import org.apache.spark.sql.functions._
   * aggregate queries).
   *
   * Each canary pins the SUPPORTED output contract (COVERAGE.md "type
-  * representation contract"):
+  * representation contract"). The driver's comparator routes BOTH result
+  * sets through pandas (Spark parquet via pyarrow.to_pandas, the DuckDB
+  * oracle via fetchdf) and stringifies per column — which is what makes
+  * the contract what it is (round-5 lesson; tools/check_oracles.py
+  * reproduces it and --selftests the divergence classes):
   *  - timestamps: emit TIMESTAMP_NTZ (parquet isAdjustedToUTC=false ≡
   *    DuckDB's naive TIMESTAMP). Session-local TIMESTAMP writes
   *    tz-adjusted parquet that canonicalizes with a zone suffix — not
   *    gateable.
-  *  - decimals: precision ≤ 18 (int64-backed in both engines; > 18
-  *    switches to decimal128/HUGEINT whose canonicalizations diverge).
-  *  - arrays and binary: gateable as-is.
+  *  - integer aggregates: DuckDB SUM(int) is HUGEINT, which pandas
+  *    coerces to float64 ("6.0" vs Spark's "6") — every oracle integer
+  *    SUM must be CAST(... AS BIGINT).
+  *  - decimals: NOT gateable as a typed column at ANY precision (pandas
+  *    coerces oracle DECIMAL to float64, dropping trailing scale zeros:
+  *    "123.4" vs Spark's exact "123.40"). Keep decimal arithmetic
+  *    internal; gate the result as a fixed-scale string
+  *    (CAST .. AS STRING/VARCHAR) or a fix6 double.
+  *  - arrays: NOT gateable as a column (pandas sort_values crashes on
+  *    the numpy-array cells pyarrow produces — "unhashable type:
+  *    numpy.ndarray"); emit array_join(...) strings or exploded rows.
+  *  - binary: NOT gateable as a raw column either (pandas str-casting
+  *    of a bytes column attempts a utf-8 decode and raises on arbitrary
+  *    bytes); compute binary internally, gate a hex(...) render (both
+  *    engines hex uppercase).
   *  - maps: NOT gateable as a column (engines canonicalize entries vs
   *    dict differently); emit exploded (key, value) rows — map_entries +
   *    explode — which this canary pins.
@@ -30,7 +46,7 @@ import org.apache.spark.sql.functions._
 object Canaries {
 
   def queries: Seq[GQuery] = Seq(tsCanary, arrayCanary, mapCanary,
-    floatEdgeCanary, decimal18Canary)
+    floatEdgeCanary, decimal18Canary, reprCanary)
 
   /** TIMESTAMP_NTZ output: micros-precision timestamps derived from the
     * events table's epoch-nanos. The ntz cast is the contract — a
@@ -52,10 +68,15 @@ object Canaries {
       ORDER BY event_id"""))
 
   /** Array outputs across element types (bigint, string, double) plus a
-    * BINARY column — all four gate as-is. */
+    * BINARY column. Arrays are computed as real array columns (the
+    * capability) but GATE as array_join(...) strings / element columns:
+    * a raw list column crashes the driver's pandas sort ("unhashable
+    * type: numpy.ndarray" — red r5); the binary md5 digest is computed
+    * as real BINARY but gates as its hex render (raw bytes trip the
+    * pandas utf-8 str cast). */
   val arrayCanary: GQuery = GQuery(
     "c_type_array",
-    "canary: array<bigint/string/double> and binary output representation",
+    "canary: array<bigint/string/double> (joined render) and binary output",
     (spark, dir) => {
       val p = Catalog.table(spark, dir, "part")
       p.filter(col("p_partkey") < 10)
@@ -65,14 +86,21 @@ object Canaries {
           array(col("p_retailprice").cast("double"),
             (col("p_retailprice") * 2).cast("double")).as("arr_d"),
           unhex(md5(col("p_name").cast("binary"))).as("bin"))
+        .select(col("p_partkey"),
+          expr("array_join(transform(arr_i, x -> cast(x AS string)), ',')").as("arr_i"),
+          array_join(col("arr_s"), ",").as("arr_s"),
+          element_at(col("arr_d"), 1).as("arr_d_lo"),
+          element_at(col("arr_d"), 2).as("arr_d_hi"),
+          hex(col("bin")).as("bin_hex"))
         .orderBy(col("p_partkey"))
     },
     Some("""
       SELECT p_partkey,
-             [p_partkey + 1, p_partkey * 2] AS arr_i,
-             string_split(p_type, ' ') AS arr_s,
-             [CAST(p_retailprice AS DOUBLE), CAST(p_retailprice * 2 AS DOUBLE)] AS arr_d,
-             unhex(md5(p_name)) AS bin
+             array_to_string([p_partkey + 1, p_partkey * 2], ',') AS arr_i,
+             array_to_string(string_split(p_type, ' '), ',') AS arr_s,
+             CAST(p_retailprice AS DOUBLE) AS arr_d_lo,
+             CAST(p_retailprice * 2 AS DOUBLE) AS arr_d_hi,
+             hex(unhex(md5(p_name))) AS bin_hex
       FROM part WHERE p_partkey < 10
       ORDER BY p_partkey"""))
 
@@ -123,30 +151,72 @@ object Canaries {
       FROM region
       ORDER BY r_regionkey"""))
 
-  /** DECIMAL(18,x) — the maximum int64-backed precision, the documented
-    * ceiling for decimal outputs. Exercises negative values and both
-    * supported scales at the boundary precision. */
+  /** DECIMAL(18,x) — boundary-precision decimal arithmetic, gated as
+    * fixed-scale STRING renders (both engines pad to scale: "-123.40",
+    * "0.500000"). A decimal-TYPED gate column is never hash-stable under
+    * the driver: its pandas path coerces oracle DECIMAL to float64 and
+    * drops trailing scale zeros (red rounds 1-5 on exactly this).
+    * Exercises negative values and scale widening at precision 18. */
   val decimal18Canary: GQuery = GQuery(
     "c_type_decimal18",
-    "canary: DECIMAL(18,2)/(18,6) boundary-precision output representation",
+    "canary: DECIMAL(18,2)/(18,6) arithmetic, fixed-scale string render",
     (spark, dir) => {
       val l = Catalog.table(spark, dir, "lineitem")
       l.filter(col("l_orderkey") < 100)
         .agg(
           sum(graft.util.Num.dec2(col("l_extendedprice")))
-            .cast("decimal(18,2)").as("d18_2"),
+            .cast("decimal(18,2)").cast("string").as("d18_2"),
           sum(graft.util.Num.dec2(col("l_extendedprice")) * -1)
-            .cast("decimal(18,2)").as("d18_2_neg"),
+            .cast("decimal(18,2)").cast("string").as("d18_2_neg"),
           // scale WIDENING only (2 -> 6 fractional digits) — exact; a
           // decimal AVG would divide with engine-specific tie rounding
           sum(graft.util.Num.dec2(col("l_discount")))
-            .cast("decimal(18,6)").as("d18_6"))
+            .cast("decimal(18,6)").cast("string").as("d18_6"))
     },
     Some(s"""
-      SELECT CAST(SUM(p) AS DECIMAL(18,2)) AS d18_2,
-             CAST(SUM(p * -1) AS DECIMAL(18,2)) AS d18_2_neg,
-             CAST(SUM(d) AS DECIMAL(18,6)) AS d18_6
+      SELECT CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS VARCHAR) AS d18_2,
+             CAST(CAST(SUM(p * -1) AS DECIMAL(18,2)) AS VARCHAR) AS d18_2_neg,
+             CAST(CAST(SUM(d) AS DECIMAL(18,6)) AS VARCHAR) AS d18_6
       FROM (SELECT ${graft.util.Num.dec2Sql("l_extendedprice")} AS p,
                    ${graft.util.Num.dec2Sql("l_discount")} AS d
             FROM lineitem WHERE l_orderkey < 100) t"""))
+
+  /** Representation-contract canary: ONE query emitting every gateable
+    * output dtype the registry uses — BIGINT (from a SUM the oracle must
+    * CAST out of HUGEINT), exact double (fix6 discipline), string, date,
+    * boolean, hex-rendered binary — so a future harness/dtype drift reds this single
+    * named canary instead of scattering across the registry (extends the
+    * r4 timestamp-canary pattern that caught the epoch-ns flip). The
+    * oracle side deliberately routes its integer SUM through DuckDB's
+    * HUGEINT and CASTs it back — the exact divergence class that shipped
+    * 8 red rows in round 5. */
+  val reprCanary: GQuery = GQuery(
+    "c_type_repr",
+    "canary: one row-set with every gateable dtype (bigint/double/string/date/bool/binary)",
+    (spark, dir) => {
+      val o = Catalog.table(spark, dir, "orders")
+      o.filter(col("o_orderkey") < 100)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          graft.util.Num.dsum(col("o_totalprice")).as("tot_price"),
+          min(col("o_orderdate")).as("first_date"),
+          expr("bool_or(o_totalprice > 100000.0D)").as("any_big"),
+          min(col("o_orderstatus")).as("first_status"),
+          hex(unhex(md5(min(col("o_orderstatus"))))).as("status_digest"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             ${graft.util.Num.dsumSql("o_totalprice")} AS tot_price,
+             MIN(o_orderdate) AS first_date,
+             bool_or(o_totalprice > 100000.0) AS any_big,
+             MIN(o_orderstatus) AS first_status,
+             hex(unhex(md5(MIN(o_orderstatus)))) AS status_digest
+      FROM orders WHERE o_orderkey < 100
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
 }

@@ -178,7 +178,7 @@ object Extras {
                levenshtein(a_name, b_name) AS lev
         FROM (SELECT * FROM nbr_pairs UNION ALL SELECT * FROM swap_pairs))
       SELECT dist, COUNT(*) AS n_pairs,
-             SUM(CASE WHEN dist < lev THEN 1 ELSE 0 END) AS n_tightened
+             CAST(SUM(CASE WHEN dist < lev THEN 1 ELSE 0 END) AS BIGINT) AS n_tightened
       FROM pairs GROUP BY dist ORDER BY dist"""))
 
   /** Sorted-neighborhood fuzzy entity matching — the edit-distance half
@@ -244,7 +244,7 @@ object Extras {
         WHERE levenshtein(x.c_name, y.c_name) <= 2),
       self_pairs AS (
         SELECT 0 AS dist, n * (n - 1) // 2 AS w FROM g WHERE n >= 2)
-      SELECT dist, SUM(w) AS n_pairs
+      SELECT dist, CAST(SUM(w) AS BIGINT) AS n_pairs
       FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs)
       GROUP BY dist ORDER BY dist"""))
 
@@ -434,12 +434,15 @@ object Extras {
     * goes through [[graft.util.Num.dec2]]: engines round double→decimal
     * ties differently (Spark HALF_UP, DuckDB round-half-even), so the
     * double is quantized in pure IEEE-754 first — after that, every
-    * decimal op here is exact and order-free on both engines. Output
-    * decimals are pinned to precision ≤ 18 (int64-backed in both Spark
-    * and DuckDB): precision > 18 switches to 128-bit physical decimals
-    * (decimal128 vs HUGEINT) whose cross-engine hash canonicalization
-    * diverges even on byte-identical values (see COVERAGE.md, type
-    * representation contract). */
+    * decimal op here is exact and order-free on both engines. The GATE
+    * columns are the decimals rendered as fixed-scale strings
+    * (CAST .. AS STRING/VARCHAR — both engines pad to scale, "123.40"):
+    * the driver's comparator routes results through pandas, which
+    * coerces any DECIMAL dtype to float64 on the oracle side ("123.4")
+    * while Spark's parquet decimals stay exact — a decimal-typed gate
+    * column hash-diverges on representation even when every value
+    * matches (red rounds 1-5). The string render IS the exactness
+    * proof: it captures all scale digits. */
   val decimalArith: GQuery = GQuery(
     "x_decimal_arith",
     "decimal(15,2) cast + exact decimal sum/avg arithmetic",
@@ -450,18 +453,19 @@ object Extras {
           graft.util.Num.dec2(col("l_discount")).as("disc"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("price")).cast(DecimalType(18, 2)).as("sum_price"),
-          sum(expr("price * (1 - disc)")).cast(DecimalType(18, 6)).as("sum_disc_price"),
-          max(col("price")).cast(DecimalType(18, 2)).as("max_price"),
-          min(col("disc")).cast(DecimalType(18, 2)).as("min_disc"))
+          sum(col("price")).cast(DecimalType(18, 2)).cast("string").as("sum_price"),
+          sum(expr("price * (1 - disc)")).cast(DecimalType(18, 6)).cast("string")
+            .as("sum_disc_price"),
+          max(col("price")).cast(DecimalType(18, 2)).cast("string").as("max_price"),
+          min(col("disc")).cast(DecimalType(18, 2)).cast("string").as("min_disc"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""
       SELECT l_returnflag,
-             CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price,
-             CAST(SUM(price * (1 - disc)) AS DECIMAL(18,6)) AS sum_disc_price,
-             CAST(MAX(price) AS DECIMAL(18,2)) AS max_price,
-             CAST(MIN(disc) AS DECIMAL(18,2)) AS min_disc
+             CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+             CAST(CAST(SUM(price * (1 - disc)) AS DECIMAL(18,6)) AS VARCHAR) AS sum_disc_price,
+             CAST(CAST(MAX(price) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+             CAST(CAST(MIN(disc) AS DECIMAL(18,2)) AS VARCHAR) AS min_disc
       FROM (SELECT l_returnflag,
                    ${graft.util.Num.dec2Sql("l_extendedprice")} AS price,
                    ${graft.util.Num.dec2Sql("l_discount")} AS disc

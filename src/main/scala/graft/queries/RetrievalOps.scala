@@ -119,7 +119,7 @@ object RetrievalOps {
                 FROM (SELECT unnest(range(1, 21)) AS i) pos CROSS JOIN rstats),
       ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
       per_k AS (SELECT k,
-                       SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS n_hits,
+                       CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                        MAX(CASE WHEN rel >= 1
                                 THEN CAST(1 AS DOUBLE) / CAST(rank AS DOUBLE)
                                 ELSE CAST(0 AS DOUBLE) END) AS mrr,

@@ -454,9 +454,11 @@ object SqlFuncs {
     * bool_and/bool_or. One two-phase hash aggregate — the FILTER predicates
     * evaluate map-side inside codegen, so conditional aggs cost the same as
     * unconditional ones at 100 TB. `l_quantity` is integer-valued, so the
-    * filtered SUM is exact on both engines. The output decimal is pinned
-    * to precision ≤ 18 (int64-backed on both engines — precision > 18
-    * hash-diverges cross-engine on physical representation; COVERAGE.md). */
+    * filtered SUM is exact on both engines. The decimal sum gates as a
+    * fixed-scale STRING render: the driver's pandas comparator coerces
+    * oracle-side DECIMAL to float64 ("154.0" vs Spark's exact "154.00"),
+    * so a decimal-typed gate column is never hash-stable (COVERAGE.md,
+    * type representation contract). */
   val condAgg: GQuery = GQuery(
     "x_cond_agg",
     "count_if, aggregate FILTER clause, bool_and/bool_or",
@@ -466,7 +468,7 @@ object SqlFuncs {
         .agg(
           expr("count_if(l_discount > 0.05)").as("n_disc"),
           expr("sum(l_quantity) FILTER (WHERE l_tax > 0.04)")
-            .cast("decimal(18,2)").as("qty_taxed"),
+            .cast("decimal(18,2)").cast("string").as("qty_taxed"),
           expr("bool_and(l_quantity > 0)").as("all_pos"),
           expr("bool_or(l_discount > 0.09)").as("any_big"))
         .orderBy(col("l_returnflag"))
@@ -474,7 +476,8 @@ object SqlFuncs {
     Some("""
       SELECT l_returnflag,
              count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
-             CAST(SUM(l_quantity) FILTER (WHERE l_tax > 0.04) AS DECIMAL(18,2)) AS qty_taxed,
+             CAST(CAST(SUM(l_quantity) FILTER (WHERE l_tax > 0.04) AS DECIMAL(18,2))
+                  AS VARCHAR) AS qty_taxed,
              bool_and(l_quantity > 0) AS all_pos,
              bool_or(l_discount > 0.09) AS any_big
       FROM lineitem

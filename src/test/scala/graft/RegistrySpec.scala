@@ -61,7 +61,7 @@ class RegistrySpec extends SparkSpec {
     "t_mixture_balance" -> 2, "v_ivfpq_ann" -> 9,
     "c_type_timestamp" -> 10, "c_type_array" -> 10,
     "c_type_map_entries" -> 10, "c_type_float_edge" -> 5,
-    "c_type_decimal18" -> 1, "v_semdedup" -> 72,
+    "c_type_decimal18" -> 1, "c_type_repr" -> 5, "v_semdedup" -> 72,
     "r_bm25_search" -> 10, "r_doc_perplexity" -> 20,
     "x_window_distribution" -> 150, "p_novelty_batch" -> 100,
     "a_fuzzy_match" -> 2,
