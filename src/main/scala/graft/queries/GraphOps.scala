@@ -69,10 +69,13 @@ object GraphOps {
     * undirected pair graph. One (node,label)-shuffle join per round;
     * converges when no label changes. */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .transform(cut) // pairs cost an LSH pipeline — never recompute it per round
+    // cut the PAIR table itself before the two-reference union: the LSH
+    // pipeline feeding it is the expensive subtree, and relying on
+    // exchange reuse to dedup two union branches is fragile — after the
+    // cut, both branches read the same materialized partitions
+    val p = pairs.select(col("a_id"), col("b_id")).transform(cut)
+    val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .transform(cut)
@@ -84,14 +87,15 @@ object GraphOps {
       val nbrMin = edges
         .join(labels.select(col("id").as("u"), col("lbl").as("ulbl")), "u")
         .groupBy(col("v").as("id")).agg(min(col("ulbl")).as("nbr"))
+      // carry the previous label through the round so convergence is read
+      // off the checkpointed frame directly — the old form re-joined next
+      // against labels, one extra (node)-shuffle per round
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .transform(cut)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     labels
   }
@@ -133,13 +137,16 @@ object GraphOps {
       val d = Catalog.table(spark, dir, "documents")
       val cl = ccLabels(TextOps.minhashPairs(TextOps.spread(d).select(col("doc_id"), col("text")), 0.5))
       val nt = d.select(col("doc_id").as("id"), size(split(col("text"), " ")).as("n_tok"))
-      val sizes = cl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-      val w = Window.partitionBy(col("lbl")).orderBy(col("n_tok").desc, col("id"))
+      // keeper + member count in ONE aggregate: argmax via max(struct):
+      // (n_tok, -id) orders by token count desc then id asc — replaces
+      // the window + sizes-groupBy + join form (three shuffles on the
+      // same tiny cluster table; pure job-count floor at bench scale)
       cl.join(nt, "id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .join(sizes, "lbl")
-        .select(col("lbl").as("cluster_id"), col("id").as("kept_doc"), col("n_members"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_tok"), (-col("id")).as("nid"))).as("best"))
+        .select(col("lbl").as("cluster_id"), (-col("best.nid")).as("kept_doc"),
+          col("n_members"))
         .orderBy(col("cluster_id"))
     },
     Some(s"""

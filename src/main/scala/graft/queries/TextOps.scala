@@ -104,7 +104,10 @@ object TextOps {
     * never shuffled just to "spread" it. */
   private[queries] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    // toRdd reads the physical plan's partitioning without building the
+    // row-deserializing `.rdd` lineage (r5 advice nit)
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par)
   }
 
   /** Session-scoped materialization dirs. Each invocation gets a
@@ -399,17 +402,22 @@ object TextOps {
     val sigCols = (0 until 16).map(i => col(s"s$i"))
     val keyed = sig.select(
       (col("doc_id") +: sigCols :+ array_sort(col("arr")).as("ak")): _*)
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(sigCols :+ col("ak"): _*)
-    // no checkpoint here: the group window's exchange is reused across the
-    // three references (ReusedExchange), and a checkpoint would hide the
-    // signature-table scans the PlanSpec "no corpus re-scan" pin verifies
-    val withG = keyed
-      .select(col("doc_id") +: sigCols :+ col("ak") :+
-        min(col("doc_id")).over(wKey).as("gid") :+
-        count(lit(1)).over(wKey).as("gn"): _*)
-    val mem = withG.select(col("doc_id"), col("gid"))
-    val reps = withG.filter(col("doc_id") === col("gid"))
+    // dup-collapse as ONE hash aggregate over the (signature, set) key:
+    // min doc_id is the representative, the member list re-expands pairs
+    // at the end. The round-5 window form (min/count OVER the same key)
+    // carried every row through an exchange + full sort on the wide
+    // 17-column key — the creep the r5 verdict flagged; the aggregate
+    // combines map-side and shuffles one row per DISTINCT document text.
+    // (No checkpoint: the aggregate's exchange is reused across the
+    // branch references, and a checkpoint would hide the signature-table
+    // scans the PlanSpec "no corpus re-scan" pin verifies.)
+    val grouped = keyed
+      .groupBy(sigCols :+ col("ak"): _*)
+      .agg(min(col("doc_id")).as("gid"),
+        collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("gn"))
+    val mem = grouped.select(col("gid"), explode(col("members")).as("doc_id"))
+    val reps = grouped
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
         .cast("binary")).as(s"bh$b"))
@@ -435,18 +443,20 @@ object TextOps {
         round(col("n_common").cast("double") /
           (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
-    val inter = interReps
+    // intra-group pairs (identical sets, Jaccard exactly 1.0) ride the
+    // SAME two expansion joins as the cross-group pairs: a gn>=2 group
+    // contributes a (gid, gid, 1.0) rep pair, and the da<db guard on the
+    // diagonal emits each member pair once — the separate intra branch
+    // (two more member joins + union legs) was pure stage-count overhead
+    val repPairs = interReps.union(
+      reps.filter(col("gn") >= 2)
+        .select(col("gid").as("ga"), col("gid").as("gb"), lit(1.0).as("jacc")))
+    repPairs
       .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
       .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .filter(col("ga") =!= col("gb") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"), col("jacc"))
-    val intra = reps.filter(col("gn") >= 2).select(col("gid"))
-      .join(mem.select(col("gid"), col("doc_id").as("da")), "gid")
-      .join(mem.select(col("gid"), col("doc_id").as("db")), "gid")
-      .filter(col("da") < col("db"))
-      .select(col("da").as("a_id"), col("db").as("b_id"),
-        lit(1.0).as("jacc"))
-    inter.union(intra)
   }
 
   /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view
