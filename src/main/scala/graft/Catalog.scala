@@ -185,6 +185,26 @@ object Catalog {
     * shuffle, which is the difference between O(data) and O(data+shuffle)
     * per query on a 100 TB fact table joined every hour.
     */
+  /** Warehouse locations written by [[writeBucketed]], deleted at JVM
+    * exit: table names are PID-suffixed (two JVMs — bench + verify — may
+    * run the registry concurrently, so a fixed name could overwrite
+    * part files mid-read), which means a same-named overwrite never
+    * reclaims a PREVIOUS JVM's data — without this hook every run leaks
+    * both tables' bytes in /tmp/graft-warehouse indefinitely. */
+  private val bucketedLocs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  sys.addShutdownHook {
+    bucketedLocs.forEach { root =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(root)
+      } catch { case _: Throwable => () } // best-effort: exit must not fail
+    }
+  }
+
   def writeBucketed(df: DataFrame, tableName: String, nBuckets: Int,
       key: String, sortCols: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
@@ -205,5 +225,6 @@ object Catalog {
       .bucketBy(nBuckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
+    bucketedLocs.add(loc)
   }
 }

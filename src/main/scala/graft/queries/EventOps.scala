@@ -144,10 +144,18 @@ object EventOps {
     "CEP regex patterns over per-user event-code sequences: users + occurrences",
     (spark, dir) => {
       val e = Catalog.table(spark, dir, "events")
+      // explicit type->code map (NOT first-char truncation): a future
+      // fixture type sharing an initial (e.g. 'checkout' vs 'click')
+      // would conflate identically on both engines, so the differential
+      // gate could never catch the semantic drift — unknown types code
+      // to 'x' and surface as zero-match noise instead (r5 advice)
+      val codeCase = "CASE event_type WHEN 'signup' THEN 's'" +
+        " WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'" +
+        " WHEN 'error' THEN 'e' WHEN 'view' THEN 'v' ELSE 'x' END"
       val seqs = e
         .select(col("user_id"),
           struct(expr("ts div 1000").as("ts_us"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("code")).as("ev"))
+            expr(codeCase).as("code")).as("ev"))
         .groupBy(col("user_id"))
         .agg(array_join(
           expr("transform(array_sort(collect_list(ev)), x -> x.code)"), "")
@@ -173,7 +181,10 @@ object EventOps {
     Some("""
       WITH seqs AS (
         SELECT user_id,
-               string_agg(substr(event_type, 1, 1), ''
+               string_agg(CASE event_type WHEN 'signup' THEN 's'
+                            WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                            WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+                            ELSE 'x' END, ''
                  ORDER BY epoch_us(ts), event_id) AS seq
         FROM events GROUP BY user_id),
       counted AS (

@@ -997,12 +997,13 @@ object Extras {
     "x_part_prune",
     "hive-partitioned write, partition-pruned read: 1996 monthly revenue",
     (spark, dir) => {
-      val root = TextOps.trackedTempDir("graft-part-") + "/orders_by_year"
-      Catalog.writePartitioned(
-        Catalog.table(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
-            year(col("o_orderdate")).as("o_year")),
-        root, "o_year")
+      val root = TextOps.cachedLayout("part", dir) { r =>
+        Catalog.writePartitioned(
+          Catalog.table(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+              year(col("o_orderdate")).as("o_year")),
+          r + "/orders_by_year", "o_year")
+      } + "/orders_by_year"
       spark.read.parquet(root)
         .filter(col("o_year") === 1996)
         .groupBy(month(col("o_orderdate")).as("mon"))
@@ -1031,15 +1032,16 @@ object Extras {
     "x_dpp",
     "dynamic partition pruning: fact years selected by a filtered stored dim",
     (spark, dir) => {
-      val root = TextOps.trackedTempDir("graft-dpp-")
-      val o = Catalog.table(spark, dir, "orders")
-      Catalog.writePartitioned(
-        o.select(col("o_orderkey"), col("o_totalprice"),
-          year(col("o_orderdate")).as("o_year")),
-        root + "/fact", "o_year")
-      o.select(year(col("o_orderdate")).as("y")).distinct()
-        .select(col("y"), substring(md5(col("y").cast("string")), 1, 1).as("tag"))
-        .write.mode("overwrite").parquet(root + "/dim")
+      val root = TextOps.cachedLayout("dpp", dir) { r =>
+        val o = Catalog.table(spark, dir, "orders")
+        Catalog.writePartitioned(
+          o.select(col("o_orderkey"), col("o_totalprice"),
+            year(col("o_orderdate")).as("o_year")),
+          r + "/fact", "o_year")
+        o.select(year(col("o_orderdate")).as("y")).distinct()
+          .select(col("y"), substring(md5(col("y").cast("string")), 1, 1).as("tag"))
+          .write.mode("overwrite").parquet(r + "/dim")
+      }
       val fact = spark.read.parquet(root + "/fact")
       val dim = spark.read.parquet(root + "/dim").filter(col("tag") < "8")
       fact.join(broadcast(dim), col("o_year") === col("y"))
@@ -1176,16 +1178,18 @@ object Extras {
     "x_time_travel",
     "delta-log time travel: AS-OF snapshots v1/v2/v3 from one versioned layout",
     (spark, dir) => {
-      val root = TextOps.trackedTempDir("graft-snap-") + "/orders_v"
-      val base = Catalog.table(spark, dir, "orders")
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      val v1 = base.select(col("k"), col("p"),
-        lit(false).as("deleted"), lit(1).as("version"))
-      val v2 = base.filter(col("k") % 7 === 0).select(col("k"),
-        (col("p") * 1.1d).as("p"), lit(false).as("deleted"), lit(2).as("version"))
-      val v3 = base.filter(col("k") % 11 === 0).select(col("k"),
-        lit(0.0d).as("p"), lit(true).as("deleted"), lit(3).as("version"))
-      Catalog.writePartitioned(v1.unionByName(v2).unionByName(v3), root, "version")
+      val root = TextOps.cachedLayout("snap", dir) { r =>
+        val base = Catalog.table(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val v1 = base.select(col("k"), col("p"),
+          lit(false).as("deleted"), lit(1).as("version"))
+        val v2 = base.filter(col("k") % 7 === 0).select(col("k"),
+          (col("p") * 1.1d).as("p"), lit(false).as("deleted"), lit(2).as("version"))
+        val v3 = base.filter(col("k") % 11 === 0).select(col("k"),
+          lit(0.0d).as("p"), lit(true).as("deleted"), lit(3).as("version"))
+        Catalog.writePartitioned(v1.unionByName(v2).unionByName(v3),
+          r + "/orders_v", "version")
+      } + "/orders_v"
       val log = spark.read.parquet(root)
       (1 to 3).map { v =>
         log.filter(col("version") <= v)

@@ -278,12 +278,19 @@ object GraphOps {
         sum(col("dy")).as("sy"), sum(col("dy") * col("dy")).as("syy"),
         sum(col("dx") * col("dy")).as("sxy"))
       val dd = (c: Column) => c.cast("double")
+      // a REGULAR graph (every degree equal) zeroes the variance terms;
+      // engines disagree on zero-divisor doubles (NULL vs NaN/inf), so
+      // the degenerate case is pinned to NULL on BOTH sides (oracle uses
+      // NULLIF) — r5 advice
+      val denom =
+        sqrt(dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
+          sqrt(dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy")))
       m.select(
         expr("n div 2").as("n_edges"),
-        round((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
-          (sqrt(dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) *
-            sqrt(dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy")))),
-          6).as("assortativity"))
+        when(denom === 0.0d, lit(null))
+          .otherwise(round(
+            (dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) / denom,
+            6)).as("assortativity"))
     },
     Some(s"""
       WITH $edgesSql,
@@ -303,10 +310,10 @@ object GraphOps {
       SELECT n // 2 AS n_edges,
              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
                AS assortativity
       FROM m"""))
 
@@ -333,10 +340,13 @@ object GraphOps {
       val wedges = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      // zero wedges (empty/matching-only graph) pins to NULL on both
+      // engines — see assortativity's degenerate-divisor note
       wedges.crossJoin(broadcast(tri))
         .select(col("n_wedges"), col("n_triangles"),
-          round(lit(3.0d) * col("n_triangles").cast("double") /
-            col("n_wedges").cast("double"), 6).as("global_cc"))
+          when(col("n_wedges") === 0, lit(null))
+            .otherwise(round(lit(3.0d) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double"), 6)).as("global_cc"))
     },
     Some(s"""
       WITH $edgesSql,
@@ -350,7 +360,7 @@ object GraphOps {
               JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
       SELECT n_wedges, n_triangles,
              ROUND(3.0 * CAST(n_triangles AS DOUBLE) /
-                   CAST(n_wedges AS DOUBLE), 6) AS global_cc
+                   NULLIF(CAST(n_wedges AS DOUBLE), 0), 6) AS global_cc
       FROM w CROSS JOIN tri"""))
 
   /** Link prediction: neighbor-overlap Jaccard per existing edge, top-10.

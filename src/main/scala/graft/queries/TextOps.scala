@@ -133,6 +133,26 @@ object TextOps {
     p.toString
   }
 
+  /** Per-JVM cache of IMMUTABLE materialized layouts (partitioned
+    * rewrites, version logs): the layout of a given (tag, source dir) is
+    * written once and every later invocation — bench iteration 2..n,
+    * repeated gate runs — reads the existing files. Without this, each
+    * invocation rewrote the full table into a fresh temp dir: disk use
+    * multiplied per iteration and the measured time was the WRITE, not
+    * the pruned read the query demonstrates (r5 advice). Only valid for
+    * source-deterministic layouts — the write lambda must be a pure
+    * function of the source dir. Dirs still come from
+    * [[trackedTempDir]], so JVM-exit cleanup covers them. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def cachedLayout(tag: String, dir: String)(
+      write: String => Unit): String =
+    layoutCache.computeIfAbsent(s"$tag|$dir", _ => {
+      val root = trackedTempDir(s"graft-$tag-")
+      write(root)
+      root
+    })
+
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
   private[queries] def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
