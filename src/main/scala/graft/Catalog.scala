@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Table registration, mirroring the reference's parquet-directory catalog
   * (reference: tests/tpch.rs:137-166 registers each TPC-H table from
@@ -112,6 +112,26 @@ object Catalog {
     * partition column produces the classic million-small-files failure. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Range-partitioned, in-file-sorted write — the Spark analog of the
+    * reference's declared file sort order (reference:
+    * benchmarks/src/tpch/run.rs:334-339 `file_sort_order`): each output
+    * file covers a DISJOINT range of the sort key (`repartitionByRange`
+    * keeps equal keys together, so file spans never overlap) and is
+    * internally sorted, so every parquet row group carries tight min/max
+    * statistics on the key. A range predicate then prunes to the few row
+    * groups whose span intersects it (vanilla Spark prunes ROW GROUPS at
+    * read time from these stats; file-level skipping on min/max is what
+    * table formats add on top — the layout guarantee proven in
+    * SortedLayoutSpec is what makes either effective). At 100 TB this is
+    * the clustering lever for the fine-grained access column once
+    * partition directories handle the coarse one (partition by day,
+    * range-sort by the query's range key within). */
+  def writeRangeSorted(df: DataFrame, path: String, nFiles: Int,
+      sortCols: Column*): Unit =
+    df.repartitionByRange(nFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(path)
 
   /** JSON-lines registration with a declared schema (schema-on-read, no
     * inference pass over the data — at 100 TB an inference scan would cost

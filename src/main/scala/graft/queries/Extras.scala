@@ -22,7 +22,7 @@ object Extras {
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
     unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
-    dlqValidate, timeTravel, seasonality)
+    dlqValidate, timeTravel, seasonality, rangeSorted, skewAqe)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1328,4 +1328,98 @@ object Extras {
                    / 1000000.0 / COUNT(*), 4) AS avg_bal
       FROM q JOIN sizes USING (nat, seg, bal_b)
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** Declared file sort order end-to-end (reference:
+    * benchmarks/src/tpch/run.rs:334-339 — tables registered with a
+    * `file_sort_order` the scan may exploit): the layout is written
+    * range-partitioned + in-file-sorted on `o_orderdate` via
+    * [[graft.Catalog.writeRangeSorted]], then a date-band aggregate
+    * reads it back. SortedLayoutSpec introspects the written order
+    * (pairwise-disjoint per-file key spans, monotone rows inside each
+    * file, the range predicate in PushedFilters — so row-group min/max
+    * pruning has tight spans to cut on); this query gates the read
+    * path's VALUES against the plain un-laid-out oracle: the layout
+    * must be result-invisible, only cheaper to scan. Layout cached per
+    * (query, sfDir) like x_part_prune. */
+  val rangeSorted: GQuery = GQuery(
+    "x_range_sorted",
+    "range-partitioned sorted layout; date-band read == plain table scan",
+    (spark, dir) => {
+      val root = TextOps.cachedLayout("rsort", dir) { r =>
+        Catalog.writeRangeSorted(
+          Catalog.table(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          r + "/orders_rs", 8, col("o_orderdate"))
+      } + "/orders_rs"
+      spark.read.parquet(root)
+        .filter(col("o_orderdate")
+          .between(lit("1997-01-01"), lit("1997-03-31")))
+        .groupBy(month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("mon"))
+    },
+    Some(s"""
+      SELECT month(o_orderdate) AS mon, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Runtime-skew twin of [[saltedJoin]]: the same Zipfian pathology
+    * (~80% of fact rows remapped to ONE hot supplier key), but the plan
+    * stays a plain sort-merge join and AQE's OptimizeSkewedJoin splits
+    * the oversized partition at runtime from observed map-output sizes.
+    * Plan-level salting vs runtime splitting is THE trade on skewed
+    * 100 TB joins: salting also covers grouped aggregation and shuffled
+    * hash joins but pays a dim-replication join always; AQE costs
+    * nothing when data turns out balanced and needs no key knowledge
+    * up front. SkewJoinSpec pins that the split actually fires
+    * (`skew=true` in the executed plan) under thresholds scaled to test
+    * data; the oracle pins that runtime splitting is result-invisible. */
+  val skewAqe: GQuery = GQuery(
+    "x_skew_aqe",
+    "Zipfian-key sort-merge join left to AQE runtime skew splitting",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+      val s = Catalog.table(spark, dir, "supplier")
+      // the md5-hex fingerprint column models the WIDE fact row of a real
+      // pipeline (and is near-incompressible, so the hot partition's
+      // shuffle BYTES are actually skewed — the narrow all-numeric row
+      // lz4-compresses ~16x at test scale and hides the skew from AQE's
+      // size stats); the spread repartition models the many-map-task
+      // stage a 100 TB scan has naturally (skew splitting works by map-
+      // index ranges, so a single-map-task toy stage is unsplittable)
+      val fact = l.select(
+        when(TextOps.h60(concat_ws(":", lit("zipf"), col("l_orderkey"),
+          col("l_linenumber"))) % 5 < 4, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")).as("k"),
+        col("l_extendedprice"), col("l_discount"),
+        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+          .as("fp"))
+        .repartition(32)
+      val dim = s.select(col("s_suppkey").cast("long").as("k"),
+        col("s_nationkey"))
+      fact.hint("merge").join(dim, "k")
+        .groupBy(col("s_nationkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"),
+          max(col("fp")).as("max_fp"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT CASE WHEN ${TextOps.h60Sql(
+            "'zipf:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+              "CAST(l_linenumber AS VARCHAR)")} % 5 < 4
+                    THEN 1 ELSE l_suppkey END AS k,
+               l_extendedprice, l_discount,
+               md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                   CAST(l_linenumber AS VARCHAR)) AS fp
+        FROM lineitem)
+      SELECT s_nationkey,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items,
+             MAX(fp) AS max_fp
+      FROM f JOIN supplier ON k = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
 }

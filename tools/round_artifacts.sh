@@ -25,6 +25,10 @@ SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ClusterCheck $SF01 $COUT" \
   > /tmp/${TAG}_cluster.log 2>&1
 python3 tools/clustercheck_artifact.py "$COUT" "$SF01" \
   bench_results/${TAG}_clustercheck.json
+echo "=== [4b/7] FaultCheck (executor kill mid-query, retry determinism)"
+SPARK_SCALA_VERSION=2.13 sbt -batch \
+  "runMain graft.FaultCheck $SF01 bench_results/${TAG}_faultcheck.json" \
+  > /tmp/${TAG}_fault.log 2>&1
 echo "=== [5/7] oracle_sql.json dump for anchors"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
   > /tmp/${TAG}_verify.log 2>&1
