@@ -39,5 +39,7 @@ object Partitioning {
     }
 
   def numPartitions(df: DataFrame): Int =
-    df.rdd.getNumPartitions
+    // toRdd reads the physical partitioning without building the
+    // row-deserializing `.rdd` lineage (same nit as TextOps.spread)
+    df.queryExecution.toRdd.getNumPartitions
 }

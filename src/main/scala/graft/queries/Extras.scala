@@ -22,7 +22,8 @@ object Extras {
     stringFuncs, dateFuncs, decimalArith, sqlPath, rfmSegments, piiMask,
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
     unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
-    dlqValidate, timeTravel, seasonality, rangeSorted, skewAqe)
+    dlqValidate, timeTravel, seasonality, rangeSorted, skewAqe,
+    rebalanceWrite)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -1422,4 +1423,55 @@ object Extras {
              MAX(fp) AS max_fp
       FROM f JOIN supplier ON k = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** The WRITE-side skew lever, completing the skew triad (plan-level
+    * salting x_salted_join, runtime join splitting x_skew_aqe): a
+    * hive-partitioned write whose partition column is Zipfian (~80% of
+    * orders in one hot segment) uses the REBALANCE hint so AQE's
+    * OptimizeSkewInRebalancePartitions splits the hot partition's rows
+    * across writer tasks — without it, one task writes the whole hot
+    * directory (the classic straggler-writer + one-giant-file failure:
+    * at 100 TB the hot tenant/day would serialize onto a single
+    * executor). SkewJoinSpec pins the mechanism (hot directory gets
+    * multiple part files under a scaled advisory size); the oracle pins
+    * the layout result-invisible. Same incompressible-fp trick as
+    * x_skew_aqe so the byte skew is real. */
+  val rebalanceWrite: GQuery = GQuery(
+    "x_rebalance_write",
+    "Zipfian-partitioned write through REBALANCE; read-back == plain aggregate",
+    (spark, dir) => {
+      val root = TextOps.trackedTempDir("graft-rebal-") + "/orders_rb"
+      // staged multi-file landing zone (written once, cached): rebalance's
+      // skew split works by map-index ranges — same constraint as
+      // x_skew_aqe — and an in-plan spread repartition is COLLAPSED into
+      // the rebalance exchange by CollapseRepartition, so the many-map-
+      // task stage a real ingest has must come from the source layout
+      val staged = TextOps.cachedLayout("rbsrc", dir) { r =>
+        Catalog.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(TextOps.h60(concat_ws(":", lit("rb"), col("o_orderkey"))) % 5 < 4,
+              lit("hot")).otherwise(col("o_orderpriority")).as("seg"),
+            md5(col("o_orderkey").cast("string")).as("fp"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(r + "/src")
+      } + "/src"
+      spark.read.parquet(staged).hint("rebalance", col("seg"))
+        .write.mode("overwrite").partitionBy("seg").parquet(root)
+      spark.read.parquet(root)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          max(col("fp")).as("max_fp"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_totalprice,
+               CASE WHEN ${TextOps.h60Sql(
+            "'rb:' || CAST(o_orderkey AS VARCHAR)")} % 5 < 4
+                    THEN 'hot' ELSE o_orderpriority END AS seg,
+               md5(CAST(o_orderkey AS VARCHAR)) AS fp
+        FROM orders)
+      SELECT seg, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
+             MAX(fp) AS max_fp
+      FROM o GROUP BY seg ORDER BY seg"""))
 }

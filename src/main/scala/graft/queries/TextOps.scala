@@ -25,7 +25,7 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, dupNgrams,
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, noveltyIncr, dupNgrams,
     substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
     containment, weightedSample, topkGroup, profileColumns, slidingChunks,
@@ -70,6 +70,75 @@ object TextOps {
             .otherwise(lit("novel")).as("verdict"))
         .orderBy(col("doc_id"))
     },
+    Some(s"""
+      WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
+      dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      exact AS (SELECT b.doc_id, COUNT(*) AS n_exact
+                FROM dig b JOIN dig c ON b.dg = c.dg AND c.doc_id < 400
+                WHERE b.doc_id >= 400 GROUP BY b.doc_id),
+      near AS (SELECT b_id AS doc_id, COUNT(*) AS n_near
+               FROM pairs WHERE a_id < 400 AND b_id >= 400 GROUP BY b_id)
+      SELECT d.doc_id,
+             COALESCE(n_exact, 0) AS n_exact,
+             COALESCE(n_near, 0) AS n_near,
+             CASE WHEN n_exact IS NOT NULL THEN 'exact_dup'
+                  WHEN n_near IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict
+      FROM documents d
+      LEFT JOIN exact USING (doc_id)
+      LEFT JOIN near USING (doc_id)
+      WHERE d.doc_id >= 400
+      ORDER BY d.doc_id"""))
+
+  /** The PRODUCTION form of [[noveltyBatch]] — per-ingest cost ∝ batch,
+    * never ∝ corpus. The corpus side's signature + digest store is
+    * materialized to parquet ONCE per (source, JVM) via [[cachedLayout]]
+    * (modeling the persistent signature table a 100 TB ingest pipeline
+    * maintains across runs: at real scale it is ~3 orders smaller than
+    * the text and appended per ingest); each run then (a) computes
+    * signatures for the NEW batch only — the corpus TEXT is never
+    * rescanned — and (b) band-joins batch buckets against stored corpus
+    * buckets via [[pairsAcross]], never corpus×corpus. The oracle is
+    * IDENTICAL to p_novelty_batch's full recompute: the incremental path
+    * must be verdict-invisible, only cheaper — the same materialization
+    * contract t_minhash_lsh_mat pins for the signature table itself. */
+  lazy val noveltyIncr: GQuery = GQuery(
+    "p_novelty_incr",
+    "incremental novelty verdicts off a materialized corpus signature store",
+    (spark, dir) => {
+      val cut = 400L
+      val store = cachedLayout("nvstore", dir) { r =>
+        val corpus = Catalog.table(spark, dir, "documents")
+          .filter(col("doc_id") < cut).select(col("doc_id"), col("text"))
+        minhashSig(spread(corpus)).write.mode("overwrite").parquet(r + "/sig")
+        corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+          .write.mode("overwrite").parquet(r + "/dig")
+      }
+      val batch = spread(Catalog.table(spark, dir, "documents")
+        .filter(col("doc_id") >= cut).select(col("doc_id"), col("text")))
+      val corpusSig = spark.read.parquet(store + "/sig")
+      val corpusDig = spark.read.parquet(store + "/dig")
+      val exact = batch
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg")).as("b")
+        .join(corpusDig.as("c"), col("b.dg") === col("c.dg"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      val near = pairsAcross(corpusSig, minhashSig(batch), 0.5)
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_near"))
+      batch.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          when(col("n_exact").isNotNull, lit("exact_dup"))
+            .when(col("n_near").isNotNull, lit("near_dup"))
+            .otherwise(lit("novel")).as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    // deliberately the FULL-recompute oracle of p_novelty_batch: the
+    // stored-signature path must reproduce it exactly
     Some(s"""
       WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
       dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
@@ -438,14 +507,7 @@ object TextOps {
         count(lit(1)).as("gn"))
     val mem = grouped.select(col("gid"), explode(col("members")).as("doc_id"))
     val reps = grouped
-    val bandCols = (0 until 4).map(b =>
-      md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
-        .cast("binary")).as(s"bh$b"))
-    val bands = reps.select(col("gid") +: bandCols: _*)
-      .select(col("gid"), explode(expr(
-        "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
-          " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
-      .select(col("gid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandsOf(reps, "gid")
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -477,6 +539,51 @@ object TextOps {
       .filter(col("ga") =!= col("gb") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+  }
+
+  /** (id, band, bh) band-bucket rows of a signature frame, `id` being
+    * whatever identity column the caller keys on (doc_id or collapsed
+    * gid): 4 bands of 4 seeds, band hash = md5 of the comma-joined
+    * min-hashes. Shared by the self-join pipeline ([[pairsFromSig]]) and
+    * the across-frames incremental form ([[pairsAcross]]). */
+  private def bandsOf(sig: DataFrame, id: String): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      md5(concat_ws(",", (0 until 4).map(i => col(s"s${b * 4 + i}")): _*)
+        .cast("binary")).as(s"bh$b"))
+    sig.select(col(id) +: bandCols: _*)
+      .select(col(id), explode(expr(
+        "array(struct(0 AS band, bh0 AS bh), struct(1 AS band, bh1 AS bh)," +
+          " struct(2 AS band, bh2 AS bh), struct(3 AS band, bh3 AS bh))")).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Verified near-dup pairs ACROSS two signature frames (never within
+    * either): band buckets of `aSig` equi-join band buckets of `bSig`,
+    * candidates verify by exact Jaccard. This is the incremental-ingest
+    * join shape — with `aSig` a materialized corpus store and `bSig` a
+    * fresh batch, candidate work scales with the BATCH's bucket
+    * occupancy and the corpus is never self-joined. Verification on the
+    * true shingle sets makes the candidate path result-invisible: both
+    * this and the dup-collapsed self-join candidate exactly the pairs
+    * sharing >= 1 full band. */
+  private[queries] def pairsAcross(
+      aSig: DataFrame, bSig: DataFrame, threshold: Double): DataFrame = {
+    val cands = bandsOf(aSig, "doc_id").toDF("a_id", "band", "bh").as("x")
+      .join(bandsOf(bSig, "doc_id").toDF("b_id", "band", "bh").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val aSets = aSig.select(col("doc_id").as("a_id"),
+      array_sort(col("arr")).as("a_arr"))
+    val bSets = bSig.select(col("doc_id").as("b_id"),
+      array_sort(col("arr")).as("b_arr"))
+    cands.join(aSets, "a_id").join(bSets, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_arr"), col("b_arr"))).as("n_common"),
+        size(col("a_arr")).as("a_sz"), size(col("b_arr")).as("b_sz"))
+      .select(col("a_id"), col("b_id"),
+        round(col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")), 6).as("jacc"))
+      .filter(col("jacc") >= threshold)
   }
 
   /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view

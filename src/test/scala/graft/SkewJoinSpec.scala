@@ -47,4 +47,48 @@ class SkewJoinSpec extends SparkSpec {
     assert(splitRows.toSeq === plainRows.toSeq,
       "runtime skew splitting changed query results")
   }
+
+  test("x_rebalance_write: REBALANCE splits the hot partition's files on write") {
+    import org.apache.spark.sql.functions._
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val rb = "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled"
+    val saved = Seq(adv, rb).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(adv, "16k")
+    spark.conf.set(rb, "true")
+    try {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-rebal-spec").toString
+      val root = base + "/orders_rb"
+      // staged multi-file source: skew splits are map-index ranges, and an
+      // in-plan repartition would be collapsed into the rebalance exchange
+      Catalog.table(spark, sf0001, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(expr("conv(substring(md5(cast(concat_ws(':', 'rb', o_orderkey)" +
+            " as binary)), 1, 15), 16, 10)").cast("long") % 5 < 4,
+            lit("hot")).otherwise(col("o_orderpriority")).as("seg"),
+          md5(col("o_orderkey").cast("string")).as("fp"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(base + "/src")
+      spark.read.parquet(base + "/src").hint("rebalance", col("seg"))
+        .write.mode("overwrite").partitionBy("seg").parquet(root)
+      def partFiles(d: String): Int =
+        Option(new java.io.File(s"$root/$d").listFiles())
+          .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+      val hot = partFiles("seg=hot")
+      assert(hot >= 2,
+        s"hot partition written as $hot file(s) — rebalance skew split " +
+          "did not spread the straggler writer")
+      val cold = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName != "seg=hot")
+        .map(f => partFiles(f.getName))
+      assert(cold.nonEmpty && cold.forall(_ < hot),
+        s"cold partitions (${cold.toSeq}) should need fewer files than hot ($hot)")
+      // the layout is result-invisible
+      assert(spark.read.parquet(root).count() ===
+        Catalog.table(spark, sf0001, "orders").count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
