@@ -201,15 +201,17 @@ def main() -> None:
         months = sorted(rng.sample(range(1, 13), rng.randint(2, 4)))
         return f"month({c}) IN ({', '.join(map(str, months))})"
 
-    def gen_one(i):
-        src, tables, left = pick(sources)
+    def where_of(tables, left, lo=0, hi=2):
+        atoms = [a for a in (pred_atom(tables, left)
+                             for _ in range(rng.randint(lo, hi))) if a]
+        if not atoms:
+            return ""
+        return " WHERE " + pick([" AND ", " OR "]).join(atoms)
+
+    def grouped(src, tables, left):
         dims = dims_for(tables, left)
         aggs = aggs_for(tables, left)
-        atoms = [a for a in (pred_atom(tables, left)
-                             for _ in range(rng.randint(0, 2))) if a]
-        where = ""
-        if atoms:
-            where = " WHERE " + pick([" AND ", " OR "]).join(atoms)
+        where = where_of(tables, left)
         sel = ", ".join([f"{e} AS {n}" for e, n in dims] +
                         [f"{e} AS {n}" for e, n in aggs])
         group = ""
@@ -217,7 +219,85 @@ def main() -> None:
             group = " GROUP BY " + ", ".join(e for e, _ in dims)
             if rng.random() < 0.3:
                 group += f" HAVING COUNT(*) >= {rng.randint(2, 5)}"
-        return f"fz{i:03d}", f"SELECT {sel} FROM {src}{where}{group}"
+        return f"SELECT {sel} FROM {src}{where}{group}"
+
+    def union_all(src, tables, left):
+        # two branches, same shape, different predicates, tagged by leg —
+        # exercises by-position union binding on both engines
+        aggs = aggs_for(tables, left)
+        sel = ", ".join(f"{e} AS {n}" for e, n in aggs)
+        w1, w2 = where_of(tables, left, 1, 2), where_of(tables, left, 1, 2)
+        return (f"SELECT 'a' AS leg, {sel} FROM {src}{w1} "
+                f"UNION ALL SELECT 'b' AS leg, {sel} FROM {src}{w2}")
+
+    def in_subquery():
+        # semi-join via IN: customers in a balance band, counted by orders
+        thr = round(rng.uniform(0, 6000), 2)
+        op = pick(["IN", "NOT IN"])
+        return (f"SELECT o_orderstatus AS o_orderstatus, COUNT(*) AS cnt,"
+                f" CAST(SUM(o_orderkey % 97) AS BIGINT) AS s_orderk"
+                f" FROM orders WHERE o_custkey {op}"
+                f" (SELECT c_custkey FROM customer WHERE c_acctbal > {thr})"
+                f" GROUP BY o_orderstatus")
+
+    def exists_subquery():
+        # correlated EXISTS: decorrelates to a semi/anti join on Spark
+        y = rng.randint(1995, 2001)
+        neg = pick(["EXISTS", "NOT EXISTS"])
+        return (f"SELECT c_mktsegment AS c_mktsegment, COUNT(*) AS cnt"
+                f" FROM customer WHERE {neg} (SELECT 1 FROM orders"
+                f" WHERE o_custkey = c_custkey AND year(o_orderdate) = {y})"
+                f" GROUP BY c_mktsegment")
+
+    def scalar_subquery():
+        # exact scalar threshold (MIN/MAX, never AVG: a float-averaged
+        # threshold can flip boundary rows between engines)
+        off = rng.randint(1000, 80000)
+        return (f"SELECT o_orderpriority AS o_orderpriority, COUNT(*) AS cnt"
+                f" FROM orders WHERE o_totalprice >"
+                f" (SELECT MIN(o_totalprice) FROM orders) + {off}"
+                f" GROUP BY o_orderpriority")
+
+    def topk():
+        # row-level ORDER BY + LIMIT, made deterministic by the unique-key
+        # tiebreak; raw doubles round-trip exactly (no aggregation)
+        t, key, val, s = pick([
+            ("orders", "o_orderkey", "o_totalprice", "o_orderstatus"),
+            ("customer", "c_custkey", "c_acctbal", "c_mktsegment"),
+            ("part", "p_partkey", "p_retailprice", "p_brand"),
+        ])
+        where = where_of([t], False, 0, 1)
+        d = pick(["DESC", "ASC"])
+        return (f"SELECT {key} AS k, {val} AS v, {s} AS s FROM {t}{where}"
+                f" ORDER BY {val} {d}, {key} LIMIT {rng.randint(5, 20)}")
+
+    def window_rank():
+        # per-group top-n via ROW_NUMBER with unique tiebreak
+        nn = rng.randint(2, 4)
+        return (f"SELECT c_mktsegment, c_custkey, rn FROM"
+                f" (SELECT c_mktsegment, c_custkey, ROW_NUMBER() OVER"
+                f" (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC,"
+                f" c_custkey) AS rn FROM customer) t WHERE rn <= {nn}")
+
+    def gen_one(i):
+        r = rng.random()
+        if r < 0.55:
+            src, tables, left = pick(sources)
+            sql = grouped(src, tables, left)
+        elif r < 0.65:
+            src, tables, left = pick(sources)
+            sql = union_all(src, tables, left)
+        elif r < 0.73:
+            sql = in_subquery()
+        elif r < 0.81:
+            sql = exists_subquery()
+        elif r < 0.87:
+            sql = scalar_subquery()
+        elif r < 0.94:
+            sql = topk()
+        else:
+            sql = window_rank()
+        return f"fz{i:03d}", sql
 
     lines = []
     for i in range(n):
