@@ -100,6 +100,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("minhash_sig_"), "expected signature-table scans")
   }
 
+  test("p_novelty_incr: corpus side reads the signature store, never the corpus text") {
+    // per-ingest cost ∝ batch: the only documents.parquet scans are the
+    // BATCH branches, each with the batch filter pushed down; the corpus
+    // side comes exclusively from the materialized nvstore parquet
+    val s = PlanDescriber.formatted(q("p_novelty_incr"))
+    assert(s.contains("graft-nvstore-"),
+      s"expected corpus signature-store scans:\n${s.take(2000)}")
+    // formatted explain puts Location and PushedFilters on separate
+    // lines per scan block: every documents scan must carry the batch
+    // bound, so the pushdown count must cover the scan count
+    val nDocScans = s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    val nBatchPush = s.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id,400)"))
+    assert(nDocScans > 0, "batch branches must read documents")
+    assert(nBatchPush >= nDocScans,
+      s"only $nBatchPush of $nDocScans documents scans push the batch " +
+        s"bound — an unbounded scan would rescan the full corpus at 100 TB")
+  }
+
   test("rank<=k filters compile to WindowGroupLimit (no full per-group sort at scale)") {
     // Spark pushes a partial+final group-limit below the window sort for
     // row_number()<=k filters: each map task retains at most k rows per

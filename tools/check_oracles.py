@@ -25,7 +25,8 @@ HUGEINT/DECIMAL/list coercion gaps this version reproduces. A local
 PASS must predict a driver PASS; run --selftest to prove the gate
 still catches all three divergence classes.
 """
-import json, sys
+import json
+import os, sys
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
@@ -80,7 +81,10 @@ def main(outdir, sfdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        tp = f"{sfdir}/{t}.parquet"
+        # ScaleUp replicas are Spark-style parquet DIRECTORIES of part files
+        src = f"{tp}/*.parquet" if os.path.isdir(tp) else tp
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:

@@ -29,6 +29,7 @@ Dialect discipline (what keeps the common subset common):
 
 usage: gen_fuzz.py <sfDir> <seed> <n> <outTsv>
 """
+import os
 import random
 import sys
 
@@ -40,8 +41,10 @@ def main() -> None:
     rng = random.Random(seed)
     con = duckdb.connect()
     for t in ["orders", "customer", "nation", "lineitem", "part", "supplier"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        tp = f"{sf_dir}/{t}.parquet"
+        # ScaleUp replicas are Spark-style parquet DIRECTORIES of part files
+        src = f"{tp}/*.parquet" if os.path.isdir(tp) else tp
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     def sample_vals(table, col, k):
         rows = con.execute(
