@@ -27,7 +27,9 @@ class DistributionSpec extends SparkSpec {
     "r_dsir_select",         // broadcast-weight scoring + exact fix6 mean
     "e_pattern_match",       // array_sort(collect_list) — THE order-sensitive op
     "m_shard_manifest",      // ordered per-shard digest over collect_list
-    "e_out_of_order")        // batch watermarks: tiny global window + broadcast back
+    "e_out_of_order",        // batch watermarks: tiny global window + broadcast back
+    "x_skew_aqe",            // Zipfian SMJ under runtime skew splitting
+    "p_novelty_incr")        // cross-frame band join off the signature store
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, sf0001)
