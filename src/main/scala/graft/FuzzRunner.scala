@@ -37,7 +37,9 @@ object FuzzRunner {
       if (children.isEmpty || children.exists(f =>
         f.getName == "oracle_sql.json" || f.getName == ".graft-verify")) {
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+          // listFiles returns null on I/O error / concurrent removal
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
         }
         rm(out)
       }

@@ -23,7 +23,7 @@ object Extras {
     dailyRollup, fuzzyMatch, damerauMatch, basketPairs, zorderQ, saltedJoin,
     unionByName, incrRollup, partPrune, dppJoin, kAnonymize, bucketJoin,
     dlqValidate, timeTravel, seasonality, rangeSorted, skewAqe,
-    rebalanceWrite)
+    rebalanceWrite, saltedAgg)
 
   /** Name-based union across drifted schemas — the ingest reality at
     * 100 TB: a table's files span generations (columns added, reordered,
@@ -112,6 +112,47 @@ object Extras {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey
       ORDER BY s_nationkey"""))
+
+  /** Salted two-phase aggregation over a Zipfian group key, oracle-proven
+    * output-equal to the plain groupBy — the third skew shape after
+    * plan-level join salting (x_salted_join) and AQE runtime join
+    * splitting (x_skew_aqe). A grouped aggregation hashes each key to one
+    * reducer; AQE can split skewed JOIN partitions but NOT skewed
+    * aggregation keys (a final aggregate for one key cannot be divided
+    * across tasks), so the plan-level fix is [[graft.plans.Skew.saltedSum]]:
+    * partial-aggregate on (key, salt∈[0,S)), final-aggregate on key —
+    * caps any reducer's input at ~1/S of the hottest key's mass.
+    *
+    * The key here is deliberately Zipf-shaped: ~70% of lineitem rows
+    * collapse onto group 0, the rest spread over six cold groups — the
+    * exact "null user / default id" pathology. Results are
+    * salt-placement-independent because the double accumulates via fix6
+    * fixed-point (exact, associative), so the seeded-random salt never
+    * shows in the output; the oracle is the PLAIN salt-free GROUP BY. */
+  val saltedAgg: GQuery = GQuery(
+    "x_salted_agg",
+    "salted two-phase aggregation over a Zipfian hot key == plain groupBy",
+    (spark, dir) => {
+      val l = Catalog.table(spark, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 10 < 7, lit(0L))
+            .otherwise(col("l_orderkey") % 20).cast("bigint").as("grp"),
+          col("l_extendedprice"))
+      graft.plans.Skew.saltedSum(l, "grp", "l_extendedprice", nSalts = 8)
+        .orderBy(col("grp"))
+    },
+    // deliberately salt-free: the plain aggregation IS the spec the
+    // salted two-phase rewrite must reproduce bit-for-bit
+    Some(s"""
+      SELECT grp,
+             ${dsumSql("l_extendedprice")} AS sum_l_extendedprice,
+             COUNT(*) AS n
+      FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                        ELSE l_orderkey % 20 END AS grp,
+                   l_extendedprice
+            FROM lineitem)
+      GROUP BY grp
+      ORDER BY grp"""))
 
   /** Transposition-aware fuzzy matching through the graft-native
     * `damerau_levenshtein` Expression ([[graft.functions.DamerauLevenshtein]]

@@ -25,7 +25,8 @@ object TextOps {
     exactDedup, ngramJaccard, minhashLsh, minhashLshMat, simhash, simhashNearDup,
     fingerprint, cleanCorpus, cleanCorpusMat,
     stratifiedSample, mixtureBalance, contamination, normalize, packSequences,
-    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, noveltyIncr, dupNgrams,
+    repetition, chunkDedup, tfIdf, bigramLm, noveltyBatch, noveltyIncr,
+    noveltyMulti, dupNgrams,
     substrRuns, hashSplit,
     gopherRules, bpeTrain, bpeApply, featureHash, qualityTrim,
     containment, weightedSample, topkGroup, profileColumns, slidingChunks,
@@ -108,37 +109,110 @@ object TextOps {
     (spark, dir) => {
       val cut = 400L
       val store = cachedLayout("nvstore", dir) { r =>
-        val corpus = Catalog.table(spark, dir, "documents")
-          .filter(col("doc_id") < cut).select(col("doc_id"), col("text"))
-        minhashSig(spread(corpus)).write.mode("overwrite").parquet(r + "/sig")
-        corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
-          .write.mode("overwrite").parquet(r + "/dig")
+        storeInit(r, Catalog.table(spark, dir, "documents")
+          .filter(col("doc_id") < cut).select(col("doc_id"), col("text")))
       }
-      val batch = spread(Catalog.table(spark, dir, "documents")
-        .filter(col("doc_id") >= cut).select(col("doc_id"), col("text")))
-      val corpusSig = spark.read.parquet(store + "/sig")
-      val corpusDig = spark.read.parquet(store + "/dig")
-      val exact = batch
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg")).as("b")
-        .join(corpusDig.as("c"), col("b.dg") === col("c.dg"))
-        .groupBy(col("b.doc_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_exact"))
-      val near = pairsAcross(corpusSig, minhashSig(batch), 0.5)
-        .groupBy(col("b_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_near"))
-      batch.select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"),
-          when(col("n_exact").isNotNull, lit("exact_dup"))
-            .when(col("n_near").isNotNull, lit("near_dup"))
-            .otherwise(lit("novel")).as("verdict"))
-        .orderBy(col("doc_id"))
+      storeVerdict(spark, store,
+        spread(Catalog.table(spark, dir, "documents")
+          .filter(col("doc_id") >= cut).select(col("doc_id"), col("text"))))
     },
     // deliberately the FULL-recompute oracle of p_novelty_batch: the
     // stored-signature path must reproduce it exactly
+    Some(s"""
+      WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
+      dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      exact AS (SELECT b.doc_id, COUNT(*) AS n_exact
+                FROM dig b JOIN dig c ON b.dg = c.dg AND c.doc_id < 400
+                WHERE b.doc_id >= 400 GROUP BY b.doc_id),
+      near AS (SELECT b_id AS doc_id, COUNT(*) AS n_near
+               FROM pairs WHERE a_id < 400 AND b_id >= 400 GROUP BY b_id)
+      SELECT d.doc_id,
+             COALESCE(n_exact, 0) AS n_exact,
+             COALESCE(n_near, 0) AS n_near,
+             CASE WHEN n_exact IS NOT NULL THEN 'exact_dup'
+                  WHEN n_near IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict
+      FROM documents d
+      LEFT JOIN exact USING (doc_id)
+      LEFT JOIN near USING (doc_id)
+      WHERE d.doc_id >= 400
+      ORDER BY d.doc_id"""))
+
+  /** The signature-store lifecycle a production ingest pipeline runs —
+    * three tiny verbs over a parquet store dir holding `sig` (minhash
+    * signatures + shingle sets) and `dig` (md5 digests):
+    *  - [[storeInit]]:    bootstrap from the initial corpus (once, ever);
+    *  - [[storeAppend]]:  per ingest cycle, add the ACCEPTED batch's rows
+    *                      — computed from the batch text only;
+    *  - [[storeVerdict]]: per ingest cycle, verdict a new batch against
+    *    the store. Reads ONLY the batch text + the store parquet; the
+    *    corpus text is never rescanned (NoveltyStoreSpec pins this via
+    *    the plan's scan set), and the band join is batch×store, never
+    *    store×store.
+    * At 100 TB the store is ~3 orders smaller than the text, so each
+    * cycle costs ∝ batch + one store-sized broadcast/band join. */
+  private[graft] def storeInit(root: String, corpus: DataFrame): Unit = {
+    minhashSig(spread(corpus)).write.mode("overwrite").parquet(root + "/sig")
+    corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+      .write.mode("overwrite").parquet(root + "/dig")
+  }
+
+  private[graft] def storeAppend(root: String, batch: DataFrame): Unit = {
+    minhashSig(batch).write.mode("append").parquet(root + "/sig")
+    batch.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+      .write.mode("append").parquet(root + "/dig")
+  }
+
+  private[graft] def storeVerdict(spark: SparkSession, root: String,
+      batch: DataFrame): DataFrame = {
+    val storeSig = spark.read.parquet(root + "/sig")
+    val storeDig = spark.read.parquet(root + "/dig")
+    val exact = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("dg")).as("b")
+      .join(storeDig.as("c"), col("b.dg") === col("c.dg"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val near = pairsAcross(storeSig, minhashSig(batch), 0.5)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("n_exact").isNotNull, lit("exact_dup"))
+          .when(col("n_near").isNotNull, lit("near_dup"))
+          .otherwise(lit("novel")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TWO full ingest cycles through the store lifecycle — the proof that
+    * the incremental path composes across batches, not just once.
+    * Cycle 1: store bootstrapped from corpus (doc_id < 300), batch-1
+    * (300 ≤ id < 400) signatures computed from its text only and
+    * APPENDED. Cycle 2: batch-2 (id ≥ 400) verdicted against the UPDATED
+    * store — so a batch-2 doc whose only duplicate lives in batch-1 is
+    * caught purely through the store's appended rows. The oracle is the
+    * full recompute at the second cut (identical to p_novelty_incr's):
+    * two append cycles must be verdict-invisible vs recomputing
+    * everything from raw text. */
+  lazy val noveltyMulti: GQuery = GQuery(
+    "p_novelty_multi",
+    "two-ingest novelty cycle: bootstrap, append batch-1, verdict batch-2 off the updated store",
+    (spark, dir) => {
+      val (cut1, cut2) = (300L, 400L)
+      val docs = Catalog.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val store = cachedLayout("nvstore2", dir) { r =>
+        storeInit(r, docs.filter(col("doc_id") < cut1))
+        storeAppend(r, spread(
+          docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)))
+      }
+      storeVerdict(spark, store, spread(docs.filter(col("doc_id") >= cut2)))
+    },
+    // full-recompute oracle at the SECOND cut: the two-cycle store path
+    // must reproduce the from-scratch verdicts exactly
     Some(s"""
       WITH ${minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
       dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
@@ -212,15 +286,28 @@ object TextOps {
     * source-deterministic layouts — the write lambda must be a pure
     * function of the source dir. Dirs still come from
     * [[trackedTempDir]], so JVM-exit cleanup covers them. */
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[String]]()
   private[queries] def cachedLayout(tag: String, dir: String)(
-      write: String => Unit): String =
-    layoutCache.computeIfAbsent(s"$tag|$dir", _ => {
+      write: String => Unit): String = {
+    // putIfAbsent a lazy holder, then run the (multi-second) Spark write
+    // OUTSIDE the map's bin lock: computeIfAbsent would hold the bin lock
+    // for the write's duration, blocking unrelated keys in the same bin
+    // and throwing on a nested cachedLayout call from inside the lambda.
+    val task = new java.util.concurrent.FutureTask[String](() => {
       val root = trackedTempDir(s"graft-$tag-")
       write(root)
       root
     })
+    val key = s"$tag|$dir"
+    val winner = Option(layoutCache.putIfAbsent(key, task)).getOrElse(task)
+    winner.run() // no-op if already ran/running; losers just wait in get()
+    try winner.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      layoutCache.remove(key, winner) // failed write stays retryable
+      throw e.getCause
+    }
+  }
 
   /** 60-bit numeric hash of a string, identical in Spark and DuckDB. */
   private[queries] def h60(c: Column): Column =

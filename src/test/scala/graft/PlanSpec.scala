@@ -120,6 +120,44 @@ class PlanSpec extends SparkSpec {
         s"bound — an unbounded scan would rescan the full corpus at 100 TB")
   }
 
+  test("p_novelty_multi: store grows by the appended batch; verdict never rescans corpus text") {
+    // the append cycle itself: bootstrap from corpus(<300), append
+    // batch-1 (300..399) computed from ITS text only, and the store's
+    // row count must grow by exactly the batch size
+    val docs = Catalog.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val nCorpus = docs.filter(col("doc_id") < 300).count()
+    val nBatch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400).count()
+    val root = java.nio.file.Files.createTempDirectory("nvspec-").toString
+    try {
+      graft.queries.TextOps.storeInit(root, docs.filter(col("doc_id") < 300))
+      assert(spark.read.parquet(root + "/sig").count() === nCorpus)
+      graft.queries.TextOps.storeAppend(root,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+      assert(spark.read.parquet(root + "/sig").count() === nCorpus + nBatch1,
+        "append must add exactly the batch's signature rows")
+      assert(spark.read.parquet(root + "/dig").count() === nCorpus + nBatch1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    // verdict phase of the registry query: batch-2 text + the UPDATED
+    // store only — every documents scan pushes the batch-2 bound, the
+    // corpus/batch-1 side comes exclusively from the nvstore2 parquet
+    val s = PlanDescriber.formatted(q("p_novelty_multi"))
+    assert(s.contains("graft-nvstore2-"),
+      s"expected updated-store scans:\n${s.take(2000)}")
+    val nDocScans = s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    val nBatchPush = s.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id,400)"))
+    assert(nDocScans > 0, "batch-2 branches must read documents")
+    assert(nBatchPush >= nDocScans,
+      s"only $nBatchPush of $nDocScans documents scans push the batch-2 " +
+        s"bound — an unbounded scan would rescan the full corpus at 100 TB")
+  }
+
   test("rank<=k filters compile to WindowGroupLimit (no full per-group sort at scale)") {
     // Spark pushes a partial+final group-limit below the window sort for
     // row_number()<=k filters: each map task retains at most k rows per

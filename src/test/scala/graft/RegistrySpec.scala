@@ -84,7 +84,7 @@ class RegistrySpec extends SparkSpec {
     "r_rank_eval" -> 4, "x_hll_distinct" -> 1, "x_cms_topk" -> 15,
     "x_bloom_join" -> 1, "x_histo_quantile" -> 3, "x_salted_join" -> 10,
     "x_range_sorted" -> 3, "x_skew_aqe" -> 10, "x_rebalance_write" -> 6,
-    "p_novelty_incr" -> 100,
+    "p_novelty_incr" -> 100, "p_novelty_multi" -> 100, "x_salted_agg" -> 7,
     "t_containment" -> 28, "t_weighted_sample" -> 25, "t_profile" -> 4,
     "x_union_by_name" -> 6, "a_incr_rollup" -> 80, "t_topk_group" -> 25,
     "e_decimate" -> 954,
