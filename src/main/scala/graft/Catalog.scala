@@ -54,9 +54,38 @@ object Catalog {
     // cheap; removes a real ordering hazard (a standalone run of a query
     // that assumed some earlier query had registered the functions).
     graft.functions.GraftFunctions.register(spark)
+    // events confs matter at SCAN EXECUTION, not just build: re-assert on
+    // every call so a cached events frame stays readable even if a spec
+    // restored the conf in between
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    val key = s"${System.identityHashCode(spark)}|$sfDir|$name"
+    val hit = tableCache.get(key)
+    if (hit != null) hit
+    else {
+      val df = buildTable(spark, sfDir, name)
+      tableCache.putIfAbsent(key, df) // benign duplicate build under race
+      tableCache.get(key)
+    }
+  }
+
+  /** Per-(session, dir, table) cache of the normalized source frames.
+    * `spark.read.parquet` runs a driver-side schema-inference JOB on every
+    * call (~25-50 ms per table), so an uncached Catalog.table put 2-4
+    * footer-read jobs in front of EVERY query execution — at SF1 that was
+    * ~30% of a short query's wall clock (floor profile, round 7). The
+    * frame is an immutable logical plan over read-only fixture dirs;
+    * staleness risk is the same as Spark's own FileStatusCache (a fixture
+    * regenerated MID-SESSION was already unsafe before this cache).
+    * Keyed by sessionUUID: entries of stopped sessions are a few KB of
+    * unreferenced plan — negligible leak for the harness's JVM lifetimes. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def buildTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       df.schema("ts").dataType match {
@@ -75,7 +104,6 @@ object Catalog {
               "normalization (contract: BIGINT epoch-nanos)")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** Register every table of `sfDir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

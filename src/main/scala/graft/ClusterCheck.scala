@@ -77,9 +77,11 @@ object ClusterCheck {
       Files.writeString(Paths.get(s"$outDir/.graft-verify"), "cluster-check-run\n")
     var failed = List.empty[String]
     subset.foreach { name =>
-      val q = Registry.byName(name)
+      // the driver-contract path (incl. the AdaptiveGate execution-mode
+      // decision) — the multi-JVM proof must cover what the driver runs
+      val q = SparkEntry.queries(name)
       try {
-        q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        q(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[cluster-check] $name OK")
       } catch { case e: Throwable =>
         failed ::= name

@@ -12,7 +12,12 @@ final case class GQuery(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Declares that the query DEMONSTRATES adaptive runtime behavior
+      * (skew splits, rebalance writes): the driver-contract layer restores
+      * full-AQE defaults before the body runs instead of applying the
+      * small-plan single-shot path ([[graft.plans.AdaptiveGate]]). */
+    needsAqe: Boolean = false)
 
 object Registry {
   lazy val all: Seq[GQuery] =

@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-plan single-shot execution path — the engine-wide fix for the
+  * short-query scheduling floor (round-7 verdict item 1).
+  *
+  * AQE materializes every shuffle stage as its own scheduled job: plan
+  * re-optimization, a stage barrier and a driver round-trip per exchange.
+  * On a 100 TB input those rounds buy runtime coalescing, skew splits and
+  * broadcast demotion — they are THE reason AQE is on in GraftSession. On
+  * a plan whose entire source data is smaller than one executor's memory
+  * there is nothing for runtime statistics to save, and the rounds are
+  * pure latency: q11 at the SF1 anchor spent more time in AQE stage
+  * scheduling than in its operators (floor profile, round 7).
+  *
+  * The rule is size-based and engine-wide — no per-query special-casing:
+  * when the optimized plan's total leaf-source bytes are under
+  * [[SmallPlanBytes]], execute single-shot (adaptive off) with reduce
+  * partitions statically sized to [[BytesPerPartition]] — the static
+  * approximation of exactly the coalescing AQE would have done, minus the
+  * stage rounds. Plans at or above the threshold keep full AQE and the
+  * session's configured parallelism. A 1000-executor cluster never
+  * triggers the small path on real data; a sub-GB lookup/report query —
+  * or this harness's SF-scaled fixtures — skips 2-5 scheduling rounds.
+  *
+  * Scope: applied by [[graft.SparkEntry]] (the driver contract layer), so
+  * every Bench/Verify/ClusterCheck execution — and therefore the
+  * correctness gate itself — runs through it, while direct Registry use
+  * (plan-shape specs, golden snapshots, partition-layout invariance
+  * proofs) keeps hand-picked confs untouched. Queries that DEMONSTRATE
+  * adaptive runtime behavior declare `needsAqe` on their GQuery and are
+  * restored to full-AQE defaults before their body runs.
+  */
+object AdaptiveGate {
+
+  /** Plans reading less than this run single-shot (well under one
+    * executor's working memory — runtime re-planning has nothing to win). */
+  val SmallPlanBytes: Long = 1L << 30
+
+  /** Static reduce-partition sizing for single-shot plans (the shape AQE
+    * coalescing targets, chosen empirically over the TPC-H floor profile:
+    * 2/4/8 MB probed, 8 MB best or tied on 20 of 22 queries). */
+  val BytesPerPartition: Long = 8L << 20
+
+  /** Marker conf holding the session's own shuffle-partition setting while
+    * the gate has it overridden; presence ⇒ the gate owns the current
+    * value and adaptive state. */
+  private val OrigKey = "graft.autotune.origPartitions"
+
+  /** Total bytes the plan's leaf sources would scan: for parquet relations
+    * the post-partition-pruning file-size sum; cheap (file index cached). */
+  def inputBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
+
+  /** Decide the execution mode for `df` (about to be executed): small
+    * plan ⇒ single-shot with scaled partitions; big plan ⇒ restore the
+    * session's defaults. Idempotent per execution; sequential callers
+    * (Bench/Verify run queries one at a time) always see the conf their
+    * own plan chose. */
+  def tune(spark: SparkSession, df: DataFrame): Unit = {
+    val in = inputBytes(df)
+    if (in < SmallPlanBytes) {
+      val conf = spark.conf
+      val orig = conf.getOption(OrigKey).getOrElse {
+        val cur = conf.get("spark.sql.shuffle.partitions")
+        conf.set(OrigKey, cur)
+        cur
+      }
+      val parts =
+        math.max(1L, math.min(orig.toLong, in / BytesPerPartition)).toInt
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", parts.toString)
+    } else reset(spark)
+  }
+
+  /** Restore the session's own adaptive + parallelism settings (no-op when
+    * the gate holds no override). */
+  def reset(spark: SparkSession): Unit = {
+    val conf = spark.conf
+    conf.getOption(OrigKey).foreach { orig =>
+      conf.set("spark.sql.shuffle.partitions", orig)
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.unset(OrigKey)
+    }
+  }
+}

@@ -1463,7 +1463,8 @@ object Extras {
              COUNT(*) AS n_items,
              MAX(fp) AS max_fp
       FROM f JOIN supplier ON k = s_suppkey
-      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+      GROUP BY s_nationkey ORDER BY s_nationkey"""),
+    needsAqe = true)
 
   /** The WRITE-side skew lever, completing the skew triad (plan-level
     * salting x_salted_join, runtime join splitting x_skew_aqe): a
@@ -1514,5 +1515,6 @@ object Extras {
         FROM orders)
       SELECT seg, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
              MAX(fp) AS max_fp
-      FROM o GROUP BY seg ORDER BY seg"""))
+      FROM o GROUP BY seg ORDER BY seg"""),
+    needsAqe = true)
 }

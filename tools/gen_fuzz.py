@@ -25,7 +25,22 @@ Dialect discipline (what keeps the common subset common):
 - string literals in predicates are SAMPLED FROM THE FIXTURE via
   DuckDB, so selectivity is real;
 - LEFT JOIN templates group only by never-null string dims and count
-  with COUNT(col), avoiding engine-specific null-group dtype coercion.
+  with COUNT(col), avoiding engine-specific null-group dtype coercion;
+- DECIMAL templates quantize doubles in pure IEEE-754 first
+  (FLOOR(x*100+0.5), the fix6 form at cent scale: double->decimal tie
+  rounding differs between engines, Spark HALF_UP vs DuckDB
+  half-even), do exact decimal arithmetic inside bounded precision
+  (products stay under p=38 so neither engine truncates scale), and
+  EMIT decimals as fixed-scale strings (CAST .. AS STRING: pandas
+  coerces oracle-side DECIMAL to float64 otherwise — the same
+  representation trap x_decimal_arith documents);
+- interval arithmetic shifts timestamps only against OTHER timestamps
+  (ts + INTERVAL k < other_ts) or re-enters year()/month() — no
+  timestamp literals cross an engine boundary;
+- NULL-key outer joins pre-aggregate each side (one row per key) and
+  COALESCE every nullable output to a typed sentinel, so the null-key
+  non-match semantics are exercised while the emitted frame stays
+  sentinel-typed (no engine-specific null-group dtype coercion).
 
 usage: gen_fuzz.py <sfDir> <seed> <n> <outTsv>
 """
@@ -282,24 +297,192 @@ def main() -> None:
                 f" (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC,"
                 f" c_custkey) AS rn FROM customer) t WHERE rn <= {nn}")
 
+    def dd(c):
+        # exact double -> DECIMAL(15,2): IEEE-pure cent quantization
+        # (identical bit-level FLOOR on both engines), then an exact
+        # integer*decimal product — never a double->decimal CAST, whose
+        # tie rounding diverges (Spark HALF_UP, DuckDB half-even)
+        return (f"CAST(CAST(FLOOR({c} * 100.0 + 0.5) AS BIGINT)"
+                f" * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(15,2))")
+
+    def decimal_agg():
+        # exact decimal aggregation chains, emitted as fixed-scale strings
+        src, tables, left = pick([s for s in sources if not s[2]])
+        dims = dims_for(tables, left)
+        money = [c for t in tables for c, _, _ in dbl_cols[t]]
+        rng.shuffle(money)
+        aggs = [("COUNT(*)", "cnt")]
+        for c in money[: rng.randint(1, 2)]:
+            form = pick(["sum", "minmax"])
+            if form == "sum":
+                aggs.append((f"CAST(CAST(SUM({dd(c)}) AS DECIMAL(27,2))"
+                             f" AS STRING)", f"sd_{c[2:8]}"))
+            else:
+                aggs.append((f"CAST(MIN({dd(c)}) AS STRING)", f"mnd_{c[2:8]}"))
+                aggs.append((f"CAST(MAX({dd(c)}) AS STRING)", f"mxd_{c[2:8]}"))
+        if "lineitem" in tables and rng.random() < 0.7:
+            # product chain: (15,2)x(16,2) -> p=32 exact on both engines
+            # (under 38, so no engine-side scale truncation kicks in)
+            aggs.append((
+                f"CAST(CAST(SUM({dd('l_extendedprice')} *"
+                f" (CAST(1 AS DECIMAL(3,0)) - {dd('l_discount')}))"
+                f" AS DECIMAL(38,4)) AS STRING)", "sd_disc_price"))
+        where = where_of(tables, left)
+        sel = ", ".join([f"{e} AS {n}" for e, n in dims] +
+                        [f"{e} AS {n}" for e, n in aggs])
+        group = " GROUP BY " + ", ".join(e for e, _ in dims) if dims else ""
+        return f"SELECT {sel} FROM {src}{where}{group}"
+
+    def grouping_sets():
+        # multi-set aggregation: GROUPING SETS / ROLLUP / CUBE over two
+        # never-null string dims, null placeholders COALESCE'd and the
+        # grouping flags emitted as BIGINT (dtype-stable on both sides)
+        src, d1, d2 = pick([
+            ("lineitem", "l_returnflag", "l_linestatus"),
+            ("orders", "o_orderstatus", "o_orderpriority"),
+            ("orders JOIN customer ON o_custkey = c_custkey",
+             "c_mktsegment", "o_orderstatus"),
+        ])
+        tables = (["orders", "customer"] if "JOIN" in src
+                  else [src.split()[0]])
+        spec = pick([
+            f"GROUPING SETS (({d1}, {d2}), ({d1}), ())",
+            f"GROUPING SETS (({d1}), ({d2}))",
+            f"ROLLUP ({d1}, {d2})",
+            f"CUBE ({d1}, {d2})",
+        ])
+        extra = aggs_for(tables, False)[1:2]  # 0-1 extra aggregate
+        sel = ", ".join(
+            [f"COALESCE({d1}, 'ALL') AS a", f"COALESCE({d2}, 'ALL') AS b",
+             f"CAST(GROUPING({d1}) AS BIGINT) AS g1",
+             f"CAST(GROUPING({d2}) AS BIGINT) AS g2",
+             "COUNT(*) AS cnt"] + [f"{e} AS {n}" for e, n in extra])
+        where = where_of(tables, False, 0, 1)
+        return f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+
+    def full_outer():
+        # FULL OUTER JOIN on NULL-heavy derived keys: each side is
+        # pre-aggregated (one row per key incl. one NULL-key row), so the
+        # null-key rows MUST surface unmatched on both engines; every
+        # nullable output is COALESCE'd to a typed sentinel
+        (ta, ka), (tb, kb) = pick([
+            (("customer", "c_nationkey"), ("supplier", "s_nationkey")),
+            (("orders", "o_custkey"), ("customer", "c_custkey")),
+            (("lineitem", "l_partkey"), ("part", "p_partkey")),
+        ])
+        m = pick([5, 7, 9, 11, 13])
+        ra, rb = rng.randrange(m), rng.randrange(m)
+        wa, wb = where_of([ta], False, 0, 1), where_of([tb], False, 0, 1)
+        sa = f"CAST(SUM({ka} % 89) AS BIGINT)"
+        sb = f"CAST(SUM({kb} % 83) AS BIGINT)"
+        return (
+            f"SELECT CAST(COALESCE(a.k, b.k, -1) AS BIGINT) AS k,"
+            f" COALESCE(a.ca, -1) AS ca, COALESCE(b.cb, -1) AS cb,"
+            f" COALESCE(a.sa, -1) AS sa, COALESCE(b.sb, -1) AS sb FROM"
+            f" (SELECT NULLIF({ka} % {m}, {ra}) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS ca, {sa} AS sa"
+            f" FROM {ta}{wa} GROUP BY 1) a"
+            f" FULL OUTER JOIN"
+            f" (SELECT NULLIF({kb} % {m}, {rb}) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS cb, {sb} AS sb"
+            f" FROM {tb}{wb} GROUP BY 1) b ON a.k = b.k")
+
+    def left_nullkey():
+        # LEFT JOIN whose right side carries a NULL-heavy key: the right
+        # side is pre-aggregated to one row per key, the probe groups by
+        # a never-null dim; COUNT(col) counts matches, SUM COALESCE'd
+        m = pick([5, 7, 9, 11])
+        r = rng.randrange(m)
+        seg = pick(["c_mktsegment", "c_nationkey % 4"])
+        alias = "seg" if seg == "c_mktsegment" else "nk"
+        wb = where_of(["supplier"], False, 0, 1)
+        return (
+            f"SELECT {seg} AS {alias}, COUNT(*) AS cnt,"
+            f" COUNT(b.ns) AS matched,"
+            f" COALESCE(CAST(SUM(b.ns) AS BIGINT), -1) AS s_ns FROM"
+            f" customer LEFT JOIN"
+            f" (SELECT NULLIF(s_nationkey % {m}, {r}) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS ns FROM supplier{wb}"
+            f" GROUP BY 1) b ON c_nationkey = b.k GROUP BY {seg}")
+
+    def interval_shift():
+        # date +/- INTERVAL arithmetic: shifted timestamps re-enter the
+        # dialect through year()/month() dims or compare against OTHER
+        # timestamp columns — no timestamp literal ever crosses engines
+        if rng.random() < 0.5:
+            t, c = pick([("orders", "o_orderdate"),
+                         ("lineitem", "l_shipdate")])
+            k = rng.randint(1, 11)
+            unit = pick(["MONTH", "DAY"])
+            sign = pick(["+", "-"])
+            dim = f"year({c} {sign} INTERVAL {k} {unit})"
+            where = where_of([t], False, 0, 1)
+            return (f"SELECT {dim} AS y, COUNT(*) AS cnt,"
+                    f" CAST(SUM({'o_orderkey' if t == 'orders' else 'l_orderkey'}"
+                    f" % 97) AS BIGINT) AS s FROM {t}{where} GROUP BY {dim}")
+        k = rng.randint(10, 90)
+        return (f"SELECT l_returnflag AS flag, COUNT(*) AS cnt,"
+                f" CAST(SUM(l_linenumber) AS BIGINT) AS s_ln"
+                f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+                f" WHERE o_orderdate + INTERVAL {k} DAY < l_shipdate"
+                f" GROUP BY l_returnflag")
+
+    def string_edges():
+        # string-function surface: substring/upper/length/concat dims,
+        # MIN/MAX over strings (binary collation on both engines)
+        t, exprs, mcol = pick([
+            ("customer",
+             [("upper(substring(c_name, 10, 3))", "u_name"),
+              ("length(c_name) % 4", "l_name"),
+              ("concat(c_mktsegment, '_', CAST(c_nationkey % 3 AS STRING))",
+               "seg_nk")], "c_name"),
+            ("part",
+             [("substring(p_type, 1, 5)", "t5"),
+              ("upper(substring(p_name, 1, 2))", "u2"),
+              ("length(p_name) % 5", "l5")], "p_name"),
+            ("orders",
+             [("concat(o_orderstatus, '_', o_orderpriority)", "st_pri"),
+              ("substring(o_orderpriority, 1, 1)", "pri1")], "o_orderpriority"),
+        ])
+        rng.shuffle(exprs)
+        dims = exprs[: rng.randint(1, 2)]
+        where = where_of([t], False, 0, 1)
+        sel = ", ".join([f"{e} AS {n}" for e, n in dims] +
+                        ["COUNT(*) AS cnt", f"MIN({mcol}) AS mn",
+                         f"MAX({mcol}) AS mx"])
+        group = " GROUP BY " + ", ".join(e for e, _ in dims)
+        return f"SELECT {sel} FROM {t}{where}{group}"
+
     def gen_one(i):
         r = rng.random()
-        if r < 0.55:
+        if r < 0.34:
             src, tables, left = pick(sources)
             sql = grouped(src, tables, left)
-        elif r < 0.65:
+        elif r < 0.42:
             src, tables, left = pick(sources)
             sql = union_all(src, tables, left)
-        elif r < 0.73:
+        elif r < 0.48:
             sql = in_subquery()
-        elif r < 0.81:
+        elif r < 0.54:
             sql = exists_subquery()
-        elif r < 0.87:
+        elif r < 0.59:
             sql = scalar_subquery()
-        elif r < 0.94:
+        elif r < 0.65:
             sql = topk()
-        else:
+        elif r < 0.70:
             sql = window_rank()
+        elif r < 0.76:
+            sql = full_outer()
+        elif r < 0.81:
+            sql = left_nullkey()
+        elif r < 0.87:
+            sql = grouping_sets()
+        elif r < 0.92:
+            sql = decimal_agg()
+        elif r < 0.96:
+            sql = interval_shift()
+        else:
+            sql = string_edges()
         return f"fz{i:03d}", sql
 
     lines = []

@@ -30,7 +30,7 @@ SPARK_SCALA_VERSION=2.13 sbt -batch \
   "runMain graft.FaultCheck $SF01 bench_results/${TAG}_faultcheck.json" \
   > /tmp/${TAG}_fault.log 2>&1
 echo "=== [4c/7] differential fuzz (generated common-dialect corpus)"
-FUZZ_JSON=bench_results/${TAG}_fuzz.json tools/fuzz.sh 6 60 "$SF01" \
+FUZZ_JSON=bench_results/${TAG}_fuzz.json tools/fuzz.sh 6 500 "$SF01" \
   > /tmp/${TAG}_fuzz.log 2>&1
 echo "=== [5/7] oracle_sql.json dump for anchors"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
