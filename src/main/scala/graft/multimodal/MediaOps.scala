@@ -6,13 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in distributed
-  * per-partition batches. No media codecs exist in this environment, so
-  * the DECODE STEP IS A DETERMINISTIC STUB (clearly marked below); the
-  * Spark-side plumbing — schema, Dataset encoders, mapPartitions batch
-  * iteration, partition-parallel execution, frame explosion — is real and
-  * is what carries to 100 TB (each partition streams its blobs through
-  * the decoder without driver involvement; swap `stubDecode` for a real
-  * codec and nothing else changes).
+  * per-partition batches. The decode step runs a REAL image codec
+  * (`javax.imageio` PNG, round 7 — rounds 1-6 carried a byte-identity
+  * stub): the fixture media is a genuine PNG per document (1-row 8-bit
+  * grayscale whose pixels are the text's UTF-8 bytes), every feature
+  * extractor decompresses actual IDAT chunks before touching a pixel,
+  * and `resize` decodes, nearest-neighbor-scales and RE-ENCODES. The
+  * differential oracle survives the real codec because PNG is lossless:
+  * decoded pixels == the bytes that went in, so the DuckDB side can
+  * recompute every feature from `ascii()` over the text — the oracle
+  * pins the whole encode->decode->extract chain, not a stub identity.
+  * The Spark-side shape — mapPartitions batch iteration with per-
+  * partition codec init, partition-parallel execution, frame explosion —
+  * is what carries to 100 TB: each partition streams its blobs through
+  * the decoder without driver involvement; swap the PNG reader for a
+  * JPEG/video codec and nothing downstream changes.
   */
 object MediaOps {
 
@@ -32,24 +40,60 @@ object MediaOps {
   case class BlockProfile(doc_id: Long, n_bytes: Long, s_total: Long,
       bsum16: Array[Long], bcnt16: Array[Long])
 
-  /** ===== STUB DECODER =====
-    * Stands in for an image/audio decode (no codec libs in this
-    * container). Deterministic: "pixels" are the raw bytes. A real
-    * implementation would decode `format` and return pixel data; the
-    * call shape (bytes => bytes) and everything downstream is unchanged. */
-  private def stubDecode(media: Array[Byte], format: String): Array[Byte] = media
+  /** ===== REAL CODEC LAYER (javax.imageio) =====
+    * Encode: gray bytes -> a real PNG (1 row, 8-bit grayscale; W = byte
+    * count). Decode: full PNG parse + inflate via ImageIO, raster samples
+    * back out as bytes. Both run executor-side inside mapPartitions.
+    * `ImageIO.setUseCache(false)` keeps the codec on heap buffers (the
+    * default spills through temp FILES — per-blob disk I/O on every
+    * executor; the call is cheap and idempotent, so it runs once per
+    * partition in the init slot). */
+  private def encodePng(gray: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      gray.length, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, gray.length, 1, gray)
+    val bos = new java.io.ByteArrayOutputStream(gray.length + 128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
-  /** Attach deterministic fake media to the documents table: blob = UTF-8
-    * text bytes, metadata derived from doc fields. Plumbing stand-in for
-    * reading a real parquet binary column. */
+  private def decodePixels(media: Array[Byte], format: String): Array[Byte] =
+    format match {
+      case "png" =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(media))
+        require(img != null, "undecodable PNG blob")
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        img.getRaster.getDataElements(0, 0, w, h, out)
+        out
+      case "empty" => Array.emptyByteArray
+      case _ => media // opaque formats pass through (audio path)
+    }
+
+  /** Encoder input for [[attachMedia]] (not private: Spark's generated
+    * row projection needs constructor access). */
+  case class RawDoc(doc_id: Long, bytes: Array[Byte])
+
+  /** Attach real PNG media to the documents table: each doc's blob is a
+    * genuine PNG image (1-row grayscale, pixel j = UTF-8 byte j of the
+    * text), built executor-side per partition. Stand-in for reading a
+    * real parquet binary column — downstream operators see exactly what
+    * a crawled-image table would give them: compressed bytes + typed
+    * metadata, nothing decodable without running the codec. */
   def attachMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Catalog.table(spark, sfDir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
-        lit("raw").as("format"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
-      .as[MediaRow]
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[RawDoc]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { r =>
+          if (r.bytes.isEmpty) MediaRow(r.doc_id, Array.emptyByteArray, "empty", 0, 1)
+          else MediaRow(r.doc_id, encodePng(r.bytes), "png", r.bytes.length, 1)
+        }
+      }
   }
 
   /** Per-partition decode + feature extraction. mapPartitions (not a
@@ -58,9 +102,9 @@ object MediaOps {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here
+      javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
       rows.map { r =>
-        val px = stubDecode(r.media, r.format)
+        val px = decodePixels(r.media, r.format)
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
@@ -83,8 +127,9 @@ object MediaOps {
   def blockProfile(media: Dataset[MediaRow]): Dataset[BlockProfile] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val px = stubDecode(r.media, r.format)
+        val px = decodePixels(r.media, r.format)
         val bsum = new Array[Long](16)
         val bcnt = new Array[Long](16)
         var s = 0L
@@ -102,57 +147,68 @@ object MediaOps {
     }
   }
 
-  /** Resize: downsample each blob to `targetBytes` by striding (the
-    * stub analog of an image resize — a real codec would decode, scale,
-    * re-encode; the metadata update and per-partition batch shape are
-    * the part that carries). */
-  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+  /** Resize: a REAL image resize — decode the PNG, nearest-neighbor
+    * downsample the pixel row to `targetPx` samples, re-encode a new
+    * PNG. Images already at or under the target pass through untouched.
+    * Nearest-neighbor keeps the transform exactly characterizable
+    * (out[j] = px[j*len/target]), which is what lets the differential
+    * oracle pin a decode->scale->RE-ENCODE->decode chain end to end. */
+  def resize(media: Dataset[MediaRow], targetPx: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val len = r.media.length
-        if (len <= targetBytes) r
+        val px = decodePixels(r.media, r.format)
+        val len = px.length
+        if (len <= targetPx) r
         else {
-          val out = new Array[Byte](targetBytes)
+          val out = new Array[Byte](targetPx)
           var i = 0
-          while (i < targetBytes) {
-            out(i) = r.media((i.toLong * len / targetBytes).toInt)
+          while (i < targetPx) {
+            out(i) = px((i.toLong * len / targetPx).toInt)
             i += 1
           }
-          // metadata tracks the logical downscale factor
-          val f = math.max(len / targetBytes, 1)
-          r.copy(media = out,
-            width = math.max(r.width / f, 1), height = math.max(r.height / f, 1))
+          r.copy(media = encodePng(out), format = "png",
+            width = targetPx, height = 1)
         }
       }
     }
   }
 
-  /** Frame sampling: split each blob into `n` evenly-spaced fixed-size
-    * frames (the video path). flatMap keeps it scan-parallel; output rows
-    * carry (doc_id, frame_idx) for downstream per-frame feature joins. */
+  /** Frame sampling: decode, then split the PIXEL stream into `n`
+    * evenly-spaced fixed-size frames (the video path: a real container
+    * demuxer would seek keyframes; the per-frame row explosion and
+    * downstream per-frame joins are identical). flatMap keeps it
+    * scan-parallel; output rows carry (doc_id, frame_idx). */
   def sampleFrames(media: Dataset[MediaRow], n: Int, frameBytes: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val len = r.media.length
-      if (len == 0) Iterator.empty
-      else (0 until n).iterator.map { k =>
-        val start = math.min((len.toLong * k / n).toInt, math.max(len - 1, 0))
-        val end = math.min(start + frameBytes, len)
-        Frame(r.doc_id, k, java.util.Arrays.copyOfRange(r.media, start, end))
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val px = decodePixels(r.media, r.format)
+        val len = px.length
+        if (len == 0) Iterator.empty
+        else (0 until n).iterator.map { k =>
+          val start = math.min((len.toLong * k / n).toInt, math.max(len - 1, 0))
+          val end = math.min(start + frameBytes, len)
+          Frame(r.doc_id, k, java.util.Arrays.copyOfRange(px, start, end))
+        }
       }
     }
   }
 
   /** Registry entries. The mapPartitions pipelines themselves are not
-    * SQL, but because `stubDecode` is byte-identity and the fixture media
-    * is the documents' UTF-8 text (pure ASCII in the testdata — verified:
-    * every char code in [32,121]), every extracted feature IS expressible
-    * over the text in DuckDB SQL: byte value = `ascii(char)`,
-    * n_bytes = `length(text)`. The oracles below recompute the features
-    * independently per-char in SQL, giving the media path the same full
-    * differential gate as every other query (swap in a real codec and
-    * these oracles are the only thing that stops applying). */
+    * SQL, but because the codec is LOSSLESS (PNG), the decoded pixels of
+    * each fixture image are exactly the document's UTF-8 bytes (pure
+    * ASCII in the testdata — verified: every char code in [32,121]), so
+    * every extracted feature IS expressible over the text in DuckDB SQL:
+    * pixel value = `ascii(char)`, n_bytes = `length(text)`. The oracles
+    * below recompute the features independently per-char in SQL — the
+    * gate therefore pins the REAL encode->decode(->rescale->re-encode->
+    * decode) chain: any codec bug (dropped filter byte, palette
+    * misread, raster stride error) lands as a hash mismatch. A lossy
+    * codec (JPEG) would need fixture-side precomputed features instead;
+    * the pipeline shape would not change. */
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "m_media_features",

@@ -3,8 +3,9 @@ package graft
 import graft.multimodal.MediaOps
 import graft.multimodal.MediaOps.MediaRow
 
-/** Multimodal plumbing specs: the stub decoder is deterministic, so
-  * features are hand-computable. */
+/** Multimodal pipeline specs: the PNG codec is lossless, so features
+  * over decoded pixels are hand-computable from the input bytes; "raw"
+  * rows bypass the codec (the opaque-format path). */
 class MediaSpec extends SparkSpec {
 
   import spark.implicits._
@@ -29,16 +30,50 @@ class MediaSpec extends SparkSpec {
     assert(frames.map(_.frame.head.toInt).toSeq === Seq(0, 25, 50, 75))
   }
 
-  test("resize strides blobs down to the target and rescales metadata") {
+  test("resize decodes, downsamples and RE-ENCODES a real PNG") {
     val bytes = (0 until 1000).map(_.toByte).toArray
     val in = Seq(MediaRow(1L, bytes, "raw", 640, 480)).toDS()
-    val r = MediaOps.resize(in, targetBytes = 100).collect().head
-    assert(r.media.length === 100)
-    assert(r.media(0) === 0.toByte && r.media(50) === 500.toByte)
-    assert(r.width === 64 && r.height === 48)
+    val r = MediaOps.resize(in, targetPx = 100).collect().head
+    // output is a genuine PNG container, not raw pixels
+    assert(r.format === "png")
+    assert((r.media(0) & 0xff) === 0x89 && r.media(1) === 'P'.toByte &&
+      r.media(2) === 'N'.toByte && r.media(3) === 'G'.toByte)
+    assert(r.width === 100 && r.height === 1)
+    // decoding it back gives the nearest-neighbor downsample
+    val px = MediaOps.sampleFrames(
+      MediaOps.resize(in, targetPx = 100), n = 1, frameBytes = 100)
+      .collect().head.frame
+    assert(px.length === 100)
+    assert(px(0) === 0.toByte && px(50) === 500.toByte)
     // already-small blobs pass through untouched
-    val small = MediaOps.resize(in, targetBytes = 5000).collect().head
-    assert(small.media.length === 1000)
+    val small = MediaOps.resize(in, targetPx = 5000).collect().head
+    assert(small.media.length === 1000 && small.format === "raw")
+  }
+
+  test("attachMedia emits real PNGs; decode roundtrips the text bytes") {
+    import org.apache.spark.sql.functions.col
+    val media = MediaOps.attachMedia(spark, sf0001)
+      .filter(_.doc_id < 5).collect()
+    assert(media.nonEmpty)
+    media.filter(_.format == "png").foreach { r =>
+      assert((r.media(0) & 0xff) == 0x89 && r.media(1) == 'P'.toByte &&
+        r.media(2) == 'N'.toByte && r.media(3) == 'G'.toByte,
+        s"doc ${r.doc_id}: not a PNG container")
+    }
+    val texts = Catalog.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = MediaOps.extractFeatures(
+      MediaOps.attachMedia(spark, sf0001).filter(_.doc_id < 5)).collect()
+    assert(feats.length === texts.size)
+    feats.foreach { f =>
+      val bytes = texts(f.doc_id).getBytes("UTF-8")
+      assert(f.n_bytes === bytes.length.toLong,
+        s"doc ${f.doc_id}: decoded length != text length")
+      if (bytes.nonEmpty)
+        assert(f.brightness === bytes.map(_ & 0xff).sum.toDouble / bytes.length,
+          s"doc ${f.doc_id}: decoded pixel sum != byte sum")
+    }
   }
 
   test("empty blob produces zero features and no frames") {
