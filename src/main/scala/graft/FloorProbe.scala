@@ -36,15 +36,25 @@ object FloorProbe {
       df.queryExecution.optimizedPlan.collectLeaves()
         .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
 
-    val variants: Seq[(String, Option[Long])] = Seq(
-      "baseline" -> None,
-      "gate2mb" -> Some(2L << 20),
-      "gate4mb" -> Some(4L << 20),
-      "gate8mb" -> Some(8L << 20))
+    // (name, Some(bytesPerPartition), extra confs) — extra confs probe
+    // driver-side planning cost cuts on top of the single-shot path
+    val variants: Seq[(String, Option[Long], Map[String, String])] = Seq(
+      ("baseline", None, Map.empty),
+      ("gate8mb", Some(8L << 20), Map.empty),
+      ("gate8nb", Some(8L << 20),
+        Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+      ("gate8cp", Some(8L << 20),
+        Map("spark.sql.constraintPropagation.enabled" -> "false")),
+      ("gate8nbcp", Some(8L << 20),
+        Map("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.constraintPropagation.enabled" -> "false")))
 
     val results = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[String, Double]]
-    for ((vname, target) <- variants) {
+    val extraDefaults = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.constraintPropagation.enabled" -> "true")
+    for ((vname, target, extra) <- variants) {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val df0 = fn(spark, sfDir)
@@ -57,6 +67,9 @@ object FloorProbe {
           case None =>
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+        }
+        extraDefaults.foreach { case (k, v) =>
+          spark.conf.set(k, extra.getOrElse(k, v))
         }
         val runs = (1 to 4).map { _ =>
           jobs.set(0)

@@ -48,10 +48,24 @@ object AdaptiveGate {
     * value and adaptive state. */
   private val OrigKey = "graft.autotune.origPartitions"
 
-  /** Total bytes the plan's leaf sources would scan: for parquet relations
-    * the post-partition-pruning file-size sum; cheap (file index cached). */
+  /** Operational kill switch (GRAFT_NO_AUTOTUNE=1): run everything with
+    * the session's own conf — for A/B floor measurement and as the
+    * escape hatch if a plan's size estimate ever misleads the gate. */
+  private val disabled: Boolean =
+    sys.env.get("GRAFT_NO_AUTOTUNE").exists(_ == "1")
+
+  /** Total bytes the plan's leaf sources would scan, read off the
+    * ANALYZED plan: DataFrame construction already analyzed eagerly, so
+    * this costs only the (cached) file-index size sum. Deliberately NOT
+    * the optimized plan — forcing optimization here would run a full
+    * extra Catalyst pass inside every execution (the action's own
+    * QueryExecution re-optimizes from the logical plan regardless),
+    * which cost subquery-heavy short queries ~250 ms/run when this gate
+    * first shipped. Trade-off: leaf sizes are pre-partition-pruning, an
+    * overestimate that can only err toward keeping full AQE — the safe
+    * side. */
   def inputBytes(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.collectLeaves()
+    df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
 
   /** Decide the execution mode for `df` (about to be executed): small
@@ -60,6 +74,7 @@ object AdaptiveGate {
     * (Bench/Verify run queries one at a time) always see the conf their
     * own plan chose. */
   def tune(spark: SparkSession, df: DataFrame): Unit = {
+    if (disabled) return
     val in = inputBytes(df)
     if (in < SmallPlanBytes) {
       val conf = spark.conf
@@ -72,6 +87,13 @@ object AdaptiveGate {
         math.max(1L, math.min(orig.toLong, in / BytesPerPartition)).toInt
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // constraint propagation is an optimizer-TIME quadratic (per-node
+      // constraint sets over the join tree) whose payoff — inferred
+      // filters pruning big scans — is zero on a sub-GiB plan; probed
+      // -57 ms on q02, -44 ms on q11 at the SF1 floor profile, and it
+      // is Spark's own documented escape hatch for planning-bound
+      // workloads (spark.sql.constraintPropagation.enabled)
+      conf.set("spark.sql.constraintPropagation.enabled", "false")
     } else reset(spark)
   }
 
@@ -82,6 +104,7 @@ object AdaptiveGate {
     conf.getOption(OrigKey).foreach { orig =>
       conf.set("spark.sql.shuffle.partitions", orig)
       conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.constraintPropagation.enabled", "true")
       conf.unset(OrigKey)
     }
   }

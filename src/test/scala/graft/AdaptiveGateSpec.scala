@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.AdaptiveGate
+import org.apache.spark.sql.functions._
+
+/** Pins the execution-mode gate's conf lifecycle: a small plan flips the
+  * session into single-shot mode with input-scaled partitions, reset
+  * restores the session's own settings exactly, and the sequence is
+  * idempotent (the gate never loses the original values by re-saving its
+  * own override). Also pins that the driver-contract layer honors
+  * `needsAqe` declarations. */
+class AdaptiveGateSpec extends SparkSpec {
+
+  private def conf(k: String) = spark.conf.get(k)
+
+  test("inputBytes reads leaf stats off the analyzed plan") {
+    val df = Catalog.table(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") > 10).select("l_orderkey")
+    val in = AdaptiveGate.inputBytes(df)
+    // positive, and within sanity bounds of the on-disk fixture size
+    // (stats may apply a compression factor, never zero or absurd)
+    assert(in > 10L * 1024)
+    assert(in < (1L << 30))
+  }
+
+  test("tune flips small plans to single-shot and reset restores exactly") {
+    val origParts = conf("spark.sql.shuffle.partitions")
+    val df = Catalog.table(spark, sf0001, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)))
+    AdaptiveGate.tune(spark, df)
+    assert(conf("spark.sql.adaptive.enabled") === "false")
+    assert(conf("spark.sql.constraintPropagation.enabled") === "false")
+    val parts = conf("spark.sql.shuffle.partitions").toInt
+    assert(parts >= 1 && parts <= origParts.toInt)
+    // second tune on another small plan must keep the ORIGINAL saved
+    // partitions, not re-save the gate's own override
+    AdaptiveGate.tune(spark,
+      Catalog.table(spark, sf0001, "customer").select("c_custkey"))
+    AdaptiveGate.reset(spark)
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+    assert(conf("spark.sql.adaptive.enabled") === "true")
+    assert(conf("spark.sql.constraintPropagation.enabled") === "true")
+    // reset with no override held is a no-op
+    AdaptiveGate.reset(spark)
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+  }
+
+  test("SparkEntry honors needsAqe: adaptive demos run under full AQE") {
+    val origParts = conf("spark.sql.shuffle.partitions")
+    // leave the session in gated state, as a prior small query would
+    AdaptiveGate.tune(spark,
+      Catalog.table(spark, sf0001, "orders").select("o_orderkey"))
+    assert(conf("spark.sql.adaptive.enabled") === "false")
+    val aqeNames = Registry.all.filter(_.needsAqe).map(_.name)
+    assert(aqeNames.nonEmpty, "expected at least one needsAqe query")
+    // constructing a needsAqe query through the contract layer restores
+    // full-AQE defaults BEFORE its body runs
+    SparkEntry.queries(aqeNames.head)(spark, sf0001)
+    assert(conf("spark.sql.adaptive.enabled") === "true")
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+  }
+}
