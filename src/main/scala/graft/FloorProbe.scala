@@ -36,18 +36,17 @@ object FloorProbe {
       df.queryExecution.optimizedPlan.collectLeaves()
         .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
 
-    // (name, Some(bytesPerPartition), extra confs) — extra confs probe
-    // driver-side planning cost cuts on top of the single-shot path
-    val variants: Seq[(String, Option[Long], Map[String, String])] = Seq(
+    // (name, Some((bytesPerPartition, minParts)), extra confs) — extras
+    // probe driver-side planning cost cuts on top of the single-shot path
+    val variants: Seq[(String, Option[(Long, Int)], Map[String, String])] = Seq(
       ("baseline", None, Map.empty),
-      ("gate8mb", Some(8L << 20), Map.empty),
-      ("gate8nb", Some(8L << 20),
-        Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
-      ("gate8cp", Some(8L << 20),
+      ("gate8mb", Some((8L << 20, 1)), Map.empty),
+      ("gate8f4", Some((8L << 20, 4)),
         Map("spark.sql.constraintPropagation.enabled" -> "false")),
-      ("gate8nbcp", Some(8L << 20),
-        Map("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-            "spark.sql.constraintPropagation.enabled" -> "false")))
+      ("gate8f8", Some((8L << 20, 8)),
+        Map("spark.sql.constraintPropagation.enabled" -> "false")),
+      ("gate8f16", Some((8L << 20, 16)),
+        Map("spark.sql.constraintPropagation.enabled" -> "false")))
 
     val results = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[String, Double]]
@@ -59,9 +58,9 @@ object FloorProbe {
         val fn = SparkEntry.queries(name)
         val df0 = fn(spark, sfDir)
         target match {
-          case Some(t) =>
+          case Some((t, floor)) =>
             val in = inputBytes(df0)
-            val parts = math.max(1L, math.min(32L, in / t)).toInt
+            val parts = math.max(floor.toLong, math.min(32L, in / t)).toInt
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
           case None =>

@@ -68,16 +68,45 @@ object AdaptiveGate {
     df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
 
-  /** Decide the execution mode for `df` (about to be executed): small
-    * plan ⇒ single-shot with scaled partitions; big plan ⇒ restore the
-    * session's defaults. Idempotent per execution; sequential callers
-    * (Bench/Verify run queries one at a time) always see the conf their
-    * own plan chose. */
+  /** AQE's initial reduce-partition count for the wide regime. AQE
+    * coalescing only MERGES partitions downward from this, so
+    * shuffle.partitions (= cores here) silently caps how wide a reduce
+    * stage can go: at the 100x replica a ~100M-group pair aggregate ran
+    * 32 reducers with multi-GB per-task hash state and fell off the
+    * in-memory cliff into sort+spill (round-7 finding). Plans reading
+    * ≥ [[SmallPlanBytes]] start 16x wider and coalesce down to
+    * advisoryPartitionSizeInBytes; their shuffles are big enough that
+    * the extra map-output buckets cost nothing (setting this statically
+    * for ALL plans was measured 1.2-1.45x slower on the sf0.1 heavy
+    * family — small shuffles pay for width they never use). */
+  private val InitKey =
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+  /** Leaf bytes are the only size the gate can see; a Generate (explode)
+    * can blow intermediate data up 10-100x past the leaves, so such
+    * plans must never be squeezed into the few-partition single-shot
+    * path (measured: 1.3-1.8x regressions on the minhash/LSH family
+    * when they were). */
+  private def expands(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate])
+
+  /** Decide the execution mode for `df` (about to be executed), by plan
+    * size — no per-query special-casing:
+    *  - small (< [[SmallPlanBytes]] leaf bytes, no Generate): single-shot
+    *    (adaptive off, partitions = input/8 MB, constraint propagation
+    *    off) — AQE stage rounds are pure latency here;
+    *  - small WITH Generate: the session's own AQE defaults — leaf size
+    *    under-states the pipeline, runtime stats must size it;
+    *  - big (≥ threshold): AQE starting 16x wider, so reduce stages can
+    *    scale past the cores-sized default instead of spilling.
+    * Idempotent per execution; sequential callers (Bench/Verify run
+    * queries one at a time) always see the conf their own plan chose. */
   def tune(spark: SparkSession, df: DataFrame): Unit = {
     if (disabled) return
     val in = inputBytes(df)
-    if (in < SmallPlanBytes) {
-      val conf = spark.conf
+    val conf = spark.conf
+    if (in < SmallPlanBytes && !expands(df)) {
       val orig = conf.getOption(OrigKey).getOrElse {
         val cur = conf.get("spark.sql.shuffle.partitions")
         conf.set(OrigKey, cur)
@@ -94,7 +123,13 @@ object AdaptiveGate {
       // is Spark's own documented escape hatch for planning-bound
       // workloads (spark.sql.constraintPropagation.enabled)
       conf.set("spark.sql.constraintPropagation.enabled", "false")
-    } else reset(spark)
+    } else {
+      reset(spark)
+      if (in >= SmallPlanBytes) {
+        val cores = conf.get("spark.sql.shuffle.partitions").toInt
+        conf.set(InitKey, (16 * cores).toString)
+      }
+    }
   }
 
   /** Restore the session's own adaptive + parallelism settings (no-op when
@@ -107,5 +142,7 @@ object AdaptiveGate {
       conf.set("spark.sql.constraintPropagation.enabled", "true")
       conf.unset(OrigKey)
     }
+    // wide-regime width is per-plan state, never session state
+    conf.unset(InitKey)
   }
 }
