@@ -61,7 +61,8 @@ object Catalog {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
-    val key = s"${System.identityHashCode(spark)}|$sfDir|$name"
+    val key =
+      s"${org.apache.spark.sql.graft.GraftBridge.sessionUUID(spark)}|$sfDir|$name"
     val hit = tableCache.get(key)
     if (hit != null) hit
     else {
@@ -79,8 +80,10 @@ object Catalog {
     * frame is an immutable logical plan over read-only fixture dirs;
     * staleness risk is the same as Spark's own FileStatusCache (a fixture
     * regenerated MID-SESSION was already unsafe before this cache).
-    * Keyed by sessionUUID: entries of stopped sessions are a few KB of
-    * unreferenced plan — negligible leak for the harness's JVM lifetimes. */
+    * Keyed by `spark.sessionUUID` (globally unique per session, unlike an
+    * identity hash code, which can collide across live and stopped
+    * sessions): entries of stopped sessions are a few KB of unreferenced
+    * plan — negligible leak for the harness's JVM lifetimes. */
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

@@ -16,11 +16,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.all.map(q => q.name -> tuned(q)).toMap
 
-  private def tuned(q: GQuery): (SparkSession, String) => DataFrame =
+  private[graft] def tuned(q: GQuery): (SparkSession, String) => DataFrame =
     (spark, dir) => {
-      // restore full-AQE BEFORE the body for queries that demonstrate
-      // adaptive behavior (their side-effect writes need it too)
-      if (q.needsAqe) graft.plans.AdaptiveGate.reset(spark)
+      // restore the session's own conf BEFORE every body: queries that
+      // execute jobs eagerly during construction (localCheckpoint,
+      // layout/store writes) must never inherit the PREVIOUS plan's
+      // single-shot conf (round-7 verdict item 3)
+      graft.plans.AdaptiveGate.reset(spark)
       val df = q.run(spark, dir)
       if (!q.needsAqe) graft.plans.AdaptiveGate.tune(spark, df)
       df

@@ -267,7 +267,7 @@ object MediaOps {
     GQuery(
       "m_phash_buckets",
       "perceptual-hash media dedup buckets: 16-bit block-mean signature",
-      // pHash-style media near-dup blocking: decode (stub) → 16 positional
+      // pHash-style media near-dup blocking: decode (real PNG inflate) → 16 positional
       // byte blocks → 16-bit signature, bit i set iff block i's mean
       // exceeds the whole-blob mean (the block-statistics core of pHash;
       // the full algorithm takes DCT coefficients instead of raw block

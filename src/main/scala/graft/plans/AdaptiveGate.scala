@@ -54,19 +54,49 @@ object AdaptiveGate {
   private val disabled: Boolean =
     sys.env.get("GRAFT_NO_AUTOTUNE").exists(_ == "1")
 
-  /** Total bytes the plan's leaf sources would scan, read off the
-    * ANALYZED plan: DataFrame construction already analyzed eagerly, so
-    * this costs only the (cached) file-index size sum. Deliberately NOT
-    * the optimized plan — forcing optimization here would run a full
-    * extra Catalyst pass inside every execution (the action's own
-    * QueryExecution re-optimizes from the logical plan regardless),
-    * which cost subquery-heavy short queries ~250 ms/run when this gate
-    * first shipped. Trade-off: leaf sizes are pre-partition-pruning, an
-    * overestimate that can only err toward keeping full AQE — the safe
-    * side. */
+  /** Leaves of the analyzed plan AND of every (nested) subquery
+    * expression plan. IN/EXISTS/scalar subqueries only become joins at
+    * optimization, so `collectLeaves` on the analyzed plan alone misses
+    * any input that lives inside a subquery — a plan whose bulk data sat
+    * in an EXISTS could be under-counted to its outer leaves and forced
+    * single-shot with partitions sized from a fraction of its real scan
+    * (round-7 advice, medium). */
+  private def leavesWithSubqueries(df: DataFrame) = {
+    val plan = df.queryExecution.analyzed
+    (plan +: plan.subqueriesAll).flatMap(_.collectLeaves())
+  }
+
+  /** Total bytes the plan's leaf sources (incl. subquery plans) would
+    * scan, read off the ANALYZED plan: DataFrame construction already
+    * analyzed eagerly, so this costs only the (cached) file-index size
+    * sum. Deliberately NOT the optimized plan — forcing optimization here
+    * would run a full extra Catalyst pass inside every execution (the
+    * action's own QueryExecution re-optimizes from the logical plan
+    * regardless), which cost subquery-heavy short queries ~250 ms/run
+    * when this gate first shipped. Trade-off: leaf sizes are
+    * pre-partition-pruning, an overestimate that can only err toward
+    * keeping full AQE — the safe side. */
   def inputBytes(df: DataFrame): Long =
-    df.queryExecution.analyzed.collectLeaves()
+    leavesWithSubqueries(df)
       .map(_.stats.sizeInBytes).sum.min(BigInt(Long.MaxValue)).toLong
+
+  /** Leaf BYTES are only a faithful proxy for work when every leaf is a
+    * file scan (or a literal LocalRelation): a checkpointed/in-memory
+    * source (`LogicalRDD`, `InMemoryRelation`, …) reports bytes but
+    * hides arbitrarily CPU-dense lineage behind a stats-less leaf — the
+    * k-means/PQ training pipelines truncate exactly this way via
+    * `localCheckpoint`, and squeezing their downstream compute into
+    * input/8 MB partitions cost `v_knn_graph` 1.38x (round-7 A/B).
+    * Such plans still run single-shot (the AQE stage rounds they skip
+    * are real: `v_semdedup` measured 1.90 s gated vs 2.28 s ungated)
+    * but at the session's FULL width — byte-sized narrowing is only
+    * trusted when bytes mean what they say. */
+  private def allLeavesFileBacked(df: DataFrame): Boolean =
+    leavesWithSubqueries(df).forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation  => true
+      case _ => false
+    }
 
   /** AQE's initial reduce-partition count for the wide regime. AQE
     * coalescing only MERGES partitions downward from this, so
@@ -86,16 +116,21 @@ object AdaptiveGate {
     * can blow intermediate data up 10-100x past the leaves, so such
     * plans must never be squeezed into the few-partition single-shot
     * path (measured: 1.3-1.8x regressions on the minhash/LSH family
-    * when they were). */
-  private def expands(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate])
+    * when they were). Subquery plans are searched too — a Generate
+    * inside an EXISTS expands just the same. */
+  private def expands(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.analyzed
+    (plan +: plan.subqueriesAll).exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]))
+  }
 
   /** Decide the execution mode for `df` (about to be executed), by plan
     * size — no per-query special-casing:
     *  - small (< [[SmallPlanBytes]] leaf bytes, no Generate): single-shot
-    *    (adaptive off, partitions = input/8 MB, constraint propagation
-    *    off) — AQE stage rounds are pure latency here;
+    *    (adaptive off, constraint propagation off) — AQE stage rounds are
+    *    pure latency here. Partitions = input/8 MB when every leaf is a
+    *    file scan or literal; the session's FULL width when any leaf is
+    *    checkpointed/in-memory (bytes then under-state the compute);
     *  - small WITH Generate: the session's own AQE defaults — leaf size
     *    under-states the pipeline, runtime stats must size it;
     *  - big (≥ threshold): AQE starting 16x wider, so reduce stages can
@@ -113,7 +148,9 @@ object AdaptiveGate {
         cur
       }
       val parts =
-        math.max(1L, math.min(orig.toLong, in / BytesPerPartition)).toInt
+        if (allLeavesFileBacked(df))
+          math.max(1L, math.min(orig.toLong, in / BytesPerPartition)).toInt
+        else orig.toInt
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", parts.toString)
       // constraint propagation is an optimizer-TIME quadratic (per-node

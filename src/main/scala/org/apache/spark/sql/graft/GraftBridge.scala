@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Globally-unique id of this session (classic-impl accessor — the
+    * sql-api trait doesn't re-export it). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

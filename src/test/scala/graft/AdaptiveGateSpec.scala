@@ -45,6 +45,66 @@ class AdaptiveGateSpec extends SparkSpec {
     assert(conf("spark.sql.shuffle.partitions") === origParts)
   }
 
+  test("inputBytes counts leaves inside subquery expressions") {
+    Catalog.table(spark, sf0001, "orders").createOrReplaceTempView("ag_o")
+    Catalog.table(spark, sf0001, "lineitem").createOrReplaceTempView("ag_l")
+    val outerOnly = spark.sql("SELECT o_orderkey FROM ag_o")
+    val withSub = spark.sql(
+      """SELECT o_orderkey FROM ag_o o WHERE EXISTS
+         (SELECT 1 FROM ag_l l WHERE l.l_orderkey = o.o_orderkey)""")
+    val lineitemBytes =
+      AdaptiveGate.inputBytes(Catalog.table(spark, sf0001, "lineitem"))
+    // the subquery's lineitem scan must be visible to the estimate —
+    // before the fix the EXISTS plan counted only the orders leaf
+    assert(AdaptiveGate.inputBytes(withSub) >=
+      AdaptiveGate.inputBytes(outerOnly) + lineitemBytes)
+  }
+
+  test("tune keeps FULL width for small plans with non-file leaves") {
+    val origParts = conf("spark.sql.shuffle.partitions")
+    // checkpointed lineage = LogicalRDD leaf: bytes no longer proxy the
+    // compute behind it (k-means/PQ training shape) — single-shot still
+    // saves the AQE stage rounds, but the width must NOT be narrowed by
+    // the (meaningless) leaf-byte estimate
+    val ck = Catalog.table(spark, sf0001, "embeddings").localCheckpoint()
+    AdaptiveGate.tune(spark, ck.groupBy().count())
+    assert(conf("spark.sql.adaptive.enabled") === "false")
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+    // a subsequent file-backed small plan narrows again off the SAME
+    // saved original (no override leakage between modes)
+    AdaptiveGate.tune(spark,
+      Catalog.table(spark, sf0001, "orders").select("o_orderkey"))
+    assert(conf("spark.sql.shuffle.partitions").toInt < origParts.toInt)
+    AdaptiveGate.tune(spark, ck.groupBy().count())
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+    AdaptiveGate.reset(spark)
+    assert(conf("spark.sql.adaptive.enabled") === "true")
+    assert(conf("spark.sql.shuffle.partitions") === origParts)
+  }
+
+  test("contract layer resets conf BEFORE every query body (eager phase)") {
+    val origParts = conf("spark.sql.shuffle.partitions")
+    // leave the session gated, as a prior small query would
+    AdaptiveGate.tune(spark,
+      Catalog.table(spark, sf0001, "orders").select("o_orderkey"))
+    assert(conf("spark.sql.adaptive.enabled") === "false")
+    var seenAdaptive: String = null
+    var seenParts: String = null
+    val probe = GQuery("spec_probe", "observes conf during eager build",
+      (s, dir) => {
+        // this is the construction/eager phase: localCheckpoint or store
+        // writes here must run under the session's own conf
+        seenAdaptive = s.conf.get("spark.sql.adaptive.enabled")
+        seenParts = s.conf.get("spark.sql.shuffle.partitions")
+        Catalog.table(s, dir, "region")
+      }, None)
+    SparkEntry.tuned(probe)(spark, sf0001)
+    assert(seenAdaptive === "true",
+      "query body inherited the previous plan's single-shot conf")
+    assert(seenParts === origParts)
+    AdaptiveGate.reset(spark)
+  }
+
   test("SparkEntry honors needsAqe: adaptive demos run under full AQE") {
     val origParts = conf("spark.sql.shuffle.partitions")
     // leave the session in gated state, as a prior small query would
