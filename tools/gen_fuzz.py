@@ -387,6 +387,89 @@ def main() -> None:
             f" CAST(COUNT(*) AS BIGINT) AS cb, {sb} AS sb"
             f" FROM {tb}{wb} GROUP BY 1) b ON a.k = b.k")
 
+    def decimal_grouping_sets():
+        # v4: exact decimal PRODUCT chains aggregated over multi-set
+        # grouping — the decimal_agg and grouping_sets seams composed
+        # (round-7 verdict item 8). Dims follow grouping_sets (never-null
+        # strings, COALESCE'd placeholders, GROUPING flags as BIGINT);
+        # measures follow decimal_agg (IEEE-pure cent quantization,
+        # products bounded under p=38, emitted as fixed-scale strings).
+        src, d1, d2 = pick([
+            ("lineitem", "l_returnflag", "l_linestatus"),
+            ("lineitem JOIN part ON l_partkey = p_partkey",
+             "l_returnflag", "p_brand"),
+            ("lineitem JOIN orders ON l_orderkey = o_orderkey",
+             "o_orderstatus", "l_linestatus"),
+        ])
+        tables = (["lineitem", src.split(" JOIN ")[1].split()[0]]
+                  if "JOIN" in src else ["lineitem"])
+        spec = pick([
+            f"GROUPING SETS (({d1}, {d2}), ({d1}), ())",
+            f"GROUPING SETS (({d1}), ({d2}))",
+            f"ROLLUP ({d1}, {d2})",
+            f"CUBE ({d1}, {d2})",
+        ])
+        aggs = [("COUNT(*)", "cnt"),
+                (f"CAST(CAST(SUM({dd('l_extendedprice')} *"
+                 f" (CAST(1 AS DECIMAL(3,0)) - {dd('l_discount')}))"
+                 f" AS DECIMAL(38,4)) AS STRING)", "sd_disc_price")]
+        if rng.random() < 0.5:
+            # second product: three-factor chain with NARROW typed terms
+            # so the result precision stays exact on both engines:
+            # (15,2) x (1-(3,2))=(6,2) -> (22,4); x (1+(6,2))=(7,2) ->
+            # (30,6) — under p=38, no engine-side scale truncation
+            disc = ("CAST(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)"
+                    " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(3,2))")
+            qty = ("CAST(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)"
+                   " * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(6,2))")
+            aggs.append((
+                f"CAST(CAST(SUM({dd('l_extendedprice')} *"
+                f" (CAST(1 AS DECIMAL(3,0)) - {disc}) *"
+                f" (CAST(1 AS DECIMAL(3,0)) + {qty}))"
+                f" AS DECIMAL(38,6)) AS STRING)", "sd_charge"))
+        else:
+            aggs.append((f"CAST(MIN({dd('l_extendedprice')}) AS STRING)",
+                         "mnd_extend"))
+        sel = ", ".join(
+            [f"COALESCE({d1}, 'ALL') AS a", f"COALESCE({d2}, 'ALL') AS b",
+             f"CAST(GROUPING({d1}) AS BIGINT) AS g1",
+             f"CAST(GROUPING({d2}) AS BIGINT) AS g2"] +
+            [f"{e} AS {n}" for e, n in aggs])
+        where = where_of(tables, False, 0, 1)
+        return f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+
+    def full_outer_decimal():
+        # v4: NULL-key FULL OUTER against pre-aggregated sides carrying
+        # EXACT DECIMAL measures — the full_outer and decimal_agg seams
+        # composed. Unmatched sides surface NULL decimals; every output
+        # is COALESCE'd to a same-dtype sentinel STRING, so the frame
+        # stays dtype-stable on both engines.
+        (ta, ka, ma), (tb, kb, mb) = pick([
+            (("customer", "c_nationkey", "c_acctbal"),
+             ("supplier", "s_nationkey", "s_acctbal")),
+            (("orders", "o_custkey", "o_totalprice"),
+             ("customer", "c_custkey", "c_acctbal")),
+            (("lineitem", "l_partkey", "l_extendedprice"),
+             ("part", "p_partkey", "p_retailprice")),
+        ])
+        m = pick([5, 7, 9, 11, 13])
+        ra, rb = rng.randrange(m), rng.randrange(m)
+        wa, wb = where_of([ta], False, 0, 1), where_of([tb], False, 0, 1)
+        da = f"CAST(CAST(SUM({dd(ma)}) AS DECIMAL(27,2)) AS STRING)"
+        db = f"CAST(MAX({dd(mb)}) AS STRING)"
+        return (
+            f"SELECT CAST(COALESCE(a.k, b.k, -1) AS BIGINT) AS k,"
+            f" COALESCE(a.ca, -1) AS ca, COALESCE(b.cb, -1) AS cb,"
+            f" COALESCE(a.da, 'none') AS da, COALESCE(b.db, 'none') AS db"
+            f" FROM"
+            f" (SELECT NULLIF({ka} % {m}, {ra}) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS ca, {da} AS da"
+            f" FROM {ta}{wa} GROUP BY 1) a"
+            f" FULL OUTER JOIN"
+            f" (SELECT NULLIF({kb} % {m}, {rb}) AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS cb, {db} AS db"
+            f" FROM {tb}{wb} GROUP BY 1) b ON a.k = b.k")
+
     def left_nullkey():
         # LEFT JOIN whose right side carries a NULL-heavy key: the right
         # side is pre-aggregated to one row per key, the probe groups by
@@ -475,14 +558,18 @@ def main() -> None:
             sql = full_outer()
         elif r < 0.81:
             sql = left_nullkey()
-        elif r < 0.87:
+        elif r < 0.85:
             sql = grouping_sets()
-        elif r < 0.92:
+        elif r < 0.89:
             sql = decimal_agg()
-        elif r < 0.96:
+        elif r < 0.92:
             sql = interval_shift()
-        else:
+        elif r < 0.94:
             sql = string_edges()
+        elif r < 0.97:
+            sql = decimal_grouping_sets()
+        else:
+            sql = full_outer_decimal()
         return f"fz{i:03d}", sql
 
     lines = []

@@ -32,6 +32,9 @@ SPARK_SCALA_VERSION=2.13 sbt -batch \
 echo "=== [4c/7] differential fuzz (generated common-dialect corpus)"
 FUZZ_JSON=bench_results/${TAG}_fuzz.json tools/fuzz.sh 6 500 "$SF01" \
   > /tmp/${TAG}_fuzz.log 2>&1
+echo "=== [4d/7] differential fuzz @ 10x replica (v4 decimal/outer seams)"
+FUZZ_JSON=bench_results/${TAG}_fuzz10x.json tools/fuzz.sh 14 120 "$REP" \
+  > /tmp/${TAG}_fuzz10x.log 2>&1
 echo "=== [5/7] oracle_sql.json dump for anchors"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
   > /tmp/${TAG}_verify.log 2>&1
@@ -51,4 +54,11 @@ REP30=/tmp/graft_${TAG}_sf3x
 HEAVY=p_dedup_canonical,t_dedup_clusters,t_minhash_lsh,t_minhash_lsh_mat,t_simhash_neardup,v_semdedup,v_knn_graph,v_lsh_ann,a_fuzzy_match,t_substr_runs,t_normalize,e_interpolate,a_basket_pairs,q18_in_subquery_having,p_clean_corpus,x_salted_join,e_decimate
 sbt -batch "runMain graft.BenchFull $REP30 bench_results/${TAG}_sf3x.json 2 $HEAVY" \
   > /tmp/${TAG}_bench3x.log 2>&1
+echo "=== [8/8] 100x heavy-tail proof (~SF10 — the initialPartitionNum-16x motivator)"
+REP100=/tmp/graft_${TAG}_sf10x
+[ -d "$REP100/lineitem.parquet" ] || \
+  sbt -batch "runMain graft.ScaleUp $SF1 $REP100 100" > /tmp/${TAG}_scaleup100.log 2>&1
+HEAVY100=p_dedup_canonical,t_minhash_lsh,t_simhash_neardup,v_semdedup,q18_in_subquery_having
+sbt -batch "runMain graft.BenchFull $REP100 bench_results/${TAG}_sf10x.json 1 $HEAVY100" \
+  > /tmp/${TAG}_bench10x.log 2>&1
 echo "=== done"
