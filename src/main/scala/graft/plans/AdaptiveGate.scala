@@ -169,6 +169,41 @@ object AdaptiveGate {
     }
   }
 
+  /** Run `body` under a single-shot conf sized from `sizing`'s leaf
+    * bytes — for ITERATIVE fixpoint loops over bounded state (connected-
+    * component label propagation, BPE merge rounds, PageRank/k-core/BFS
+    * iterations). Each round of such a loop materializes eagerly
+    * (checkpoint + convergence count), so the round's conf is whatever
+    * the session holds at that moment, not what [[tune]] later picks for
+    * the assembled plan; at cores-wide partitions with AQE on, a
+    * label-table round of a few KB pays 32 task launches plus 1-2 AQE
+    * stage rounds PER ITERATION — measured 1.2-1.6x on the whole
+    * minhash/cc query family when round-8 made bodies run under session
+    * defaults (the round-7 accident this replaces had bodies inheriting
+    * the PREVIOUS query's narrow conf — right speed, wrong mechanism).
+    * Loops whose sizing frame reads ≥ [[SmallPlanBytes]] keep the
+    * caller's conf untouched: at 100 TB the pair graph is not small, and
+    * its rounds genuinely want AQE. Restores exactly; nest-safe (plain
+    * save/restore, independent of the [[tune]]/[[reset]] override). */
+  def scopedLoop[T](spark: SparkSession, sizing: DataFrame)(body: => T): T = {
+    lazy val in = inputBytes(sizing)
+    if (disabled || in >= SmallPlanBytes) body
+    else {
+      val conf = spark.conf
+      val savedParts = conf.get("spark.sql.shuffle.partitions")
+      val savedAqe = conf.get("spark.sql.adaptive.enabled")
+      val parts =
+        math.max(1L, math.min(savedParts.toLong, in / BytesPerPartition)).toInt
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try body
+      finally {
+        conf.set("spark.sql.shuffle.partitions", savedParts)
+        conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    }
+  }
+
   /** Restore the session's own adaptive + parallelism settings (no-op when
     * the gate holds no override). */
   def reset(spark: SparkSession): Unit = {

@@ -42,8 +42,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 object GraphOps {
 
   def queries: Seq[GQuery] = Seq(
-    dedupClusters, dedupCanonical, triangleCount, degreeHist, jaccardLinks,
-    pageRank, bfsHops, kCore, assortativity, clusteringCoeff)
+    dedupClusters, dedupCanonical, splitLeakfree, triangleCount, degreeHist,
+    jaccardLinks, pageRank, bfsHops, kCore, assortativity, clusteringCoeff)
 
   /** Per-round lineage cut. Default: `localCheckpoint` — fast, but the
     * truncated lineage lives in executor memory, so on a real cluster an
@@ -72,7 +72,16 @@ object GraphOps {
     // cut the PAIR table itself before the two-reference union: the LSH
     // pipeline feeding it is the expensive subtree, and relying on
     // exchange reuse to dedup two union branches is fragile — after the
-    // cut, both branches read the same materialized partitions
+    // cut, both branches read the same materialized partitions.
+    //
+    // NOT wrapped in AdaptiveGate.scopedLoop (unlike the k-core/BFS
+    // peels): each round here joins edges against the shrinking label
+    // table, and AQE demotes that join to a broadcast at runtime — no
+    // shuffle at all — which beats the narrow single-shot shuffle form
+    // (measured 1.2-1.4x WORSE scoped, on t_dedup_clusters /
+    // p_dedup_canonical / p_clean_corpus at sf0.1). The peel loops keep
+    // the scope because their rounds are anti-join + count over an
+    // already-materialized arc table where AQE has nothing to demote.
     val p = pairs.select(col("a_id"), col("b_id")).transform(cut)
     val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -161,6 +170,57 @@ object GraphOps {
       SELECT r.lbl AS cluster_id, r.id AS kept_doc, s.n_members
       FROM ranked r JOIN sizes s ON s.lbl = r.lbl
       WHERE r.rn = 1 ORDER BY cluster_id"""))
+
+  /** Leakage-free train/val/test split: assignment hashes the near-dup
+    * CLUSTER, not the document. A per-doc hash split (p_split) puts two
+    * near-duplicates in different splits with probability ~2·0.8·0.2 per
+    * pair — the classic eval-contamination bug (test-set answers sitting
+    * in the training set as paraphrases). Here every doc's group key is
+    * its LSH-cluster label (its own doc_id when it has no near-dup), so a
+    * whole cluster moves as one unit and NO cluster can span splits —
+    * the property [[graft.LeakageSpec]] pins against the naive split.
+    *
+    * Scale shape: the minhash/CC machinery is the banded LSH + label
+    * propagation already proven at scale (t_dedup_clusters); the label
+    * frame holds ONLY docs that have a near-dup (tiny vs the corpus), so
+    * the group-key attach is a left join against a small side (AQE
+    * broadcasts it), then one (split) partial-agg shuffle. Output is the
+    * per-split audit: docs, distinct groups, exact char volume. */
+  val splitLeakfree: GQuery = GQuery(
+    "p_split_leakfree",
+    "cluster-aware 80/10/10 split: near-dup groups never span train/val/test",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      val cl = ccLabels(TextOps.minhashPairs(
+          TextOps.spread(d).select(col("doc_id"), col("text")), 0.5))
+        .withColumnRenamed("id", "doc_id")
+      val g = d.join(cl, Seq("doc_id"), "left")
+        .select(col("lang"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("grp"))
+      val b = TextOps.h60(concat(lit("gsplit:"), col("grp").cast("string"))) % 100
+      g.select(
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+          col("grp"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${TextOps.minhashPairsSql("SELECT doc_id, text FROM documents", 0.5)},
+      $ccSql,
+      g AS (SELECT d.lang, d.n_chars, COALESCE(cc.lbl, d.doc_id) AS grp
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+      s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split, grp, n_chars
+            FROM (SELECT g.*,
+                    ${TextOps.h60Sql("'gsplit:' || CAST(grp AS VARCHAR)")} % 100 AS b
+                  FROM g))
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM s GROUP BY split ORDER BY split"""))
 
   // ----- general graph analytics over a derived relation graph -----
   //
@@ -505,19 +565,21 @@ object GraphOps {
     val seeds = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .distinct().orderBy(col("node")).limit(3)
-    var dist = seeds.select(col("node"), lit(0L).as("hops")).transform(cut)
-    var frontier = dist.select(col("node"))
-    for (h <- 1 to bfsMaxHops) {
-      val nxt = arcs
-        .join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("hops"))
-        .transform(cut)
-      frontier = nxt.select(col("node"))
-      dist = dist.union(nxt)
+    graft.plans.AdaptiveGate.scopedLoop(e.sparkSession, e) {
+      var dist = seeds.select(col("node"), lit(0L).as("hops")).transform(cut)
+      var frontier = dist.select(col("node"))
+      for (h <- 1 to bfsMaxHops) {
+        val nxt = arcs
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(h.toLong).as("hops"))
+          .transform(cut)
+        frontier = nxt.select(col("node"))
+        dist = dist.union(nxt)
+      }
+      dist
     }
-    dist
   }
 
   /** Multi-source BFS hop distance — reachability radius over the
@@ -576,20 +638,22 @@ object GraphOps {
       .join(nodes.withColumnRenamed("node", "src"), "src")
       .join(nodes.withColumnRenamed("node", "dst"), "dst")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    var nodes = arcs.select(col("src").as("node")).distinct().transform(cut)
-    var n = nodes.count()
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < kCoreMaxRounds) {
-      rounds += 1
-      val kept = degrees(nodes).filter(col("deg") >= k)
-        .select(col("node")).transform(cut)
-      val m = kept.count()
-      converged = m == n
-      n = m
-      nodes = kept
+    graft.plans.AdaptiveGate.scopedLoop(e.sparkSession, e) {
+      var nodes = arcs.select(col("src").as("node")).distinct().transform(cut)
+      var n = nodes.count()
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < kCoreMaxRounds) {
+        rounds += 1
+        val kept = degrees(nodes).filter(col("deg") >= k)
+          .select(col("node")).transform(cut)
+        val m = kept.count()
+        converged = m == n
+        n = m
+        nodes = kept
+      }
+      (degrees(nodes), rounds)
     }
-    (degrees(nodes), rounds)
   }
 
   /** 2-core of the co-supply graph — strip pendant tendrils so only the

@@ -559,10 +559,16 @@ object RetrievalOps {
     * and floor division agree), and the MMR objective is the all-BIGINT
     * 7·rel_pm − 3·maxsim_pm with doc_id tie-breaks. Scale shape: the
     * corpus-sized work is exactly [[bm25Scored]] (one scan, broadcast
-    * stats, TakeOrdered shortlist); the greedy loop and the pairwise
-    * similarity table live on the ≤[[mmrShort]]-row shortlist —
-    * driver-tiny at any corpus size, localCheckpointed every second
-    * pick to keep the unrolled plan linear in picks. */
+    * stats, TakeOrdered shortlist); the greedy argmax loop runs as ONE
+    * single-task `mapPartitions` over the tagged union of the
+    * ≤[[mmrShort]]-row shortlist and its pairwise-Jaccard table —
+    * executor-side (never a driver collect), picks·shortlist integer
+    * ops in a single task. The previous shape — the loop unrolled into
+    * [[mmrPicks]]−1 rounds of tiny joins, localCheckpointed every
+    * second pick — was pure scheduling floor (2.4 s of sub-ms jobs at
+    * sf0.1): sequential greedy selection over BOUNDED state belongs in
+    * one task, the inverse of the AdaptiveGate lesson (adaptive rounds
+    * pay only when there is data for runtime stats to size). */
   val mmrRerank: GQuery = GQuery(
     "r_mmr_rerank",
     s"MMR-diversified top-$mmrPicks rerank of the BM25 top-$mmrShort shortlist",
@@ -584,30 +590,37 @@ object RetrievalOps {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           expr("(1000 * size(array_intersect(x.ta, y.ta)))" +
             " div size(array_distinct(concat(x.ta, y.ta)))").as("jac_pm"))
-        .localCheckpoint()
-      var sel = short
-        .select(col("doc_id"), col("rel_pm"), lit(0L).as("maxsim_pm"),
-          (lit(7L) * col("rel_pm")).as("mmr"))
-        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
-        .select(lit(1).as("mmr_rk"), col("doc_id"), col("rel_pm"),
-          col("maxsim_pm"), col("mmr"))
-      for (step <- 2 to mmrPicks) {
-        val cand = short.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        val ms = pairs.join(sel.select(col("doc_id").as("b_id")), "b_id")
-          .groupBy(col("a_id").as("doc_id"))
-          .agg(max(col("jac_pm")).as("maxsim_pm"))
-        val pick = cand.join(ms, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("rel_pm"),
-            coalesce(col("maxsim_pm"), lit(0L)).as("maxsim_pm"))
-          .withColumn("mmr",
-            lit(7L) * col("rel_pm") - lit(3L) * col("maxsim_pm"))
-          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
-          .select(lit(step).as("mmr_rk"), col("doc_id"), col("rel_pm"),
-            col("maxsim_pm"), col("mmr"))
-        sel = sel.union(pick)
-        if (step % 2 == 0 && step < mmrPicks) sel = sel.localCheckpoint()
-      }
-      sel.orderBy(col("mmr_rk"))
+      import spark.implicits._
+      val picks = mmrPicks
+      // tagged union (kind 0 = shortlist row, kind 1 = pair row) into one
+      // task; the greedy loop is plain Long arithmetic, bit-identical to
+      // the unrolled relational form (and to the oracle's CTE chain)
+      val tagged = short.select(lit(0L).as("kind"), col("doc_id").as("a"),
+          lit(0L).as("b"), col("rel_pm").as("v"))
+        .unionAll(pairs.select(lit(1L).as("kind"), col("a_id").as("a"),
+          col("b_id").as("b"), col("jac_pm").as("v")))
+        .as[(Long, Long, Long, Long)]
+      tagged.coalesce(1).mapPartitions { it =>
+        val rows = it.toVector
+        val rel = rows.collect { case (0L, d, _, r) => d -> r }.toMap
+        val jac = rows.collect { case (1L, a, b, j) => (a, b) -> j }.toMap
+        val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+        (1 to picks).iterator.flatMap { step =>
+          val cands = rel.keysIterator.filterNot(chosen.contains).toSeq
+          if (cands.isEmpty) Iterator.empty
+          else {
+            val best = cands.map { d =>
+              val ms =
+                if (chosen.isEmpty) 0L
+                else chosen.iterator.map(b => jac.getOrElse((d, b), 0L)).max
+              (d, rel(d), ms, 7L * rel(d) - 3L * ms)
+            }.minBy { case (d, _, _, m) => (-m, d) }
+            chosen += best._1
+            Iterator.single((step, best._1, best._2, best._3, best._4))
+          }
+        }
+      }.toDF("mmr_rk", "doc_id", "rel_pm", "maxsim_pm", "mmr")
+        .orderBy(col("mmr_rk"))
     },
     Some {
       val steps = (2 to mmrPicks).map { t =>

@@ -1827,9 +1827,14 @@ object TextOps {
     val wc = d.select(explode(toks(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // materialize the corpus-sized tokenize+count ONCE under the
+    // caller's conf (it wants AQE); the merge rounds below operate on
+    // the vocabulary-sized dict only, inside the loop-sized scope
     var words = wc.withColumn("syms",
       expr("concat(transform(sequence(1, length(word))," +
         " i -> substring(word, i, 1)), array('_'))"))
+      .localCheckpoint()
+    graft.plans.AdaptiveGate.scopedLoop(spark, d) {
     val merges = Seq.newBuilder[DataFrame]
     for (step <- 1 to bpeMerges) {
       val pairs = words.select(col("cnt"), explode(expr(
@@ -1849,6 +1854,7 @@ object TextOps {
       if (step % 2 == 0 && step < bpeMerges) words = words.localCheckpoint()
     }
     (words, merges.result())
+    }
   }
 
   /** Oracle twin of [[bpeFit]]: CTE block ending in `w$bpeMerges` (the

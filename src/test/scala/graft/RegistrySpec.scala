@@ -52,6 +52,7 @@ class RegistrySpec extends SparkSpec {
     "v_mrl_ann" -> 9, "v_bq_ann" -> 9, "v_cluster_select" -> 390,
     "v_dim_stats" -> 64,
     "t_dedup_clusters" -> 45, "p_dedup_canonical" -> 21,
+    "p_split_leakfree" -> 3,
     "g_triangle_count" -> 1, "g_degree_hist" -> 3, "g_jaccard_links" -> 10,
     "x_map_funcs" -> 20, "x_cond_agg" -> 3, "x_stats_agg" -> 3,
     "x_window_lead_lag" -> 306, "a_rfm_segments" -> 38, "p_pii_mask" -> 25,
