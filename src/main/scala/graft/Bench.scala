@@ -42,6 +42,8 @@ object Bench {
       // time-to-error into the headline would make failures look cheap.
       val good = attempts.filter(_._2).map(_._1)
       if (good.isEmpty) failed ::= name
+      // fresh-state boundary between queries (see GraftSession.releaseQueryState)
+      GraftSession.releaseQueryState(spark)
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
     val qs = results.map { case (k, v) =>

@@ -50,6 +50,10 @@ object BenchFull {
         } catch { case e: Throwable => success = false; logFail(name, e); -1L }
         (System.nanoTime() - t0) / 1e6 -> rows
       }
+      // fresh-state boundary between queries (reference protocol: one
+      // context per query) — without it checkpoint blocks from ~800
+      // earlier executions evict later queries' state to disk
+      GraftSession.releaseQueryState(spark)
       (name, qStart, success, iters)
     }
 

@@ -87,6 +87,8 @@ object ClusterCheck {
         failed ::= name
         System.err.println(s"[cluster-check] $name FAILED: ${e.getMessage}")
       }
+      // fresh-state boundary between queries (see GraftSession.releaseQueryState)
+      GraftSession.releaseQueryState(spark)
     }
     // Verify-shaped oracle_sql.json restricted to the subset, so
     // check_oracles.py applies the identical DuckDB gate to these outputs

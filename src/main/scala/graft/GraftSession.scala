@@ -176,6 +176,34 @@ object GraftSession {
     spark
   }
 
+  /** Release ORPHANED per-query persistent state (localCheckpoint blocks,
+    * cached plans) between independent query executions in a long-lived
+    * harness JVM. A query's `localCheckpoint`s live until unpersisted; a
+    * harness running the full registry back-to-back (Bench / Verify /
+    * ClusterCheck — up to 4 executions per query in BenchFull) otherwise
+    * accumulates hundreds of orphaned block sets, fills the storage pool,
+    * and forces later checkpoints to evict to disk: measured 5× on the
+    * late-alphabet vector family (`v_knn_graph` 1.15 s in isolation vs
+    * 6.12 s at suite position 193 before this). Equivalent to the
+    * reference protocol's fresh context per benchmarked query
+    * (benchmarks/src/util/run.rs:197-260).
+    *
+    * Mechanism: reachability, not a blanket unpersist. Cross-query caches
+    * (the trained-index fits in VectorOps.idxCache) are localCheckpointed
+    * — lineage-TRUNCATED — so unpersisting them is unrecoverable
+    * ([CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND] on next reuse). Spark's
+    * ContextCleaner already tracks every RDD by weak reference and
+    * unpersists it when the JVM proves it unreachable; a query's orphaned
+    * checkpoint intermediates have no live referents once its DataFrames
+    * are dropped, while retained fits stay strongly referenced by their
+    * cache. So an explicit GC at the query boundary frees exactly the
+    * orphans and can never touch live state. clearCache() additionally
+    * drops plan-cache entries, whose lineage is intact (recompute-safe). */
+  def releaseQueryState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    System.gc() // ContextCleaner unpersists whatever this proves orphaned
+  }
+
   /** Build (or reuse) the engine session, with graft-native functions
     * registered (≡ the reference's per-request SessionBuilder hook,
     * reference: src/flight_service/do_get.rs:100-113). */

@@ -31,7 +31,8 @@ object Registry {
       graft.multimodal.MediaOps.queries ++
       graft.queries.Canaries.queries ++
       graft.queries.RetrievalOps.queries ++
-      graft.queries.SketchOps.queries
+      graft.queries.SketchOps.queries ++
+      graft.queries.StreamRuns.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.{Catalog, GQuery}
+import graft.streaming.StreamOps
+import graft.util.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Driver-gated REPLAYS of the Structured Streaming operators: each query
+  * feeds the events fixture through a bounded multi-micro-batch file-source
+  * stream (watermarks, keyed state, stream-stream join all live), then
+  * compares the collected emissions against a plain batch DuckDB oracle.
+  * This closes the one gap StreamingSpec left: the streaming ops were
+  * spec-tested on synthetic MemoryStreams but never driver-gated on the
+  * fixture. The reference engine is bounded-batch only (reference:
+  * src/plan/arrow_flight_read.rs:36-38 `Boundedness::Bounded`), so this
+  * whole surface is extension layer.
+  *
+  * Replay protocol (shared layout, built once per fixture dir per JVM):
+  *   - events are split into [[ReplayFiles]] event-time-ranged parquet
+  *     files (file i's min ts >= file i-1's max ts), processed one per
+  *     micro-batch, so the watermark advances monotonically and NO real
+  *     row is ever late — the collected stream output must then equal the
+  *     batch answer exactly, which is what makes a DuckDB oracle possible.
+  *   - two far-future `__sentinel__` rows ride in two trailing files.
+  *     Sentinel 1 advances the watermark past every real event; sentinel
+  *     2 drives one more stateful batch so windows/sessions closed by
+  *     sentinel 1's watermark actually emit (a watermark computed from
+  *     batch N's data takes effect in batch N+1). Sentinel rows are
+  *     filtered from every result.
+  *   - file modification times are forced strictly increasing so the file
+  *     stream source's oldest-first ordering is deterministic.
+  *
+  * At 100 TB the same topology is the production shape: a file/queue
+  * source delivering time-bucketed batches, state keyed by user/entity
+  * (the same hash shuffle as the batch path), watermark bounding state.
+  * The replay builder's one global sort (ntile over event time) is
+  * test-harness setup, not part of the streaming plan.
+  */
+object StreamRuns {
+
+  private val ReplayFiles = 4
+
+  /** Build (once per fixture dir) the time-bucketed replay layout:
+    * `<root>/data/evt_{00..05}.parquet`, last two files = sentinels. */
+  private def replayRoot(spark: SparkSession, dir: String): String =
+    TextOps.cachedLayout("sreplay", dir) { root =>
+      val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val w = Window.orderBy(col("ts_us"), col("event_id"))
+      val maxUs = e.agg(max(col("ts_us"))).head().getLong(0)
+      val sentinels = spark.range(2).select(
+        lit(-1L).as("user_id"),
+        (lit(maxUs) + (col("id") + 1) * 100L * 86400L * 1000000L).as("ts_us"),
+        (-col("id") - 1L).as("event_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0d).as("value"),
+        (col("id") + ReplayFiles).as("b"))
+      val staged = s"$root/staged"
+      e.withColumn("b", (ntile(ReplayFiles).over(w) - 1).cast("long"))
+        .unionByName(sentinels)
+        .repartition(ReplayFiles + 2, col("b"))
+        .write.partitionBy("b").parquet(staged)
+      // flatten to one file per micro-batch with forced-increasing modtimes
+      val base = System.currentTimeMillis()
+      (0 until ReplayFiles + 2).foreach { i =>
+        val part = new java.io.File(staged, s"b=$i").listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one file in bucket $i, got ${part.length}")
+        val dst = new java.io.File(dataDir, f"evt_$i%02d.parquet")
+        java.nio.file.Files.move(part.head.toPath, dst.toPath)
+        dst.setLastModified(base + i * 60000L)
+      }
+    }
+
+  /** Run one bounded replay: fresh checkpoint, one file per micro-batch,
+    * AvailableNow termination, emissions collected via the memory sink.
+    * Sentinel filtering is the caller's job (output schemas differ). */
+  private def runStream(
+      spark: SparkSession, dir: String, sinkName: String, mode: OutputMode)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val data = replayRoot(spark, dir) + "/data"
+    val schema = spark.read.parquet(data).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(data)
+    spark.catalog.dropTempView(sinkName) // re-runs in the same JVM (Bench)
+    val ckpt = TextOps.trackedTempDir("graft-sreplay-ckpt-")
+    val q = build(src).writeStream
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  // --------------------------------------------------------- hourly windows
+  /** Watermarked tumbling-window aggregation replay — the streaming twin of
+    * e_hourly_stats: in Append mode a window row is emitted exactly once,
+    * after the watermark closes it, so the collected emissions ARE the
+    * batch rollup. */
+  val hourlyStats: GQuery = GQuery(
+    "s_hourly_stats",
+    "streaming replay: watermark-closed tumbling-hour windows == batch rollup",
+    (spark, dir) => {
+      val out = runStream(spark, dir, "s_hourly_sink", OutputMode.Append())(
+        StreamOps.hourlyStats)
+      out.filter(col("event_type") =!= "__sentinel__")
+        .select((col("window_start_us") / 1000000L).cast("long").as("hour_epoch"),
+          col("event_type"), col("n"), col("tot_value_fix6"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    },
+    Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(${fix6Sql("value")}) AS BIGINT) AS tot_value_fix6
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_epoch, event_type"""))
+
+  // ----------------------------------------------------------- sessionize
+  /** Keyed-state sessionization replay (flatMapGroupsWithState with
+    * event-time timeout): every session the batch lag/flag-sum query finds
+    * must be closed and emitted by the streaming state machine — including
+    * each user's LAST session, which only a timeout (driven here by the
+    * sentinel watermark) can close. */
+  val sessionize: GQuery = GQuery(
+    "s_sessionize",
+    "streaming replay: gap-timeout sessions == batch 30-min sessionization",
+    (spark, dir) => {
+      import spark.implicits._
+      val sessions = runStream(spark, dir, "s_sessionize_sink", OutputMode.Append()) {
+        df =>
+          StreamOps.sessionize(
+            df.select(col("user_id"), col("ts_us"), col("event_type"), col("value"))
+              .as[StreamOps.Ev],
+            gapMinutes = 30).toDF()
+      }
+      sessions.filter(col("user_id") >= 0L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM (SELECT user_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, ts,
+                         LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM events) t) s
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // -------------------------------------------------------------- dedup
+  /** Streaming exact-dedup replay: dropDuplicatesWithinWatermark with a
+    * retention that covers the whole bounded replay, so the emitted key
+    * set must equal batch DISTINCT. (A continuous ingest sizes retention
+    * to its dedup horizon instead — state stays bounded by horizon keys,
+    * which is what makes this run forever at 100 TB/day.) */
+  val dedupKeys: GQuery = GQuery(
+    "s_dedup_keys",
+    "streaming replay: watermark-state dedup emits == batch DISTINCT keys",
+    (spark, dir) => {
+      val out = runStream(spark, dir, "s_dedup_sink", OutputMode.Append()) { df =>
+        StreamOps.dedupByKey(
+          df.withColumn("event_key",
+            concat_ws("|", col("user_id"), col("event_type"))),
+          retention = "3650 days")
+      }
+      out.filter(col("user_id") >= 0L)
+        .select(col("event_key")).orderBy(col("event_key"))
+    },
+    Some("""
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type AS event_key
+      FROM events
+      ORDER BY event_key"""))
+
+  // ---------------------------------------------------------- CDC latest
+  /** CDC compaction replay: mapGroupsWithState in Update mode maintains
+    * each entity's current record; every batch re-emits the keys it
+    * touched, so the per-key argmax over the emission log is the final
+    * state — which must equal the batch e_upsert_compact answer. */
+  val cdcLatest: GQuery = GQuery(
+    "s_cdc_latest",
+    "streaming replay: keyed-state CDC current-state == batch compaction",
+    (spark, dir) => {
+      import spark.implicits._
+      val emits = runStream(spark, dir, "s_cdc_sink", OutputMode.Update()) { df =>
+        StreamOps.latestByKey(
+          df.select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("value")).as[StreamOps.Rec]).toDF()
+      }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      emits.filter(col("user_id") >= 0L)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_us"), col("event_type"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, ts_us, event_type, event_id, value
+      FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  // ------------------------------------------------------ interval join
+  /** Stream-stream event-time interval join replay (self-join of the
+    * replayed stream split by event type): every click->purchase pair the
+    * batch band join finds must be emitted. Inner matches emit eagerly;
+    * watermark state expiry never drops a viable click because the
+    * replay's files are time-ordered (no late data). */
+  val intervalJoin: GQuery = GQuery(
+    "s_interval_join",
+    "streaming replay: stream-stream interval join == batch band join",
+    (spark, dir) => {
+      val pairs = runStream(spark, dir, "s_ivjoin_sink", OutputMode.Append()) { df =>
+        StreamOps.clickPurchaseJoin(
+          df.filter(col("event_type") === "click"),
+          df.filter(col("event_type") === "purchase"))
+      }
+      pairs.select(col("user_id"), col("c_ts_us"), col("p_ts_us"),
+          fix6(col("value")).as("value_fix6"))
+        .orderBy(col("user_id"), col("c_ts_us"), col("p_ts_us"), col("value_fix6"))
+    },
+    Some(s"""
+      SELECT c.user_id AS user_id, epoch_us(c.ts) AS c_ts_us,
+             epoch_us(p.ts) AS p_ts_us, ${fix6Sql("p.value")} AS value_fix6
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, c_ts_us, p_ts_us, value_fix6"""))
+
+  val queries: Seq[GQuery] =
+    Seq(hourlyStats, sessionize, dedupKeys, cdcLatest, intervalJoin)
+}

@@ -95,7 +95,9 @@ class RegistrySpec extends SparkSpec {
     "e_pattern_match" -> 3, "p_dlq" -> 5, "m_shard_manifest" -> 43,
     "x_time_travel" -> 3, "a_seasonality" -> 7, "t_winnow" -> 20,
     "g_assortativity" -> 1, "a_cohort_matrix" -> 5,
-    "g_clustering_coeff" -> 1, "e_stickiness" -> 5)
+    "g_clustering_coeff" -> 1, "e_stickiness" -> 5,
+    "s_hourly_stats" -> 868, "s_sessionize" -> 15, "s_dedup_keys" -> 75,
+    "s_cdc_latest" -> 15, "s_interval_join" -> 2)
 
   test("registry is complete: every query present, every oracle key valid") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
