@@ -43,6 +43,18 @@ object StreamRuns {
 
   private val ReplayFiles = 4
 
+  /** State-store partition count for the bounded replays. A stateful
+    * micro-batch commits one store-version file per state partition per
+    * batch (a stream-stream join keeps FOUR stores per partition), so at
+    * replay volume the commit fan-out — not the data — dominates wall
+    * clock: at the session default of 32 partitions the interval join
+    * spent 16 s on 32×4×6 store commits for 183 result rows. The
+    * operators are partition-count-agnostic (results proven identical by
+    * the oracle gate); a production ingest sizes this to throughput and
+    * key cardinality instead — it is the streaming analog of
+    * AdaptiveGate's small-plan width floor. */
+  private val StatePartitions = 4
+
   /** Build (once per fixture dir) the time-bucketed replay layout:
     * `<root>/data/evt_{00..05}.parquet`, last two files = sentinels. */
   private def replayRoot(spark: SparkSession, dir: String): String =
@@ -90,13 +102,19 @@ object StreamRuns {
       .parquet(data)
     spark.catalog.dropTempView(sinkName) // re-runs in the same JVM (Bench)
     val ckpt = TextOps.trackedTempDir("graft-sreplay-ckpt-")
-    val q = build(src).writeStream
-      .format("memory").queryName(sinkName)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a fresh checkpoint bakes the partition count in at first batch, so
+    // the narrowed conf only ever applies to this stream's state stores
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = build(src).writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sinkName)
   }
 
