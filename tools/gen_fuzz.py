@@ -200,7 +200,12 @@ def main() -> None:
         if kind == "mod":
             c = pick(int_cols[t])
             k = pick([3, 5, 7, 11, 13])
-            return f"{c} % {k} {pick(['=', '<>', '<'])} {rng.randrange(k)}"
+            op = pick(["=", "<>", "<"])
+            # a modulus is never negative, so "< 0" would be always-false —
+            # degenerate coverage, and empty input is a real divergence
+            # class for grouping sets (see grouping_sets)
+            lit = rng.randrange(1, k) if op == "<" else rng.randrange(k)
+            return f"{c} % {k} {op} {lit}"
         if kind == "in":
             c = pick(str_cols[t])
             vals = sample_vals(t, c, rng.randint(1, 3))
@@ -358,7 +363,14 @@ def main() -> None:
              f"CAST(GROUPING({d2}) AS BIGINT) AS g2",
              "COUNT(*) AS cnt"] + [f"{e} AS {n}" for e, n in extra])
         where = where_of(tables, False, 0, 1)
-        return f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+        # HAVING guard: on EMPTY input Spark's Expand-based grouping sets
+        # emit NO global () row while the standard (and DuckDB) emit one
+        # with cnt=0 — a real engine divergence (found by fz160, seed 6).
+        # COUNT(*) > 0 is an identity on every non-empty group, and it
+        # filters the divergent empty-input global row on both engines,
+        # making the template immune to any always-false WHERE draw.
+        return (f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+                " HAVING COUNT(*) > 0")
 
     def full_outer():
         # FULL OUTER JOIN on NULL-heavy derived keys: each side is
@@ -436,7 +448,14 @@ def main() -> None:
              f"CAST(GROUPING({d2}) AS BIGINT) AS g2"] +
             [f"{e} AS {n}" for e, n in aggs])
         where = where_of(tables, False, 0, 1)
-        return f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+        # HAVING guard: on EMPTY input Spark's Expand-based grouping sets
+        # emit NO global () row while the standard (and DuckDB) emit one
+        # with cnt=0 — a real engine divergence (found by fz160, seed 6).
+        # COUNT(*) > 0 is an identity on every non-empty group, and it
+        # filters the divergent empty-input global row on both engines,
+        # making the template immune to any always-false WHERE draw.
+        return (f"SELECT {sel} FROM {src}{where} GROUP BY {spec}"
+                " HAVING COUNT(*) > 0")
 
     def full_outer_decimal():
         # v4: NULL-key FULL OUTER against pre-aggregated sides carrying
