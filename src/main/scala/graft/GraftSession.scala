@@ -198,10 +198,20 @@ object GraftSession {
     * are dropped, while retained fits stay strongly referenced by their
     * cache. So an explicit GC at the query boundary frees exactly the
     * orphans and can never touch live state. clearCache() additionally
-    * drops plan-cache entries, whose lineage is intact (recompute-safe). */
+    * drops plan-cache entries, whose lineage is intact (recompute-safe).
+    *
+    * The GC is THRESHOLDED, not unconditional: orphaned (not yet cleaned)
+    * RDDs stay listed in `getPersistentRDDs` until the ContextCleaner
+    * drops them, so the registry size directly measures accumulation. An
+    * unconditional full GC between all ~200 queries measurably taxed the
+    * light ones (~60-400 ms each — soft-reference/code-cache aging), which
+    * is the leak fix overshooting; firing only past 64 live entries keeps
+    * light stretches GC-free while still bounding the heavy-family leak
+    * to a handful of training runs. */
   def releaseQueryState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    System.gc() // ContextCleaner unpersists whatever this proves orphaned
+    if (spark.sparkContext.getPersistentRDDs.size > 64)
+      System.gc() // ContextCleaner unpersists whatever this proves orphaned
   }
 
   /** Build (or reuse) the engine session, with graft-native functions
