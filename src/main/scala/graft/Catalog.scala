@@ -191,6 +191,14 @@ object Catalog {
 
   /** In-memory preload (reference: benchmarks/src/tpch/run.rs:225-235
     * `--mem-table`): cache + materialize.
+    *
+    * NOT composable with the harness query boundary:
+    * [[graft.GraftSession.releaseQueryState]] calls
+    * `cacheManager.clearCache()` between registry queries, which drops
+    * THIS cache too — a Bench/Verify loop over a cacheTable preload would
+    * silently measure cold parquet reads after the first query while
+    * claiming mem-table mode. Preload-mode measurement must either run
+    * single-query or skip the release boundary.
     */
   def cacheTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = table(spark, sfDir, name).cache()

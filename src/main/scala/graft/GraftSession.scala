@@ -200,19 +200,52 @@ object GraftSession {
     * orphans and can never touch live state. clearCache() additionally
     * drops plan-cache entries, whose lineage is intact (recompute-safe).
     *
-    * The GC is THRESHOLDED, not unconditional: orphaned (not yet cleaned)
-    * RDDs stay listed in `getPersistentRDDs` until the ContextCleaner
-    * drops them, so the registry size directly measures accumulation. An
-    * unconditional full GC between all ~200 queries measurably taxed the
-    * light ones (~60-400 ms each — soft-reference/code-cache aging), which
-    * is the leak fix overshooting; firing only past 64 live entries keeps
-    * light stretches GC-free while still bounding the heavy-family leak
-    * to a handful of training runs. */
+    * The GC is THRESHOLDED on storage-pool PRESSURE, not unconditional
+    * and not on entry count: an unconditional full GC between all ~200
+    * queries measurably taxed the light ones (~60-400 ms each —
+    * soft-reference/code-cache aging), and the round-8 count threshold
+    * (`getPersistentRDDs.size > 64`) overshot the same way in reverse —
+    * the count stays high throughout the heavy checkpoint stretch, so the
+    * GC kept firing between precisely the light ANN queries sitting
+    * inside it (measured 1.2-1.4x on v_ivf/lsh/pq/radius in the round-8
+    * driver bench) even though the storage POOL had room. The actual
+    * eviction hazard is pool occupancy: blocks only start spilling/
+    * evicting when the pool fills. So fire only when the storage pool is
+    * more than half full — light stretches stay GC-free regardless of how
+    * many (small) orphaned entries are listed, while a genuinely filling
+    * pool still gets released within a query boundary of the hazard.
+    *
+    * Caveat (advice r8): `System.gc()` is a NO-OP under
+    * `-XX:+DisableExplicitGC` — the leak would silently return with the
+    * threshold firing useless calls. Detected below: if the pool stays
+    * past threshold across consecutive release calls with no drop in
+    * occupancy, the JVM is provably not honoring the request and a
+    * one-time warning names the flag. */
   def releaseQueryState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    if (spark.sparkContext.getPersistentRDDs.size > 64)
+    val status = spark.sparkContext.getExecutorMemoryStatus.values
+    val maxMem = status.map(_._1).sum
+    val usedFrac =
+      if (maxMem <= 0L) 0.0
+      else (maxMem - status.map(_._2).sum).toDouble / maxMem
+    if (usedFrac > 0.5) {
       System.gc() // ContextCleaner unpersists whatever this proves orphaned
+      if (lastGcUsedFrac.exists(prev => usedFrac >= prev) && !gcWarned) {
+        gcWarned = true
+        System.err.println(
+          "[graft] releaseQueryState: storage pool still " +
+            f"${usedFrac * 100}%.0f%% full after a prior explicit GC — " +
+            "if the JVM runs -XX:+DisableExplicitGC the orphan release " +
+            "is a no-op and localCheckpoint blocks will accumulate")
+      }
+      lastGcUsedFrac = Some(usedFrac)
+    } else lastGcUsedFrac = None
   }
+
+  /** Pool occupancy at the previous threshold-crossing release, for the
+    * DisableExplicitGC no-op detection above. */
+  @volatile private var lastGcUsedFrac: Option[Double] = None
+  @volatile private var gcWarned: Boolean = false
 
   /** Build (or reuse) the engine session, with graft-native functions
     * registered (≡ the reference's per-request SessionBuilder hook,

@@ -192,8 +192,16 @@ object AdaptiveGate {
       val conf = spark.conf
       val savedParts = conf.get("spark.sql.shuffle.partitions")
       val savedAqe = conf.get("spark.sql.adaptive.enabled")
+      // same trust rule as [[tune]]: byte-sized narrowing only when every
+      // leaf is a file scan/literal — a checkpointed sizing leaf reports
+      // bytes while hiding CPU-dense lineage, and squeezing the loop body
+      // into ~1 partition would re-create the v_knn_graph 1.38x failure
+      // inside every iteration. Non-file-backed ⇒ keep the caller's full
+      // width; the scope still saves the per-iteration AQE stage rounds.
       val parts =
-        math.max(1L, math.min(savedParts.toLong, in / BytesPerPartition)).toInt
+        if (allLeavesFileBacked(sizing))
+          math.max(1L, math.min(savedParts.toLong, in / BytesPerPartition)).toInt
+        else savedParts.toInt
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", parts.toString)
       try body

@@ -80,7 +80,8 @@ object StreamRuns {
       // flatten to one file per micro-batch with forced-increasing modtimes
       val base = System.currentTimeMillis()
       (0 until ReplayFiles + 2).foreach { i =>
-        val part = new java.io.File(staged, s"b=$i").listFiles()
+        val part = Option(new java.io.File(staged, s"b=$i").listFiles())
+          .getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         require(part.length == 1, s"expected one file in bucket $i, got ${part.length}")
         val dst = new java.io.File(dataDir, f"evt_$i%02d.parquet")

@@ -746,7 +746,7 @@ object TextOps {
     * a 150M-row stream at sf0.1 and 9 s; this is one pass.) */
   /** (doc_id, simhash) frame — shared by the fingerprint query and the
     * simhash near-dup pairing below. */
-  private def simhashDf(d: DataFrame): DataFrame = {
+  private[queries] def simhashDf(d: DataFrame): DataFrame = {
     val votes = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
         .as(s"v$b"))
