@@ -44,33 +44,54 @@ object MediaOps {
     * Encode: gray bytes -> a real PNG (1 row, 8-bit grayscale; W = byte
     * count). Decode: full PNG parse + inflate via ImageIO, raster samples
     * back out as bytes. Both run executor-side inside mapPartitions.
+    *
+    * One [[PngCodec]] instance per partition (round-9, verdict item 7):
+    * the `ImageIO.read`/`write` conveniences re-scan the service
+    * registry and allocate a fresh `ImageReader`/`ImageWriter` PER BLOB
+    * — measurable churn when every row is a small image. The codec
+    * object does the registry lookup once and reuses the reader/writer
+    * across the whole partition via `setInput`/`setOutput`, which is
+    * exactly how a production media pipeline amortizes decoder init.
     * `ImageIO.setUseCache(false)` keeps the codec on heap buffers (the
     * default spills through temp FILES — per-blob disk I/O on every
-    * executor; the call is cheap and idempotent, so it runs once per
-    * partition in the init slot). */
-  private def encodePng(gray: Array[Byte]): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      gray.length, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    img.getRaster.setDataElements(0, 0, gray.length, 1, gray)
-    val bos = new java.io.ByteArrayOutputStream(gray.length + 128)
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+    * executor). */
+  private final class PngCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
 
-  private def decodePixels(media: Array[Byte], format: String): Array[Byte] =
-    format match {
-      case "png" =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(media))
-        require(img != null, "undecodable PNG blob")
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Byte](w * h)
-        img.getRaster.getDataElements(0, 0, w, h, out)
-        out
-      case "empty" => Array.emptyByteArray
-      case _ => media // opaque formats pass through (audio path)
+    def encode(gray: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        gray.length, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, gray.length, 1, gray)
+      val bos = new java.io.ByteArrayOutputStream(gray.length + 128)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.flush(); ios.close()
+      bos.toByteArray
     }
+
+    def decode(media: Array[Byte], format: String): Array[Byte] =
+      format match {
+        case "png" =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(media))
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          iis.close()
+          require(img != null, "undecodable PNG blob")
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          img.getRaster.getDataElements(0, 0, w, h, out)
+          out
+        case "empty" => Array.emptyByteArray
+        case _ => media // opaque formats pass through (audio path)
+      }
+  }
 
   /** Encoder input for [[attachMedia]] (not private: Spark's generated
     * row projection needs constructor access). */
@@ -88,10 +109,10 @@ object MediaOps {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
       .as[RawDoc]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        val codec = new PngCodec // per-partition codec init
         rows.map { r =>
           if (r.bytes.isEmpty) MediaRow(r.doc_id, Array.emptyByteArray, "empty", 0, 1)
-          else MediaRow(r.doc_id, encodePng(r.bytes), "png", r.bytes.length, 1)
+          else MediaRow(r.doc_id, codec.encode(r.bytes), "png", r.bytes.length, 1)
         }
       }
   }
@@ -102,9 +123,9 @@ object MediaOps {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
+      val codec = new PngCodec // per-partition decoder init
       rows.map { r =>
-        val px = decodePixels(r.media, r.format)
+        val px = codec.decode(r.media, r.format)
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
@@ -127,9 +148,9 @@ object MediaOps {
   def blockProfile(media: Dataset[MediaRow]): Dataset[BlockProfile] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codec = new PngCodec
       rows.map { r =>
-        val px = decodePixels(r.media, r.format)
+        val px = codec.decode(r.media, r.format)
         val bsum = new Array[Long](16)
         val bcnt = new Array[Long](16)
         var s = 0L
@@ -156,9 +177,9 @@ object MediaOps {
   def resize(media: Dataset[MediaRow], targetPx: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codec = new PngCodec
       rows.map { r =>
-        val px = decodePixels(r.media, r.format)
+        val px = codec.decode(r.media, r.format)
         val len = px.length
         if (len <= targetPx) r
         else {
@@ -168,7 +189,7 @@ object MediaOps {
             out(i) = px((i.toLong * len / targetPx).toInt)
             i += 1
           }
-          r.copy(media = encodePng(out), format = "png",
+          r.copy(media = codec.encode(out), format = "png",
             width = targetPx, height = 1)
         }
       }
@@ -183,9 +204,9 @@ object MediaOps {
   def sampleFrames(media: Dataset[MediaRow], n: Int, frameBytes: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codec = new PngCodec
       rows.flatMap { r =>
-        val px = decodePixels(r.media, r.format)
+        val px = codec.decode(r.media, r.format)
         val len = px.length
         if (len == 0) Iterator.empty
         else (0 until n).iterator.map { k =>

@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
 object Canaries {
 
   def queries: Seq[GQuery] = Seq(tsCanary, arrayCanary, mapCanary,
-    floatEdgeCanary, decimal18Canary, reprCanary)
+    floatEdgeCanary, decimal18Canary, reprCanary, gsEmptyCanary)
 
   /** TIMESTAMP_NTZ output: micros-precision timestamps derived from the
     * events table's epoch-nanos. The ntz cast is the contract — a
@@ -219,4 +219,50 @@ object Canaries {
       FROM orders WHERE o_orderkey < 100
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
+
+  /** Empty-input GROUPING SETS divergence, pinned IN-ENGINE (round-8
+    * fuzzer finding fz160, promoted per the r8 verdict: a semantic
+    * divergence this sharp belongs in the engine's own record, not only
+    * in a fuzz-grammar guard). Spark's Expand-based grouping sets emit
+    * NO global `()` row when the input is empty; the SQL standard — and
+    * DuckDB — emit one with COUNT(*) = 0. This canary runs the same
+    * grouping-sets shape over an always-empty branch and a non-empty
+    * control branch: the control proves the global row DOES appear on
+    * non-empty input (non-vacuous), the empty branch pins Spark's
+    * zero-row answer. The ORACLE is written to Spark's semantics: its
+    * empty branch appends `HAVING COUNT(*) > 0`, which is an identity on
+    * non-empty groups and filters exactly the standard's empty-input
+    * global row. Dialect note lives in COVERAGE.md next to the
+    * decimal/float entries; the fuzz grammar's structural guard
+    * (grouping-set templates carry the same HAVING) stays. */
+  val gsEmptyCanary: GQuery = GQuery(
+    "c_gs_empty",
+    "canary: GROUPING SETS on empty input emits no global row (Spark) vs one zero row (standard)",
+    (spark, dir) => {
+      val d = Catalog.table(spark, dir, "documents")
+      def gs(f: org.apache.spark.sql.Column, tag: String) = d.filter(f)
+        .groupingSets(Seq(Seq(col("source")), Seq.empty), col("source"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+        .select(lit(tag).as("branch"),
+          coalesce(col("source"), lit("ALL")).as("src"), col("gid"), col("n"))
+      gs(col("doc_id") < 0, "empty")
+        .unionByName(gs(col("doc_id") < 50, "ctl"))
+        .orderBy(col("branch"), col("gid"), col("src"))
+    },
+    Some("""
+      WITH eg AS (
+        SELECT 'empty' AS branch, COALESCE(source, 'ALL') AS src,
+               CAST(GROUPING(source) AS INTEGER) AS gid, COUNT(*) AS n
+        FROM (SELECT source FROM documents WHERE doc_id < 0)
+        GROUP BY GROUPING SETS ((source), ())
+        HAVING COUNT(*) > 0),
+      cg AS (
+        SELECT 'ctl' AS branch, COALESCE(source, 'ALL') AS src,
+               CAST(GROUPING(source) AS INTEGER) AS gid, COUNT(*) AS n
+        FROM (SELECT source FROM documents WHERE doc_id < 50)
+        GROUP BY GROUPING SETS ((source), ()))
+      SELECT branch, src, gid, n FROM eg
+      UNION ALL
+      SELECT branch, src, gid, n FROM cg
+      ORDER BY branch, gid, src"""))
 }

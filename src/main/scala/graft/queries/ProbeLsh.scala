@@ -43,7 +43,58 @@ object ProbeLsh {
     val docs = TextOps.spread(graft.Catalog.table(spark, dir, "documents"))
     if (which == "minhash" || which == "both") probeMinhash(spark, docs)
     if (which == "simhash" || which == "both") probeSimhash(spark, docs)
+    if (which == "simhash2") probeSimhashCollapsed(spark, docs)
     spark.stop()
+  }
+
+  /** Collapsed-pipeline breakdown: where does the output-sized tail go —
+    * expansion join or the contract orderBy? */
+  private def probeSimhashCollapsed(spark: SparkSession, docs: DataFrame): Unit = {
+    println("[probe] == simhash collapsed ==")
+    val grouped = timed("collapse (checkpoint)") {
+      TextOps.simhashDf(docs)
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("gid"),
+          collect_list(col("doc_id")).as("members"),
+          count(lit(1)).as("gn"))
+        .localCheckpoint()
+    }
+    println(s"[probe]   groups: ${grouped.count()}")
+    val bands = grouped
+      .select(col("gid"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bh", expr("shiftright(simhash, band * 15) & 32767"))
+    val candReps = timed("rep cands (checkpoint)") {
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
+          col("x.simhash").as("a_sh"), col("y.simhash").as("b_sh"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(a_sh ^ b_sh) as int)"))
+        .filter(col("hamming") <= 3)
+        .select(col("ga"), col("gb"), col("hamming"))
+        .localCheckpoint()
+    }
+    println(s"[probe]   verified rep pairs: ${candReps.count()}")
+    val mem = grouped.select(col("gid"), explode(col("members")).as("doc_id"))
+    val repPairs = candReps.union(
+      grouped.filter(col("gn") >= 2)
+        .select(col("gid").as("ga"), col("gid").as("gb"), lit(0).as("hamming")))
+    val expanded = repPairs
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .filter(col("ga") =!= col("gb") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("hamming"))
+    timed("expansion noop (UNsorted)") {
+      expanded.write.format("noop").mode("overwrite").save()
+    }
+    timed("expansion noop (sorted)") {
+      expanded.orderBy(col("a_id"), col("b_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   private def probeMinhash(spark: SparkSession, docs: DataFrame): Unit = {

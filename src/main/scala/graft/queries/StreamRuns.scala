@@ -90,13 +90,59 @@ object StreamRuns {
       }
     }
 
+  /** Time-bucketed replay WITH DELIBERATELY LATE ROWS (round-9: the
+    * watermark drop path — the reason watermarks exist — had no gated
+    * entry; every other replay is monotone by construction). Built like
+    * [[replayRoot]], except a deterministic subset of the FIRST time
+    * quartile (`event_id % 7 == 3`) is moved into the THIRD file: by the
+    * time that file's micro-batch runs, the watermark has advanced past
+    * those rows' event times (batch 2's watermark = max event time of
+    * batches 0-1 minus the delay), so they arrive late by a known,
+    * fixture-derived margin and their drop/survive split is exactly
+    * computable — which is what makes a batch DuckDB oracle possible. */
+  private def lateReplayRoot(spark: SparkSession, dir: String): String =
+    TextOps.cachedLayout("slatereplay", dir) { root =>
+      val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
+      val e = Catalog.table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val w = Window.orderBy(col("ts_us"), col("event_id"))
+      val maxUs = e.agg(max(col("ts_us"))).head().getLong(0)
+      val sentinels = spark.range(2).select(
+        lit(-1L).as("user_id"),
+        (lit(maxUs) + (col("id") + 1) * 100L * 86400L * 1000000L).as("ts_us"),
+        (-col("id") - 1L).as("event_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0d).as("value"),
+        (col("id") + ReplayFiles).as("b"))
+      val staged = s"$root/staged"
+      e.withColumn("qb", (ntile(ReplayFiles).over(w) - 1).cast("long"))
+        .withColumn("b", when(col("qb") === 0 && col("event_id") % 7 === 3,
+          lit(2L)).otherwise(col("qb")))
+        .drop("qb")
+        .unionByName(sentinels)
+        .repartition(ReplayFiles + 2, col("b"))
+        .write.partitionBy("b").parquet(staged)
+      val base = System.currentTimeMillis()
+      (0 until ReplayFiles + 2).foreach { i =>
+        val part = Option(new java.io.File(staged, s"b=$i").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one file in bucket $i, got ${part.length}")
+        val dst = new java.io.File(dataDir, f"evt_$i%02d.parquet")
+        java.nio.file.Files.move(part.head.toPath, dst.toPath)
+        dst.setLastModified(base + i * 60000L)
+      }
+    }
+
   /** Run one bounded replay: fresh checkpoint, one file per micro-batch,
     * AvailableNow termination, emissions collected via the memory sink.
     * Sentinel filtering is the caller's job (output schemas differ). */
   private def runStream(
-      spark: SparkSession, dir: String, sinkName: String, mode: OutputMode)(
+      spark: SparkSession, dir: String, sinkName: String, mode: OutputMode,
+      layout: (SparkSession, String) => String = replayRoot)(
       build: DataFrame => DataFrame): DataFrame = {
-    val data = replayRoot(spark, dir) + "/data"
+    val data = layout(spark, dir) + "/data"
     val schema = spark.read.parquet(data).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -237,6 +283,81 @@ object StreamRuns {
       WHERE rn = 1
       ORDER BY user_id"""))
 
+  // ------------------------------------------------------- late data
+  /** Watermark LATENESS replay — the drop/update path the other replays
+    * deliberately never exercise (their files are time-ordered, so no
+    * row is ever late). The [[lateReplayRoot]] layout moves a
+    * deterministic subset of first-quartile rows into the third file;
+    * the watermark delay is fixture-derived so the late-event filter at
+    * that file's batch sits exactly 24 h below the first quartile's top:
+    * late rows whose hour window is still open (window end above the
+    * filter watermark) must merge and count; the rest must be DROPPED.
+    *
+    * Pinned semantics (measured, not assumed — the first cut of this
+    * query got it wrong): since the 3.4 two-watermark split, the LATE
+    * filter for batch N uses batch N-1's watermark
+    * (`watermarkForLateEvents`) while EVICTION uses batch N's, so the
+    * filter horizon for file-2 rows is max(file0 events) − delay, one
+    * batch behind the progress line's figure. That lag is also what
+    * makes duplicate emission impossible BY CONSTRUCTION: a late row
+    * passes the filter iff its window end exceeds batch 1's watermark —
+    * exactly the eviction horizon that decided which windows were
+    * already emitted, so a surviving late row's window can never have
+    * closed. The oracle mirrors the lagged horizon with the same
+    * integer arithmetic, including Spark's millisecond watermark floor
+    * (wm_us = (max00_us div 1000 − delay_s·1000)·1000) and the
+    * strictly-greater keep rule on the window end. Non-vacuous on every
+    * fixture SF (sf0.001: 36 late rows → 6 survive / 30 drop;
+    * sf0.01: 357 → 45/312; sf0.1: 3571 → 486/3085 at authoring). */
+  val lateData: GQuery = GQuery(
+    "s_late_data",
+    "streaming replay with late rows: watermark drops closed-window stragglers, merges open ones",
+    (spark, dir) => {
+      // fixture-derived delay, same integer arithmetic as the oracle's
+      // `d` CTE: the late-event filter at the late batch uses batch 0's
+      // max (the lagged watermark) − delay ≈ t25 − 24 h
+      val eb = Catalog.table(spark, dir, "events")
+        .select(expr("ts div 1000").as("ts_us"), col("event_id"))
+      val w = Window.orderBy(col("ts_us"), col("event_id"))
+      val f = eb.withColumn("qb", ntile(ReplayFiles).over(w) - 1)
+        .withColumn("late", col("qb") === 0 && col("event_id") % 7 === 3)
+        .withColumn("b", when(col("late"), 2L).otherwise(col("qb").cast("long")))
+      val r = f.agg(
+        max(when(col("b") === 0, col("ts_us"))).as("max00"),
+        max(when(col("qb") === 0, col("ts_us"))).as("t25")).head()
+      val dS = math.max(1L,
+        (r.getLong(0) - (r.getLong(1) - 86400000000L)) / 1000000L)
+      val out = runStream(spark, dir, "s_late_sink", OutputMode.Append(),
+        layout = lateReplayRoot)(df => StreamOps.hourlyStats(df, s"$dS seconds"))
+      out.filter(col("event_type") =!= "__sentinel__")
+        .select((col("window_start_us") / 1000000L).cast("long").as("hour_epoch"),
+          col("event_type"), col("n"), col("tot_value_fix6"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                        event_type, value FROM events),
+      q AS (SELECT *, ntile(4) OVER (ORDER BY ts_us, event_id) - 1 AS qb
+            FROM e),
+      f AS (SELECT *, (qb = 0 AND event_id % 7 = 3) AS late,
+                   CASE WHEN qb = 0 AND event_id % 7 = 3 THEN 2 ELSE qb END AS b
+            FROM q),
+      d AS (SELECT GREATEST(1, (MAX(CASE WHEN b = 0 THEN ts_us END)
+                     - (MAX(CASE WHEN qb = 0 THEN ts_us END) - 86400000000))
+                     // 1000000) AS d_s,
+                   MAX(CASE WHEN b = 0 THEN ts_us END) AS max00
+            FROM f),
+      s AS (SELECT f.* FROM f, d
+            WHERE NOT f.late
+               OR ts_us - ts_us % 3600000000 + 3600000000 >
+                  ((max00 // 1000) - d_s * 1000) * 1000)
+      SELECT CAST((ts_us - ts_us % 3600000000) // 1000000 AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(${fix6Sql("value")}) AS BIGINT) AS tot_value_fix6
+      FROM s
+      GROUP BY 1, 2
+      ORDER BY hour_epoch, event_type"""))
+
   // ------------------------------------------------------ interval join
   /** Stream-stream event-time interval join replay (self-join of the
     * replayed stream split by event type): every click->purchase pair the
@@ -266,5 +387,5 @@ object StreamRuns {
       ORDER BY c.user_id, c_ts_us, p_ts_us, value_fix6"""))
 
   val queries: Seq[GQuery] =
-    Seq(hourlyStats, sessionize, dedupKeys, cdcLatest, intervalJoin)
+    Seq(hourlyStats, sessionize, dedupKeys, cdcLatest, intervalJoin, lateData)
 }

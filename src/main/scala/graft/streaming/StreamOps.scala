@@ -30,13 +30,17 @@ object StreamOps {
   case class SessState(
       start_us: Long, last_us: Long, n: Long, totFix6: Long)
 
-  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
-    * the streaming twin of EventOps.hourlyStats. Late data beyond the
-    * watermark is dropped; results append once windows close. */
-  def hourlyStats(events: DataFrame): DataFrame =
+  /** Tumbling 1-hour windowed counts/sums with a watermark (default
+    * 2 hours) — the streaming twin of EventOps.hourlyStats. Late data
+    * beyond the watermark is dropped; results append once windows close.
+    * `delay` is parametrized so the late-data replay (s_late_data) can
+    * pin the drop semantics with a fixture-derived horizon. */
+  def hourlyStats(events: DataFrame): DataFrame = hourlyStats(events, "2 hours")
+
+  def hourlyStats(events: DataFrame, delay: String): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(fix6(col("value"))).as("tot_value_fix6"))
       .select(

@@ -302,6 +302,61 @@ def main() -> None:
                 f" (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC,"
                 f" c_custkey) AS rn FROM customer) t WHERE rn <= {nn}")
 
+    def window_frame():
+        # RANGE/ROWS frame aggregates (r8 verdict item 8: the classic
+        # cross-engine divergence nest). Determinism discipline: a RANGE
+        # frame includes every PEER of its boundary rows, so the ORDER BY
+        # key is chosen tie-RICH (year/modulo buckets) and the framed
+        # aggregate is deterministic because peer sets are; a ROWS frame
+        # is only deterministic under a TOTAL order, so the unique key
+        # joins the ORDER BY. Money enters fix6-quantized (BIGINT cents)
+        # per the dialect discipline; output is sliced by a key modulus
+        # OUTSIDE the window subquery so frames see the full table while
+        # the emitted frame stays bounded at replica scale.
+        t, pk, part, okey, val = pick([
+            ("orders", "o_orderkey", "o_orderstatus", "year(o_orderdate)",
+             "o_totalprice"),
+            ("customer", "c_custkey", "c_mktsegment", "c_nationkey % 5",
+             "c_acctbal"),
+            ("part", "p_partkey", "p_brand", "p_size % 7", "p_retailprice"),
+        ])
+        cents = f"CAST(FLOOR({val} * 100.0 + 0.5) AS BIGINT)"
+        a, b = rng.randint(1, 3), rng.randint(1, 3)
+        frame = pick([
+            f"RANGE BETWEEN {a} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {b} FOLLOWING",
+            f"RANGE BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {a} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        order = okey if frame.startswith("RANGE") else f"{okey}, {pk}"
+        agg = pick([f"SUM({cents})", "COUNT(*)", f"MIN({cents})",
+                    f"MAX({cents})"])
+        m = rng.randint(0, 196)
+        return (f"SELECT k, CAST(w AS BIGINT) AS w FROM"
+                f" (SELECT {pk} AS k, {agg} OVER"
+                f" (PARTITION BY {part} ORDER BY {order} {frame}) AS w"
+                f" FROM {t}) t WHERE k % 197 = {m}")
+
+    def interval_chain():
+        # chained date±interval arithmetic, both comparison sides shifted
+        # (r8 verdict item 8): date->timestamp promotion, interval add
+        # ordering and end-of-month clamping are all exercised, while no
+        # timestamp literal ever crosses an engine boundary (the dialect
+        # rule interval_shift established)
+        k1, k2, k3 = rng.randint(1, 60), rng.randint(1, 20), rng.randint(1, 6)
+        u1 = pick(["DAY", "MONTH"])
+        u2 = pick(["HOUR", "DAY"])
+        cmp = pick(["<", "<=", ">="])
+        return (f"SELECT l_returnflag AS flag, l_linestatus AS ls,"
+                f" COUNT(*) AS cnt, CAST(SUM(l_suppkey % 53) AS BIGINT) AS s"
+                f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+                f" WHERE o_orderdate + INTERVAL {k1} {u1} + INTERVAL {k2} {u2}"
+                f" {cmp} l_receiptdate - INTERVAL {k3} DAY"
+                f" GROUP BY l_returnflag, l_linestatus")
+
     def dd(c):
         # exact double -> DECIMAL(15,2): IEEE-pure cent quantization
         # (identical bit-level FLOOR on both engines), then an exact
@@ -569,23 +624,27 @@ def main() -> None:
             sql = exists_subquery()
         elif r < 0.59:
             sql = scalar_subquery()
-        elif r < 0.65:
+        elif r < 0.63:
             sql = topk()
-        elif r < 0.70:
+        elif r < 0.67:
             sql = window_rank()
-        elif r < 0.76:
+        elif r < 0.72:
+            sql = window_frame()
+        elif r < 0.77:
             sql = full_outer()
         elif r < 0.81:
             sql = left_nullkey()
         elif r < 0.85:
             sql = grouping_sets()
-        elif r < 0.89:
+        elif r < 0.88:
             sql = decimal_agg()
-        elif r < 0.92:
+        elif r < 0.905:
             sql = interval_shift()
-        elif r < 0.94:
+        elif r < 0.93:
+            sql = interval_chain()
+        elif r < 0.95:
             sql = string_edges()
-        elif r < 0.97:
+        elif r < 0.98:
             sql = decimal_grouping_sets()
         else:
             sql = full_outer_decimal()
