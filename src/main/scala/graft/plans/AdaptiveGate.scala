@@ -43,6 +43,16 @@ object AdaptiveGate {
     * 2/4/8 MB probed, 8 MB best or tied on 20 of 22 queries). */
   val BytesPerPartition: Long = 8L << 20
 
+  /** Minimum single-shot width (capped by the session's own setting).
+    * Byte-sized narrowing can squeeze a short query to 1-3 reduce
+    * partitions, which serializes its post-shuffle operators on a
+    * 32-thread executor for no memory benefit; the round-9 FloorProbe
+    * A/B at the SF1 replica measured a floor of 8 worth 20-40 ms on
+    * every TPC-H floor query (q02 199→157 ms, q11 153→122, q22 293→264;
+    * 16 was flat-to-worse). Production analog: even a "small" interactive
+    * query keeps enough width to use one executor's cores. */
+  val MinPartitions: Long = 8L
+
   /** Marker conf holding the session's own shuffle-partition setting while
     * the gate has it overridden; presence ⇒ the gate owns the current
     * value and adaptive state. */
@@ -149,7 +159,8 @@ object AdaptiveGate {
       }
       val parts =
         if (allLeavesFileBacked(df))
-          math.max(1L, math.min(orig.toLong, in / BytesPerPartition)).toInt
+          math.max(math.min(MinPartitions, orig.toLong),
+            math.min(orig.toLong, in / BytesPerPartition)).toInt
         else orig.toInt
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", parts.toString)
