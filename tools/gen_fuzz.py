@@ -354,7 +354,7 @@ def main() -> None:
                 f" COUNT(*) AS cnt, CAST(SUM(l_suppkey % 53) AS BIGINT) AS s"
                 f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
                 f" WHERE o_orderdate + INTERVAL {k1} {u1} + INTERVAL {k2} {u2}"
-                f" {cmp} l_receiptdate - INTERVAL {k3} DAY"
+                f" {cmp} l_shipdate - INTERVAL {k3} DAY"
                 f" GROUP BY l_returnflag, l_linestatus")
 
     def dd(c):
