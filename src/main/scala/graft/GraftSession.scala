@@ -214,6 +214,14 @@ object GraftSession {
     * more than half full — light stretches stay GC-free regardless of how
     * many (small) orphaned entries are listed, while a genuinely filling
     * pool still gets released within a query boundary of the hazard.
+    * (Round-9 ruled OUT sub-threshold accumulation as a hazard class:
+    * a 2× regression cluster on the 10×-replica documents-scan queries
+    * initially looked like resident-block buildup under a never-firing
+    * trigger, but the SPARK_GRAFT_DEBUG_RELEASE boundary probe measured
+    * ≤ 62 MiB resident at every boundary of a heavy-prefix run — the
+    * real cause was the range-sort sampling double-execution fixed in
+    * TextOps. Do not re-add a bytes/count trigger without a boundary
+    * probe showing actual accumulation.)
     *
     * Caveat (advice r8): `System.gc()` is a NO-OP under
     * `-XX:+DisableExplicitGC` — the leak would silently return with the
@@ -225,9 +233,11 @@ object GraftSession {
     spark.sharedState.cacheManager.clearCache()
     val status = spark.sparkContext.getExecutorMemoryStatus.values
     val maxMem = status.map(_._1).sum
-    val usedFrac =
-      if (maxMem <= 0L) 0.0
-      else (maxMem - status.map(_._2).sum).toDouble / maxMem
+    val usedBytes = math.max(0L, maxMem - status.map(_._2).sum)
+    val usedFrac = if (maxMem <= 0L) 0.0 else usedBytes.toDouble / maxMem
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_RELEASE"))
+      System.err.println(f"[graft] releaseQueryState: ${usedBytes >> 20} MiB" +
+        f" resident (${usedFrac * 100}%.1f%% of pool)")
     if (usedFrac > 0.5) {
       System.gc() // ContextCleaner unpersists whatever this proves orphaned
       if (lastGcUsedFrac.exists(prev => usedFrac >= prev) && !gcWarned) {

@@ -337,7 +337,13 @@ object TextOps {
           size(toks(col("text"))).as("n_ws_tokens"),
           size(expr("regexp_extract_all(text, '\\\\w+', 0)")).as("n_word_tokens"),
           length(col("text")).as("n_chars_m"))
-        .orderBy(col("doc_id"))
+      // no output orderBy: a per-doc feature table is a SET (driver
+      // comparator canonicalizes row order), and a global range sort's
+      // SAMPLING job re-executes this scan-direct projection a second
+      // time — measured 2.1× on the 10× replica once the single-shot
+      // width floor made the sort >1 partition (1-partition sorts skip
+      // sampling, which is what had been hiding the cost). Same
+      // reasoning as the simhash pair set above.
     },
     Some("""
       SELECT doc_id,
@@ -389,7 +395,8 @@ object TextOps {
           round(col("n_stop").cast("double") / col("n_tok"), 6).as("stop_ratio"),
           round((col("len") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 6)
             .as("avg_tok_len"))
-        .orderBy(col("doc_id"))
+      // no output orderBy — scan-direct per-doc features; see
+      // t_token_count for the range-sampling double-execution measurement
     },
     Some("""
       SELECT doc_id,
@@ -905,8 +912,7 @@ object TextOps {
   // ------------------------------------------------------------ fingerprint
   /** Document fingerprinting: k-min sketch over rolling character
     * 16-grams (hash every offset, keep the 4 smallest per doc, concat).
-    * Entirely per-row array expressions — no shuffle at all before the
-    * output sort. (A first cut exploded grams into a collect_set groupBy
+    * Entirely per-row array expressions — no shuffle anywhere. (A first cut exploded grams into a collect_set groupBy
     * — a 14M-row shuffle at sf0.1 and 7.5 s.) */
   val fingerprint: GQuery = GQuery(
     "t_fingerprint",
@@ -918,7 +924,8 @@ object TextOps {
             "transform(sequence(1, greatest(length(text) - 15, 1), 4)," +
             " i -> md5(cast(substring(text, i, 16) as binary))))), 1, 4), '|')")
             .as("fp"))
-        .orderBy(col("doc_id"))
+      // no output orderBy — scan-direct per-doc features; see
+      // t_token_count for the range-sampling double-execution measurement
     },
     Some("""
       WITH grams AS (
@@ -1163,7 +1170,7 @@ object TextOps {
   /** Text normalization (lowercase, strip non-alphanumerics, collapse
     * whitespace) with a content digest of the result — the canonical form
     * exact dedup should key on in a real ingest. Pure per-row regex
-    * pipeline: scan-parallel, no shuffle before the final sort. */
+    * pipeline: scan-parallel, no shuffle anywhere. */
   val normalize: GQuery = GQuery(
     "t_normalize",
     "per-doc normalized text digest + length",
@@ -1173,7 +1180,8 @@ object TextOps {
         lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
       d.select(col("doc_id"), md5(norm.cast("binary")).as("norm_md5"),
           length(norm).as("norm_len"))
-        .orderBy(col("doc_id"))
+      // no output orderBy — scan-direct per-doc features; see
+      // t_token_count for the range-sampling double-execution measurement
     },
     Some("""
       SELECT doc_id, md5(norm) AS norm_md5,
@@ -1190,7 +1198,7 @@ object TextOps {
     * (integer division — a rounded double ratio can land exactly on a
     * .5e-6 tie for power-of-two gram counts, where Spark HALF_UPs and
     * DuckDB half-evens; ppm integers cannot disagree). Pure per-row array
-    * math: scan-parallel, no shuffle before the output sort. */
+    * math: scan-parallel, no shuffle anywhere. */
   val repetition: GQuery = GQuery(
     "t_repetition",
     "per-doc duplicate-3-gram ratio (ppm) + Gopher-style repetition flag",
@@ -1207,7 +1215,8 @@ object TextOps {
         .withColumn("rep_ppm", when(col("n_grams") === 0L, 0L)
           .otherwise(expr("((n_grams - n_distinct) * 1000000) div n_grams")))
         .withColumn("flagged", col("rep_ppm") > 100000L)
-        .orderBy(col("doc_id"))
+      // no output orderBy — scan-direct per-doc features; see
+      // t_token_count for the range-sampling double-execution measurement
     },
     Some("""
       SELECT doc_id, n_grams, n_distinct,

@@ -38,8 +38,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t_fingerprint: per-row pipeline has no mid-pipeline shuffle") {
-    // allowed exchanges: the deliberate scan-spread repartition and the
-    // final ORDER BY range partitioning — nothing in between
+    // allowed exchanges: the deliberate scan-spread repartition (the
+    // output sort was dropped in r9 — range sampling double-executed
+    // the per-row pipeline) — nothing else
     val s = PlanDescriber.simpleString(q("t_fingerprint"))
     val ex = "Exchange".r.findAllIn(s).length
     assert(ex <= 2, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
