@@ -9,6 +9,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    EnvCounters.install(spark)
     // one warm-up action so JVM/codegen startup isn't billed to query 1
     Catalog.table(spark, sfDir, "lineitem").count()
     var failed = List.empty[String]
@@ -25,6 +26,7 @@ object Bench {
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to iterations).map { _ =>
+        val env0 = EnvCounters.snap(spark)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -32,7 +34,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // environment counters AFTER the timed region (r9 verdict item 1:
+        // the adjudicated artifact must explain its own per-query deltas)
+        val envJson = EnvCounters.deltaJson(env0, EnvCounters.snapAfter(spark))
+        (wall, ok, envJson)
       }
       // min over SUCCESSFUL runs only (a fast time-to-error must not stand
       // in for a real timing); "failed" marks queries with NO good run, so
@@ -44,15 +50,23 @@ object Bench {
       if (good.isEmpty) failed ::= name
       // fresh-state boundary between queries (see GraftSession.releaseQueryState)
       GraftSession.releaseQueryState(spark)
-      name -> (if (good.nonEmpty) Some(good.min) else None)
+      val envArr = attempts.map { case (wall, _, env) =>
+        // wall repeated inside the env entry so one iteration's counters
+        // and its timing read together without cross-indexing
+        s"""{"wall_s":$wall,"env":$env}"""
+      }.mkString("[", ",", "]")
+      (name, if (good.nonEmpty) Some(good.min) else None, envArr)
     }
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val envJson = results.map { case (k, _, envArr) =>
+      "\"" + k + "\":" + envArr
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // "failed" distinguishes time-to-error from a real timing in the record
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir","env":$envJson}""")
     spark.stop()
   }
 }

@@ -22,6 +22,7 @@ object BenchFull {
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = GraftSession.get()
+    EnvCounters.install(spark)
     Catalog.table(spark, sfDir, "lineitem").count() // warm-up
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -43,12 +44,15 @@ object BenchFull {
       val rowCount = try fn(spark, sfDir).count()
       catch { case e: Throwable => success = false; logFail(name, e); -1L }
       val iters = (1 to iterations).map { _ =>
+        val env0 = EnvCounters.snap(spark)
         val t0 = System.nanoTime()
         val rows = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           rowCount
         } catch { case e: Throwable => success = false; logFail(name, e); -1L }
-        (System.nanoTime() - t0) / 1e6 -> rows
+        val ms = (System.nanoTime() - t0) / 1e6
+        // environment counters per iteration (r9 verdict item 1)
+        (ms, rows, EnvCounters.deltaJson(env0, EnvCounters.snapAfter(spark)))
       }
       // fresh-state boundary between queries (reference protocol: one
       // context per query) — without it checkpoint blocks from ~800
@@ -70,8 +74,8 @@ object BenchFull {
     val json = new StringBuilder
     json ++= s"""{"context":{"benchmark_version":"${BuildInfo.version}","engine":"graft-spark","num_cpus":${Runtime.getRuntime.availableProcessors},"start_time":${System.currentTimeMillis() / 1000},"commit":"$commit","testdata_mtime":$fixtureMtime,"arguments":["$sfDir","iterations=$iterations"]},"queries":["""
     json ++= results.map { case (name, qStart, success, iters) =>
-      val arr = iters.map { case (ms, n) =>
-        s"""{"elapsed":$ms,"row_count":$n}"""
+      val arr = iters.map { case (ms, n, env) =>
+        s"""{"elapsed":$ms,"row_count":$n,"env":$env}"""
       }.mkString(",")
       s"""{"query":"$name","iterations":[$arr],"start_time":${qStart / 1000},"success":$success}"""
     }.mkString(",")

@@ -106,7 +106,46 @@ object Catalog {
               "unsupported physical type; extend Catalog.table's " +
               "normalization (contract: BIGINT epoch-nanos)")
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else {
+      val path = s"$sfDir/$name.parquet"
+      val df = spark.read.parquet(path)
+      // Tiny-dimension inlining (r10, the SF1 short-query floor lever):
+      // a table whose files total under [[SmallDimInlineBytes]] is read
+      // ONCE and pinned as a literal LocalRelation. Every broadcast build
+      // over a file-backed tiny dim costs a scheduled 1-task Spark job
+      // (~15-25 ms of driver round-trips — the q02/q11 job-chain floor,
+      // r9 PhaseProbe); over a LocalRelation the broadcast materializes
+      // driver-side with NO job at all, and Catalyst can constant-fold
+      // through LocalTableScan. This is the fixed-cardinality reference
+      // table case (TPC-H nation=25/region=5 rows AT EVERY SCALE): at
+      // 100 TB these stay kilobytes while facts grow, so the size-based
+      // rule self-selects exactly them. The collect happens once per
+      // (session, dir) via tableCache, costs one job where the first
+      // broadcast build would have, and can never mis-fire on real data
+      // (a 32 KB "fact" does not exist).
+      val bytes = totalBytes(new java.io.File(path))
+      if (!inlineDisabled && bytes > 0 && bytes < SmallDimInlineBytes) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      } else df
+    }
+
+  /** Tables under this total file size are inlined as LocalRelations by
+    * [[table]] — sized to catch the bounded-cardinality dims (nation,
+    * region at every SF and replica) and nothing that grows with SF past
+    * the smallest fixtures. */
+  val SmallDimInlineBytes: Long = 32L << 10
+
+  /** Operational kill switch (GRAFT_NO_INLINE=1), mirroring
+    * GRAFT_NO_AUTOTUNE: all tables read as file scans — for A/B
+    * measurement and as the escape hatch if inlining ever misbehaves. */
+  private def inlineDisabled: Boolean =
+    sys.env.get("GRAFT_NO_INLINE").contains("1")
+
+  private def totalBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(totalBytes).sum).getOrElse(0L)
+    else f.length()
 
   /** Register every table of `sfDir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,128 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-iteration ENVIRONMENT counters for the bench harnesses (r9
+  * verdict item 1): the adjudicating bench runs in an environment this
+  * repo cannot reproduce bit-for-bit, and its per-query numbers have
+  * diverged from same-shaped local runs (v_knn_graph: 1.43 s driver vs
+  * 1.01-1.03 s locally, three rounds running) with nothing in the
+  * artifact to say WHY. Rather than guessing, every bench iteration now
+  * carries the counters that localize such a delta:
+  *
+  *  - `gc_ms` / `jit_ms` — process-wide GC and JIT compilation time
+  *    spent during the iteration (GC pauses and a cold code cache are
+  *    the two classic one-sided environment taxes);
+  *  - `task_gc_ms` / `run_ms` / `sched_ms` — per-task sums from the
+  *    listener: GC billed to tasks, executor run time actually
+  *    scheduled, and scheduler delay (task wall minus run minus
+  *    (de)serialization) — `run_ms` ≈ constant across environments while
+  *    wall diverges ⇒ the gap is scheduling/GC, not the plan;
+  *  - `jobs` / `job_ms` — job count and summed job wall: `job_ms` close
+  *    to iteration wall with several jobs ⇒ a sequential job chain (the
+  *    SF1 short-query floor signature), jobs overlapping ⇒ not;
+  *  - `store_mb0` — storage-pool occupancy at iteration START (the r8
+  *    orphaned-checkpoint hazard made late-suite queries 5x slower; this
+  *    pins whether the adjudicated run entered a query pre-loaded).
+  *
+  * (Reference analog: benchmarks/src/util/run.rs:93-132 — the results
+  * file records what the environment WAS, not just the number.)
+  *
+  * The listener is installed once per JVM and counters are cumulative;
+  * an iteration reads start/stop snapshots, so concurrent measured
+  * bodies would fold together — the bench harnesses are sequential by
+  * construction.
+  */
+object EnvCounters {
+
+  private val taskGcMs, runMs, schedMs, tasks, jobs, jobMs = new LongAdder
+  private val jobStartMs = new ConcurrentHashMap[Int, java.lang.Long]()
+  @volatile private var installed = false
+
+  private val listener = new SparkListener {
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        taskGcMs.add(m.jvmGCTime)
+        runMs.add(m.executorRunTime)
+        // the UI's definition: wall not accounted to run/(de)serialization
+        schedMs.add(math.max(0L, e.taskInfo.duration - m.executorRunTime -
+          m.executorDeserializeTime - m.resultSerializationTime))
+      }
+      tasks.increment()
+    }
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      jobStartMs.put(e.jobId, e.time); jobs.increment()
+    }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+      val t0 = jobStartMs.remove(e.jobId)
+      if (t0 != null) jobMs.add(math.max(0L, e.time - t0))
+    }
+  }
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed) {
+      spark.sparkContext.addSparkListener(listener)
+      installed = true
+    }
+  }
+
+  /** Cumulative counter snapshot (all fields monotone). */
+  final case class Snap(
+      gcMs: Long, jitMs: Long, taskGcMs: Long, runMs: Long, schedMs: Long,
+      tasks: Long, jobs: Long, jobMs: Long, storeMb: Long)
+
+  private def gcBeans = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+  }
+
+  private def storageUsedMb(spark: SparkSession): Long = {
+    val status = spark.sparkContext.getExecutorMemoryStatus.values
+    val maxMem = status.map(_._1).sum
+    math.max(0L, maxMem - status.map(_._2).sum) >> 20
+  }
+
+  def snap(spark: SparkSession): Snap = Snap(
+    gcMs = gcBeans.map(_.getCollectionTime).sum,
+    jitMs = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L),
+    taskGcMs = taskGcMs.sum, runMs = runMs.sum, schedMs = schedMs.sum,
+    tasks = tasks.sum, jobs = jobs.sum, jobMs = jobMs.sum,
+    storeMb = storageUsedMb(spark))
+
+  /** Post-body snapshot: quiesce the async listener bus first (its drain
+    * API is private[spark]) by polling the task counter until it holds
+    * still for two 5 ms windows, capped at 50 ms — cheap enough to run
+    * after every iteration without perturbing the NEXT timed region. */
+  def snapAfter(spark: SparkSession): Snap = {
+    var last = -1L
+    var stable = 0
+    var spins = 0
+    while (stable < 2 && spins < 10) {
+      Thread.sleep(5)
+      val cur = tasks.sum + jobs.sum
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+      spins += 1
+    }
+    snap(spark)
+  }
+
+  /** JSON object of the deltas across one iteration; `storeMb` reports
+    * the START value (occupancy entering the iteration), not a delta. */
+  def deltaJson(before: Snap, after: Snap): String =
+    s"""{"gc_ms":${after.gcMs - before.gcMs},""" +
+      s""""jit_ms":${after.jitMs - before.jitMs},""" +
+      s""""task_gc_ms":${after.taskGcMs - before.taskGcMs},""" +
+      s""""run_ms":${after.runMs - before.runMs},""" +
+      s""""sched_ms":${after.schedMs - before.schedMs},""" +
+      s""""tasks":${after.tasks - before.tasks},""" +
+      s""""jobs":${after.jobs - before.jobs},""" +
+      s""""job_ms":${after.jobMs - before.jobMs},""" +
+      s""""store_mb0":${before.storeMb}}"""
+}

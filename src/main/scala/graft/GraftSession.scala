@@ -225,36 +225,48 @@ object GraftSession {
     *
     * Caveat (advice r8): `System.gc()` is a NO-OP under
     * `-XX:+DisableExplicitGC` — the leak would silently return with the
-    * threshold firing useless calls. Detected below: if the pool stays
-    * past threshold across consecutive release calls with no drop in
-    * occupancy, the JVM is provably not honoring the request and a
-    * one-time warning names the flag. */
+    * threshold firing useless calls. Detected below via the GC MXBean
+    * collection-count delta around the call: a no-op'd request runs ZERO
+    * collections, which is unambiguous, whereas the r9 occupancy
+    * heuristic (pool not dropping across releases) also fired when a
+    * working GC was simply followed by a heavy query refilling the pool
+    * (advice r9, false-positive naming the wrong cause). */
   def releaseQueryState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     val status = spark.sparkContext.getExecutorMemoryStatus.values
     val maxMem = status.map(_._1).sum
     val usedBytes = math.max(0L, maxMem - status.map(_._2).sum)
     val usedFrac = if (maxMem <= 0L) 0.0 else usedBytes.toDouble / maxMem
+    // The in-memory pressure trigger has two blind spots (advice r9):
+    // orphaned blocks EVICTED TO DISK (localCheckpoint defaults to
+    // MEMORY_AND_DISK) lower the measured fraction without any release,
+    // and the cluster-wide sum can mask one full executor. A high
+    // entry-count backstop catches both: the live cross-query state
+    // (trained-fit caches) is ~a dozen entries, so >512 persistent RDDs
+    // means orphans are accumulating somewhere the occupancy sum can't
+    // see. Kept deliberately far above r8's count threshold of 64, whose
+    // firing BETWEEN light queries was itself a measured 1.2-1.4x tax.
+    val entries = spark.sparkContext.getPersistentRDDs.size
     if (sys.env.contains("SPARK_GRAFT_DEBUG_RELEASE"))
       System.err.println(f"[graft] releaseQueryState: ${usedBytes >> 20} MiB" +
-        f" resident (${usedFrac * 100}%.1f%% of pool)")
-    if (usedFrac > 0.5) {
+        f" resident (${usedFrac * 100}%.1f%% of pool), $entries entries")
+    if (usedFrac > 0.5 || entries > 512) {
+      val gcBeans = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      }
+      val before = gcBeans.map(_.getCollectionCount).sum
       System.gc() // ContextCleaner unpersists whatever this proves orphaned
-      if (lastGcUsedFrac.exists(prev => usedFrac >= prev) && !gcWarned) {
+      if (gcBeans.map(_.getCollectionCount).sum == before && !gcWarned) {
         gcWarned = true
         System.err.println(
-          "[graft] releaseQueryState: storage pool still " +
-            f"${usedFrac * 100}%.0f%% full after a prior explicit GC — " +
-            "if the JVM runs -XX:+DisableExplicitGC the orphan release " +
-            "is a no-op and localCheckpoint blocks will accumulate")
+          "[graft] releaseQueryState: System.gc() ran zero collections — " +
+            "the JVM is ignoring explicit GC (-XX:+DisableExplicitGC?); " +
+            "orphaned localCheckpoint blocks will accumulate")
       }
-      lastGcUsedFrac = Some(usedFrac)
-    } else lastGcUsedFrac = None
+    }
   }
 
-  /** Pool occupancy at the previous threshold-crossing release, for the
-    * DisableExplicitGC no-op detection above. */
-  @volatile private var lastGcUsedFrac: Option[Double] = None
   @volatile private var gcWarned: Boolean = false
 
   /** Build (or reuse) the engine session, with graft-native functions

@@ -11,6 +11,11 @@ object JobProbe {
     Catalog.table(spark, sfDir, "lineitem").count()
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    // query-relative start/end offsets so job OVERLAP is visible: two
+    // broadcast builds materializing concurrently show interleaved
+    // windows, a serialized chain shows back-to-back ones (r9 verdict
+    // item 2 — the fusion target is the serialized case)
+    @volatile var queryT0 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -21,7 +26,9 @@ object JobProbe {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, info) =>
-          events.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%7.1f ms  $info")
+          val now = System.nanoTime()
+          events.add(f"job ${je.jobId}%3d [${(t0 - queryT0) / 1e6}%7.1f -> " +
+            f"${(now - queryT0) / 1e6}%7.1f ms]  $info")
         }
         ()
       }
@@ -35,11 +42,14 @@ object JobProbe {
       for (i <- 1 to 3) {
         events.clear()
         val t0 = System.nanoTime()
+        queryT0 = t0
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val total = (System.nanoTime() - t0) / 1e6
         if (i == 3) {
           println(f"[jobprobe] $variant iter$i total=$total%7.1f ms")
           events.forEach(e => println(s"[jobprobe]   $e"))
+          if (sys.env.contains("JOBPROBE_PLAN"))
+            println(fn(spark, sfDir).queryExecution.executedPlan.toString)
         }
       }
     }

@@ -102,14 +102,34 @@ object GraftFunctions {
       (cs: Seq[Expression]) => DamerauLevenshtein(cs(0), cs(1))))
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, info, builder) =>
-    spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier(name), info, builder)
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+    // engine optimizer rules ride the same idempotent hook (every session
+    // entry point already calls register): fold filters over inlined tiny
+    // dims so their broadcast builds stay job-free (see FoldLocalFilters),
+    // and plan LocalRelations with the job-free broadcast-collect node
+    // (see DriverLocalScan)
+    val extra = spark.experimental.extraOptimizations
+    val rules = Seq(graft.plans.FoldLocalFilters, graft.plans.OnePartitionSort)
+      .filterNot(extra.contains(_))
+    if (rules.nonEmpty)
+      spark.experimental.extraOptimizations = extra ++ rules
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.plans.DriverLocalScan))
+      spark.experimental.extraStrategies = strats :+ graft.plans.DriverLocalScan
   }
 
   /** Builder-time injection for `withExtensions` / spark.sql.extensions. */
-  def inject(ext: SparkSessionExtensions): Unit = fns.foreach { case (name, info, builder) =>
-    ext.injectFunction((FunctionIdentifier(name), info, builder))
+  def inject(ext: SparkSessionExtensions): Unit = {
+    fns.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.FoldLocalFilters)
+    ext.injectOptimizerRule(_ => graft.plans.OnePartitionSort)
+    ext.injectPlannerStrategy(_ => graft.plans.DriverLocalScan)
   }
 }
 

@@ -80,9 +80,17 @@ object MediaOps {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(media))
           reader.setInput(iis, true, true)
-          val img = reader.read(0)
+          // a corrupt blob surfaces as IIOException from read(0), never as
+          // a null return (advice r9) — rethrow with context so the failing
+          // row is diagnosable from executor logs
+          val img =
+            try reader.read(0)
+            catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(
+                  s"undecodable PNG blob (${media.length} bytes)", e)
+            }
           iis.close()
-          require(img != null, "undecodable PNG blob")
           val w = img.getWidth
           val h = img.getHeight
           val out = new Array[Byte](w * h)

@@ -209,9 +209,14 @@ object AdaptiveGate {
       // into ~1 partition would re-create the v_knn_graph 1.38x failure
       // inside every iteration. Non-file-backed ⇒ keep the caller's full
       // width; the scope still saves the per-iteration AQE stage rounds.
+      // Same [[MinPartitions]] floor as [[tune]] (r9 verdict nit: the
+      // asymmetry let a file-backed loop body serialize on 1-3 partitions
+      // on a 32-thread executor — exactly what the single-shot floor was
+      // built to prevent; r10 A/B over the loop family below).
       val parts =
         if (allLeavesFileBacked(sizing))
-          math.max(1L, math.min(savedParts.toLong, in / BytesPerPartition)).toInt
+          math.max(math.min(MinPartitions, savedParts.toLong),
+            math.min(savedParts.toLong, in / BytesPerPartition)).toInt
         else savedParts.toInt
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -100,7 +100,7 @@ object StreamRuns {
     * batches 0-1 minus the delay), so they arrive late by a known,
     * fixture-derived margin and their drop/survive split is exactly
     * computable — which is what makes a batch DuckDB oracle possible. */
-  private def lateReplayRoot(spark: SparkSession, dir: String): String =
+  private[queries] def lateReplayRoot(spark: SparkSession, dir: String): String =
     TextOps.cachedLayout("slatereplay", dir) { root =>
       val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
       val e = Catalog.table(spark, dir, "events")

@@ -101,11 +101,15 @@ class ApproxSpec extends SparkSpec {
       // the 100 TB geometry being modeled is build side too big to
       // broadcast but still selective — force the shuffle-join path
       conf.set(keys(2), "-1")
-      val part = Catalog.table(spark, sf0001, "part")
-        .filter(col("p_size") === 25) // selective build side
+      // orders, not part, as the build side: part at sf0.001 is under the
+      // Catalog tiny-dim inline threshold (r10) and a LocalRelation build
+      // side has no scan for InjectRuntimeFilter's size heuristics — the
+      // 100 TB geometry being modeled has a FILE-BACKED selective build
+      val o = Catalog.table(spark, sf0001, "orders")
+        .filter(col("o_orderstatus") === "P") // selective build side
       val l = Catalog.table(spark, sf0001, "lineitem")
-      val joined = l.join(part, l("l_partkey") === part("p_partkey"))
-        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain") &&
         optimized.contains("bloom_filter_agg"),

@@ -40,10 +40,12 @@ class PlanSpec extends SparkSpec {
   test("t_fingerprint: per-row pipeline has no mid-pipeline shuffle") {
     // allowed exchanges: the deliberate scan-spread repartition (the
     // output sort was dropped in r9 — range sampling double-executed
-    // the per-row pipeline) — nothing else
+    // the per-row pipeline) — nothing else, so a reintroduced
+    // mid-pipeline shuffle fails the pin (advice r9: <=2 would let one
+    // slip back in)
     val s = PlanDescriber.simpleString(q("t_fingerprint"))
     val ex = "Exchange".r.findAllIn(s).length
-    assert(ex <= 2, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
+    assert(ex <= 1, s"fingerprint should be scan-parallel, found $ex exchanges:\n$s")
     assert(!s.contains("HashAggregate"), "fingerprint must not aggregate")
   }
 
