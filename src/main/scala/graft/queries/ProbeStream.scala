@@ -44,7 +44,7 @@ object ProbeStream {
         graft.streaming.StreamOps.sessionize(
           src.select(col("user_id"), col("ts_us"), col("event_type"),
             col("value")).as[graft.streaming.StreamOps.Ev],
-          gapMinutes = 30).toDF()
+          gapMinutes = 30, delay = s"$delayS seconds").toDF()
       case other => sys.error(s"unknown op $other")
     }
     val ckpt = TextOps.trackedTempDir("graft-probestream-ckpt-")
@@ -58,7 +58,20 @@ object ProbeStream {
       println(s"[probe] batch=${p.batchId} rows=${p.numInputRows} " +
         s"eventTime=${p.eventTime}")
     }
-    println(s"[probe] sink rows: ${spark.table("probe_sink").count()}")
+    val sink = spark.table("probe_sink")
+    println(s"[probe] sink rows: ${sink.count()}")
+    op match {
+      case "dedup" =>
+        val real = sink.filter(col("user_id") >= 0L)
+        println(s"[probe] real emits: ${real.count()}, distinct keys: " +
+          real.select(col("event_key")).distinct().count())
+      case "sessionize" =>
+        val real = sink.filter(col("user_id") >= 0L)
+        println(s"[probe] sessions: ${real.count()}, users: " +
+          real.select(col("user_id")).distinct().count() +
+          ", events: " + real.agg(sum(col("n_events"))).head().getLong(0))
+      case _ => ()
+    }
     spark.stop()
   }
 }

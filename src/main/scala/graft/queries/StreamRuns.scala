@@ -358,6 +358,153 @@ object StreamRuns {
       GROUP BY 1, 2
       ORDER BY hour_epoch, event_type"""))
 
+  // -------------------------------------------- late data through keyed state
+  /** Shared fixture-derived lateness delay for the stateful late replays:
+    * the late-event filter at the late batch uses the LAGGED watermark
+    * (batch 0's max, see [[lateData]]), and this delay puts that horizon
+    * ≈ 24 h below the first quartile's top — so a measurable slice of the
+    * relocated rows survives and the rest drop. Same integer arithmetic
+    * as the oracles' `d` CTE. */
+  private def lateDelaySeconds(spark: SparkSession, dir: String): Long = {
+    val eb = Catalog.table(spark, dir, "events")
+      .select(expr("ts div 1000").as("ts_us"), col("event_id"))
+    val w = Window.orderBy(col("ts_us"), col("event_id"))
+    val f = eb.withColumn("qb", ntile(ReplayFiles).over(w) - 1)
+      .withColumn("b", when(col("qb") === 0 && col("event_id") % 7 === 3, 2L)
+        .otherwise(col("qb").cast("long")))
+    val r = f.agg(
+      max(when(col("b") === 0, col("ts_us"))).as("max00"),
+      max(when(col("qb") === 0, col("ts_us"))).as("t25")).head()
+    math.max(1L, (r.getLong(0) - (r.getLong(1) - 86400000000L)) / 1000000L)
+  }
+
+  /** Late data through `dropDuplicatesWithinWatermark` state (round-10:
+    * r9 left the stateful-op replays monotone; this is the dedup cell of
+    * the lateness matrix). The retention doubles as the watermark delay,
+    * so a late row below the lagged filter horizon is DROPPED before the
+    * dedup state ever sees it — its key vanishes from the output iff
+    * every arrival of that key was dropped (the hour-bucketed key makes
+    * such keys common: a late row is usually its hour's sole owner).
+    * Emissions are collected DISTINCT: state expiry under the short
+    * retention may re-emit a key whose late arrival found its state
+    * evicted, and which physical row's event time seeds the expiry clock
+    * is arrival-order-dependent inside a batch — membership of the
+    * emitted-key set is the arrival-order-independent invariant (a key
+    * is emitted iff ≥1 arrival survives the filter, no matter the
+    * multiplicity), which is what makes a batch oracle possible.
+    * Probe-pinned at sf0.001: 970 surviving arrivals → 964 distinct keys
+    * (engine emits measured = 964, zero re-emissions). */
+  val dedupLate: GQuery = GQuery(
+    "s_dedup_late",
+    "streaming dedup replay with late rows: below-horizon arrivals drop, key set == filtered DISTINCT",
+    (spark, dir) => {
+      val dS = lateDelaySeconds(spark, dir)
+      val out = runStream(spark, dir, "s_dedup_late_sink", OutputMode.Append(),
+        layout = lateReplayRoot) { df =>
+        StreamOps.dedupByKey(
+          df.withColumn("event_key", concat_ws("|",
+            col("user_id"), col("event_type"), expr("ts_us div 3600000000"))),
+          retention = s"$dS seconds")
+      }
+      out.filter(col("user_id") >= 0L)
+        .select(col("event_key")).distinct().orderBy(col("event_key"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                        event_type FROM events),
+      q AS (SELECT *, ntile(4) OVER (ORDER BY ts_us, event_id) - 1 AS qb
+            FROM e),
+      f AS (SELECT *, (qb = 0 AND event_id % 7 = 3) AS late FROM q),
+      d AS (SELECT GREATEST(1, (MAX(CASE WHEN NOT late AND qb = 0 THEN ts_us END)
+                     - (MAX(CASE WHEN qb = 0 THEN ts_us END) - 86400000000))
+                     // 1000000) AS d_s,
+                   MAX(CASE WHEN NOT late AND qb = 0 THEN ts_us END) AS max00
+            FROM f),
+      s AS (SELECT f.* FROM f, d
+            WHERE NOT f.late OR ts_us >= ((max00 // 1000) - d_s * 1000) * 1000)
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+             CAST(ts_us // 3600000000 AS VARCHAR) AS event_key
+      FROM s
+      ORDER BY event_key"""))
+
+  /** Late data through `flatMapGroupsWithState` session state (round-10:
+    * the sessionize cell of the lateness matrix — a late event landing
+    * after its user's session gap has passed). The watermark delay is
+    * the fixture-derived [[lateDelaySeconds]] (≫ the 30-min gap), so
+    * late rows above the lagged horizon REACH the state machine: one
+    * arriving while its user's session state still lives MERGES —
+    * rewinding `last_us` to the old event time, exactly what the
+    * processing-order state machine does — and one arriving after an
+    * event-time timeout closed the session starts a NEW session.
+    *
+    * The oracle replays that state machine as gaps-and-islands over
+    * survivors in PROCESSING order (batch, ts): within a batch events
+    * process time-sorted, across batches the carried `last_us` is the
+    * previous batch's last processed event — so consecutive rows in
+    * (batch, ts, event_id) order are exactly the state machine's
+    * adjacent pairs, including the negative-diff merge of a late row
+    * into a newer session. A session break is a gap over 30 min between
+    * adjacent pairs OR an intervening silent batch whose EVICTION
+    * watermark (cumulative max through the prior batch, minus delay)
+    * passed the timeout timestamp ((last_us+gap)/1000+1 ms — the
+    * millisecond floor and strict > both measured). Island count and
+    * sizes are arrival-order-independent (equal-ts ties merge
+    * regardless), which is what makes the batch oracle deterministic.
+    * Probe-pinned at sf0.001: engine 913 sessions / 970 surviving
+    * events / 15 users == the island model, first run. */
+  val sessionizeLate: GQuery = GQuery(
+    "s_sessionize_late",
+    "streaming sessionize replay with late rows: drops below horizon, merges/reopens above",
+    (spark, dir) => {
+      import spark.implicits._
+      val dS = lateDelaySeconds(spark, dir)
+      val sessions = runStream(spark, dir, "s_sess_late_sink", OutputMode.Append(),
+        layout = lateReplayRoot) { df =>
+        StreamOps.sessionize(
+          df.select(col("user_id"), col("ts_us"), col("event_type"), col("value"))
+            .as[StreamOps.Ev],
+          gapMinutes = 30, delay = s"$dS seconds").toDF()
+      }
+      sessions.filter(col("user_id") >= 0L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      q AS (SELECT *, ntile(4) OVER (ORDER BY ts_us, event_id) - 1 AS qb
+            FROM e),
+      f AS (SELECT *, (qb = 0 AND event_id % 7 = 3) AS late,
+                   CASE WHEN qb = 0 AND event_id % 7 = 3 THEN 2 ELSE qb END AS b
+            FROM q),
+      d AS (SELECT GREATEST(1, (MAX(CASE WHEN NOT late AND qb = 0 THEN ts_us END)
+                     - (MAX(CASE WHEN qb = 0 THEN ts_us END) - 86400000000))
+                     // 1000000) AS d_s
+            FROM f),
+      bm AS (SELECT b, MAX(ts_us) AS mxb FROM f GROUP BY b),
+      cm AS (SELECT b, MAX(mxb) OVER (ORDER BY b) AS cmx FROM bm),
+      fw AS (SELECT ((cmx // 1000) - d_s * 1000) * 1000 AS wm_us
+             FROM cm, d WHERE b = 0),
+      s AS (SELECT f.* FROM f, fw WHERE NOT f.late OR ts_us >= wm_us),
+      ord AS (SELECT user_id, ts_us, b,
+                     LAG(ts_us) OVER w AS prev_ts, LAG(b) OVER w AS prev_b
+              FROM s WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY b, ts_us, event_id)),
+      ev AS (SELECT b + 1 AS m, cmx // 1000 - d_s * 1000 AS wm_ms
+             FROM cm, d),
+      brk AS (SELECT user_id,
+              CASE WHEN prev_ts IS NULL THEN 1
+                   WHEN ts_us - prev_ts > 1800000000 THEN 1
+                   WHEN b - prev_b >= 2 AND
+                        (SELECT wm_ms FROM ev WHERE m = b - 1)
+                          > (prev_ts + 1800000000) // 1000 + 1
+                   THEN 1 ELSE 0 END AS is_new
+              FROM ord)
+      SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM brk GROUP BY user_id
+      ORDER BY user_id"""))
+
   // ------------------------------------------------------ interval join
   /** Stream-stream event-time interval join replay (self-join of the
     * replayed stream split by event type): every click->purchase pair the
@@ -387,5 +534,6 @@ object StreamRuns {
       ORDER BY c.user_id, c_ts_us, p_ts_us, value_fix6"""))
 
   val queries: Seq[GQuery] =
-    Seq(hourlyStats, sessionize, dedupKeys, cdcLatest, intervalJoin, lateData)
+    Seq(hourlyStats, sessionize, dedupKeys, cdcLatest, intervalJoin, lateData,
+      dedupLate, sessionizeLate)
 }

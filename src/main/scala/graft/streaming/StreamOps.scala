@@ -111,8 +111,18 @@ object StreamOps {
 
   /** Gap-based sessionization (the streaming twin of EventOps.sessionize):
     * per-user keyed state via flatMapGroupsWithState, closing a session
-    * when `gap` passes without events (event-time timeout). */
-  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    * when `gap` passes without events (event-time timeout).
+    *
+    * `delay` (the watermark lateness allowance) defaults to the gap but
+    * is independently settable: an ingest that tolerates day-late events
+    * while sessionizing on a 30-minute gap runs `delay` ≫ `gap` — a late
+    * event below the filter watermark is dropped, one above it reaches
+    * the state machine and merges into (or reopens after) its user's
+    * session. The s_sessionize_late replay pins exactly that split. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] =
+    sessionize(events, gapMinutes, s"$gapMinutes minutes")
+
+  def sessionize(events: Dataset[Ev], gapMinutes: Int, delay: String): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
@@ -147,7 +157,7 @@ object StreamOps {
 
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", delay)
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

@@ -98,6 +98,7 @@ class RegistrySpec extends SparkSpec {
     "g_clustering_coeff" -> 1, "e_stickiness" -> 5,
     "s_hourly_stats" -> 868, "s_sessionize" -> 15, "s_dedup_keys" -> 75,
     "s_cdc_latest" -> 15, "s_interval_join" -> 2, "s_late_data" -> 846,
+    "s_dedup_late" -> 964, "s_sessionize_late" -> 15,
     "c_gs_empty" -> 21)
 
   test("registry is complete: every query present, every oracle key valid") {
