@@ -340,6 +340,52 @@ def main() -> None:
                 f" (PARTITION BY {part} ORDER BY {order} {frame}) AS w"
                 f" FROM {t}) t WHERE k % 197 = {m}")
 
+    def window_nulls():
+        # NULLS FIRST/LAST inversions inside window ORDER BY (r9 verdict
+        # item 8). Dialect hazard this template documents: Spark's
+        # default null placement is NULLS FIRST for ASC / NULLS LAST for
+        # DESC, DuckDB's default is NULLS LAST either way — so the
+        # grammar ALWAYS writes the placement explicitly; the divergence
+        # class is covered by drawing all four direction/placement
+        # combinations. NULLIF manufactures nulls from the dense modular
+        # key; the unique pk joins the ORDER BY so ranks are total-order
+        # deterministic (ties inside the null bucket included).
+        t, pk, part, nkey = pick([
+            ("customer", "c_custkey", "c_mktsegment", "c_nationkey % 5"),
+            ("orders", "o_orderkey", "o_orderstatus", "o_custkey % 7"),
+            ("part", "p_partkey", "p_brand", "p_size % 6"),
+        ])
+        v = rng.randint(0, 4)
+        d = pick(["ASC", "DESC"])
+        fl = pick(["NULLS FIRST", "NULLS LAST"])
+        fn = pick(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        m = rng.randint(0, 30)
+        return (f"SELECT k, CAST(r AS BIGINT) AS r FROM"
+                f" (SELECT {pk} AS k, {fn} OVER (PARTITION BY {part}"
+                f" ORDER BY NULLIF({nkey}, {v}) {d} {fl}, {pk}) AS r"
+                f" FROM {t}) t WHERE k % 31 = {m}")
+
+    def except_all():
+        # EXCEPT ALL / INTERSECT ALL duplicate multiplicity (r9 verdict
+        # item 8): bag semantics keep max(0, countL - countR) (resp.
+        # min(countL, countR)) copies per row — the classic divergence
+        # nest vs the DISTINCT set ops the grammar already draws. Both
+        # legs project dup-RICH modular rows from the same table under
+        # different predicates; the outer GROUP BY pins the multiplicity
+        # exactly while keeping the compared output bounded.
+        op = pick(["EXCEPT ALL", "INTERSECT ALL"])
+        k = rng.randint(2, 6)
+        p1, p2 = rng.randint(0, 2), rng.randint(0, 3)
+        return (f"SELECT a, b, COUNT(*) AS cnt FROM"
+                f" (SELECT l_returnflag AS a,"
+                f" CAST(l_suppkey % {k} AS BIGINT) AS b"
+                f" FROM lineitem WHERE l_partkey % 3 = {p1}"
+                f" {op}"
+                f" SELECT l_returnflag AS a,"
+                f" CAST(l_suppkey % {k} AS BIGINT) AS b"
+                f" FROM lineitem WHERE l_orderkey % 4 = {p2}) t"
+                f" GROUP BY a, b")
+
     def interval_chain():
         # chained date±interval arithmetic, both comparison sides shifted
         # (r8 verdict item 8): date->timestamp promotion, interval add
@@ -628,15 +674,19 @@ def main() -> None:
             sql = topk()
         elif r < 0.67:
             sql = window_rank()
-        elif r < 0.72:
+        elif r < 0.70:
             sql = window_frame()
+        elif r < 0.72:
+            sql = window_nulls()
         elif r < 0.77:
             sql = full_outer()
         elif r < 0.81:
             sql = left_nullkey()
-        elif r < 0.85:
+        elif r < 0.845:
             sql = grouping_sets()
-        elif r < 0.88:
+        elif r < 0.865:
+            sql = except_all()
+        elif r < 0.89:
             sql = decimal_agg()
         elif r < 0.905:
             sql = interval_shift()

@@ -14,9 +14,22 @@ COUT=/tmp/graft_${TAG}_cluster
 echo "=== [1/7] 10x replica (ScaleUp) -> $REP"
 [ -d "$REP/lineitem.parquet" ] || \
   sbt -batch "runMain graft.ScaleUp $SF1 $REP 10" > /tmp/${TAG}_scaleup.log 2>&1
-echo "=== [2/7] BenchFull @ sf0.1"
-sbt -batch "runMain graft.BenchFull $SF1 bench_results/${TAG}_sf0.1.json 3" \
-  > /tmp/${TAG}_bench01.log 2>&1
+echo "=== [2/7] BenchFull @ sf0.1 (two passes; min-merge + reproduced-only compare)"
+# same-HEAD suite totals swing +-20% between windows (r9 measurement), so
+# one pass cannot support the 1.2x regression protocol: run two, commit
+# the per-query min, and flag only deltas that reproduce in BOTH passes
+# (tools/merge_bench.py). The previous round's committed file is the
+# compare baseline and is snapshotted before overwrite.
+PREV_SF01=/tmp/${TAG}_sf0.1_prev.json
+[ -f bench_results/${TAG}_sf0.1.json ] && cp bench_results/${TAG}_sf0.1.json "$PREV_SF01" || \
+  cp "$(ls bench_results/r*_sf0.1.json 2>/dev/null | grep -v duckdb | sort -V | tail -1)" "$PREV_SF01" 2>/dev/null || true
+sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passA.json 3" \
+  > /tmp/${TAG}_bench01a.log 2>&1
+sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passB.json 3" \
+  > /tmp/${TAG}_bench01b.log 2>&1
+python3 tools/merge_bench.py /tmp/${TAG}_sf0.1_passA.json \
+  /tmp/${TAG}_sf0.1_passB.json bench_results/${TAG}_sf0.1.json \
+  "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md
 echo "=== [3/7] BenchFull @ 10x replica"
 sbt -batch "runMain graft.BenchFull $REP bench_results/${TAG}_sf1x.json 3" \
   > /tmp/${TAG}_bench1x.log 2>&1
