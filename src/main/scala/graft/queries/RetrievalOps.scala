@@ -319,7 +319,7 @@ object RetrievalOps {
             (col("nr") + dsirB).cast("double"))).as("w"))
     tok.join(broadcast(weights), "b")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tok"), round(davg(col("w")), 6).as("score"))
+      .agg(count(lit(1)).as("n_tok"), rnd6(davg(col("w"))).as("score"))
   }
 
   val dsirSelect: GQuery = GQuery(
@@ -343,7 +343,7 @@ object RetrievalOps {
                    ${q6lnSql(s"CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + $dsirB AS DOUBLE)")}
                  - ${q6lnSql(s"CAST(cr + 1 AS DOUBLE) / CAST(nr + $dsirB AS DOUBLE)")} AS w
             FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot)
-      SELECT doc_id, lang, COUNT(*) AS n_tok, ROUND(${davgSql("w")}, 6) AS score
+      SELECT doc_id, lang, COUNT(*) AS n_tok, ${rnd6Sql(davgSql("w"))} AS score
       FROM tok JOIN w USING (b)
       GROUP BY doc_id, lang
       ORDER BY score DESC, doc_id
@@ -391,7 +391,7 @@ object RetrievalOps {
             .otherwise("tail").as("bucket"),
           col("h"))
         .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"), round(davg(col("h")), 6).as("avg_h"))
+        .agg(count(lit(1)).as("n_docs"), rnd6(davg(col("h"))).as("avg_h"))
         .orderBy(col("lang"), col("bucket"))
     },
     Some(s"""
@@ -416,7 +416,7 @@ object RetrievalOps {
                         ELSE 'tail' END AS bucket,
                    h
             FROM h CROSS JOIN bounds)
-      SELECT lang, bucket, COUNT(*) AS n_docs, ROUND(${davgSql("h")}, 6) AS avg_h
+      SELECT lang, bucket, COUNT(*) AS n_docs, ${rnd6Sql(davgSql("h"))} AS avg_h
       FROM b
       GROUP BY lang, bucket
       ORDER BY lang, bucket"""))

@@ -130,13 +130,13 @@ object VectorOps {
       val e = Catalog.table(spark, dir, "embeddings")
       e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(davg(col("v").cast("double")), 6).as("centroid"),
+        .agg(rnd6(davg(col("v").cast("double"))).as("centroid"),
           count(lit(1)).as("n"))
         .select(col("label"), (col("pos") + 1).as("pos"), col("centroid"), col("n"))
         .orderBy(col("label"), col("pos"))
     },
     Some(s"""
-      SELECT label, pos, ROUND(${davgSql("v")}, 6) AS centroid, COUNT(*) AS n
+      SELECT label, pos, ${rnd6Sql(davgSql("v"))} AS centroid, COUNT(*) AS n
       FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS v
             FROM embeddings) t
@@ -1040,7 +1040,7 @@ object VectorOps {
         .withColumn("abs_err", abs(col("v") - col("deq")))
       err.groupBy(col("pos"))
         .agg(round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"),
-          round(davg(col("abs_err")), 6).as("avg_err"),
+          rnd6(davg(col("abs_err"))).as("avg_err"),
           round(max(col("abs_err")), 6).as("max_err"),
           count(lit(1)).as("n"))
         .orderBy(col("pos"))
@@ -1057,7 +1057,7 @@ object VectorOps {
                       ELSE 0 END) * (hi - lo) / 255.0)) AS abs_err
         FROM flat JOIN calib USING (pos))
       SELECT pos, ROUND(MIN(lo), 6) AS lo, ROUND(MIN(hi), 6) AS hi,
-             ROUND(${davgSql("abs_err")}, 6) AS avg_err,
+             ${rnd6Sql(davgSql("abs_err"))} AS avg_err,
              ROUND(MAX(abs_err), 6) AS max_err,
              COUNT(*) AS n
       FROM err
@@ -1285,10 +1285,10 @@ object VectorOps {
         .select((col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
         .groupBy(col("pos"))
         .agg(
-          round(davg(col("v")), 6).as("mean"),
+          rnd6(davg(col("v"))).as("mean"),
           round(min(col("v")), 6).as("vmin"),
           round(max(col("v")), 6).as("vmax"),
-          round(davg(col("v") * col("v")), 6).as("mean_sq"),
+          rnd6(davg(col("v") * col("v"))).as("mean_sq"),
           count(lit(1)).as("n"))
         .orderBy(col("pos"))
     },
@@ -1296,10 +1296,10 @@ object VectorOps {
       WITH flat AS (SELECT generate_subscripts(embedding, 1) AS pos,
                            CAST(unnest(embedding) AS DOUBLE) AS v
                     FROM embeddings)
-      SELECT pos, ROUND(${davgSql("v")}, 6) AS mean,
+      SELECT pos, ${rnd6Sql(davgSql("v"))} AS mean,
              ROUND(MIN(v), 6) AS vmin,
              ROUND(MAX(v), 6) AS vmax,
-             ROUND(${davgSql("v * v")}, 6) AS mean_sq,
+             ${rnd6Sql(davgSql("v * v"))} AS mean_sq,
              COUNT(*) AS n
       FROM flat
       GROUP BY pos
@@ -1707,7 +1707,7 @@ object VectorOps {
         .select(col("vec_id"), col("label"), col("pos"),
           col("v").cast("double").as("v"))
       val cent = dims.groupBy(col("label"), col("pos"))
-        .agg(round(davg(col("v")), 6).as("c"))
+        .agg(rnd6(davg(col("v"))).as("c"))
       val dist = dims.join(broadcast(cent), Seq("label", "pos"))
         .select(col("vec_id"), col("label"),
           fix6((col("v") - col("c")) * (col("v") - col("c"))).as("t6"))
@@ -1731,7 +1731,7 @@ object VectorOps {
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings),
       cent AS (
-        SELECT label, pos, ROUND(${davgSql("v")}, 6) AS c
+        SELECT label, pos, ${rnd6Sql(davgSql("v"))} AS c
         FROM dims GROUP BY label, pos),
       dist AS (
         SELECT vec_id, d.label,

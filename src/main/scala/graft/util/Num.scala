@@ -54,6 +54,22 @@ object Num {
   def dec2Sql(expr: String): String =
     s"CAST(FLOOR(($expr) * 100 + 0.5) / 100.0 AS DECIMAL(15,2))"
 
+  /** Deterministic 6-decimal display rounding of an already-deterministic
+    * double: floor(x*1e6+0.5)/1e6 — pure IEEE-754 ops, bit-identical in
+    * any engine. NOT round(x, 6): Spark's round (BigDecimal HALF_UP over
+    * the double's shortest decimal repr) and DuckDB's ROUND disagree on
+    * exact .5 ties, and a fixed-point mean (davg = integer sum / count)
+    * lands on exact ties STRUCTURALLY whenever the count divides the
+    * scaled sum midway — found at sf0.1 (round 10): v_centroids label 9
+    * pos 7 is 616992/192 = 3213.5 µunits, Spark 0.003213 vs DuckDB
+    * 0.003214. Every rounded davg/derived-mean output uses this pair;
+    * round() stays only over values that cannot structurally tie
+    * (dsum alone is already an exact µ-grid point, cosine sims are
+    * quotients of irrational-scale dot products). */
+  def rnd6(e: Column): Column = floor(e * 1000000.0d + 0.5d) / 1000000.0d
+  def rnd6Sql(expr: String): String =
+    s"(FLOOR(($expr) * 1000000 + 0.5) / 1000000.0)"
+
   /** SQL fragments for oracle text — keep in lockstep with the above.
     * DuckDB SUM(BIGINT) yields HUGEINT; the BIGINT cast keeps the
     * int->double step identical to Spark's long sum. */
