@@ -24,8 +24,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * genuinely wants a parallel range sort, and such plans run under full
   * AQE where this rule never engages. */
 object OnePartitionSort extends Rule[LogicalPlan] {
+
+  /** Operational kill switch (GRAFT_NO_1PSORT=1), for A/B measurement and
+    * as the escape hatch — same pattern as GRAFT_NO_AUTOTUNE/NO_INLINE. */
+  private val disabled: Boolean =
+    sys.env.get("GRAFT_NO_1PSORT").contains("1")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString("graft.autotune.origPartitions", "").isEmpty) plan
+    if (disabled ||
+      conf.getConfString("graft.autotune.origPartitions", "").isEmpty) plan
     else {
       // a Sort feeding a Limit must stay global: the physical planner
       // pattern-matches Limit(Sort(global=true)) (also through a

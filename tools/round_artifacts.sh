@@ -30,9 +30,13 @@ sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passB.json 3" \
 python3 tools/merge_bench.py /tmp/${TAG}_sf0.1_passA.json \
   /tmp/${TAG}_sf0.1_passB.json bench_results/${TAG}_sf0.1.json \
   "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md
-echo "=== [3/7] BenchFull @ 10x replica"
-sbt -batch "runMain graft.BenchFull $REP bench_results/${TAG}_sf1x.json 3" \
-  > /tmp/${TAG}_bench1x.log 2>&1
+echo "=== [3/7] BenchFull @ 10x replica (two passes, min-merge — same rationale as [2])"
+sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passA.json 3" \
+  > /tmp/${TAG}_bench1xa.log 2>&1
+sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passB.json 3" \
+  > /tmp/${TAG}_bench1xb.log 2>&1
+python3 tools/merge_bench.py /tmp/${TAG}_sf1x_passA.json \
+  /tmp/${TAG}_sf1x_passB.json bench_results/${TAG}_sf1x.json
 echo "=== [4/7] ClusterCheck (full registry, 2 executor JVMs) @ sf0.01"
 SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ClusterCheck $SF01 $COUT" \
   > /tmp/${TAG}_cluster.log 2>&1
