@@ -46,7 +46,18 @@ case class GraftTuning(
     /** Cost-based optimizer + join reorder from table stats (reference:
       * `--disable-statistics` inverted). */
     cboEnabled: Boolean = true,
-    broadcastThresholdBytes: Long = 64L << 20,
+    /** Broadcast-join build-side ceiling. 64 MB was re-adjudicated in r10
+      * after finding q12 at the SF1 replica spending ~800 ms of a 1.3 s
+      * query in the SINGLE-THREADED driver-side HashedRelation build of
+      * 1.2 M orders rows: a same-shape A/B at 16 MB flipped those builds
+      * to sort-merge joins and was NET WORSE (q-family 8.7 → 9.2 s; the
+      * probe-side sort costs more than the serial build at this scale),
+      * so 64 MB stands. The genuinely degenerate cases are FACT-DERIVED
+      * AGGREGATES whose post-filter estimates sneak under any ceiling —
+      * those are fixed at the query level with shuffle_hash hints
+      * (q03/q18), not by shrinking the ceiling for true dimensions.
+      * SPARK_GRAFT_BROADCAST_MB overrides for future A/Bs. */
+    broadcastThresholdBytes: Long = GraftSession.defaultBroadcastBytes,
     /** Max bytes per file-scan partition (reference: batch size analog at
       * the scan; governs scan task granularity at 100 TB). */
     maxPartitionBytes: Long = 128L << 20,
@@ -72,6 +83,11 @@ object GraftSession {
 
   /** Default parallelism for the local test harness. */
   def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** Default broadcast ceiling (see GraftTuning.broadcastThresholdBytes);
+    * SPARK_GRAFT_BROADCAST_MB overrides for A/B measurement. */
+  def defaultBroadcastBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong << 20
 
   /** Shuffle/spill scratch directory. Prefer RAM-backed tmpfs when
     * present and big: this sandbox's kernel throttles page-cache

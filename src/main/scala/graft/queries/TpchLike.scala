@@ -129,10 +129,19 @@ object TpchLike {
       val rev = l.filter(col("l_shipdate") > d("1998-03-15"))
         .groupBy(col("l_orderkey"))
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      // rev is FACT-derived (one row per order — cardinality ∝ lineitem),
+      // so it must never be the broadcast build side: its static size
+      // estimate sits under the broadcast threshold at bench SFs, and the
+      // planner then builds a millions-of-rows HashedRelation single-
+      // threaded on the driver (measured at SF1: ~500 ms of a 950 ms
+      // query, r10 JobProbe) — a shape that only gets worse with scale.
+      // The shuffle_hash hint keeps the join co-partitioned with rev's
+      // own aggregation exchange (only the narrow orders side moves) and
+      // builds per-partition in parallel.
       c.filter(col("c_mktsegment") === "BUILDING")
         .join(o, col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < d("1998-03-15"))
-        .join(rev, col("l_orderkey") === col("o_orderkey"))
+        .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast(DateType).as("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -658,7 +667,12 @@ object TpchLike {
         .groupBy(col("l_orderkey").as("bk"))
         .agg(dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 150)
-      o.join(bigOrders, col("o_orderkey") === col("bk"))
+      // same fact-derived-aggregate rule as q03: bigOrders is one row per
+      // qualifying ORDER (293k at SF1 — measured), so its post-filter size
+      // estimate tempts the planner into a driver-side broadcast build;
+      // shuffle_hash keeps the join co-partitioned with the aggregation
+      // exchange and builds in parallel
+      o.join(bigOrders.hint("shuffle_hash"), col("o_orderkey") === col("bk"))
         .join(c, col("c_custkey") === col("o_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("o_orderdate"),
