@@ -42,7 +42,11 @@ object EnvCounters {
 
   private val taskGcMs, runMs, schedMs, tasks, jobs, jobMs = new LongAdder
   private val jobStartMs = new ConcurrentHashMap[Int, java.lang.Long]()
-  @volatile private var installed = false
+  // keyed by applicationId, not a boolean: a stopped-and-rebuilt context
+  // in the same JVM must get the listener RE-attached, or every task/job
+  // delta silently reads 0 while still being emitted into the
+  // adjudicated artifact as if measured (round-10 advice, low)
+  @volatile private var installedAppId: String = null
 
   private val listener = new SparkListener {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -66,9 +70,10 @@ object EnvCounters {
   }
 
   def install(spark: SparkSession): Unit = synchronized {
-    if (!installed) {
+    val appId = spark.sparkContext.applicationId
+    if (installedAppId != appId) {
       spark.sparkContext.addSparkListener(listener)
-      installed = true
+      installedAppId = appId
     }
   }
 

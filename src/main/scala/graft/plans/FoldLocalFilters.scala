@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Predicate, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Predicate, SubqueryExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -20,16 +20,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * sub-millisecond filter. Folding driver-side makes the build side a
   * bare LocalRelation again, whose `executeCollect` is job-free.
   *
-  * Safety: deterministic, subquery-free predicates only; evaluation is
-  * the same codegen-less `Predicate` interpreter an executor would run,
-  * so ANSI failures surface identically (just earlier). Relations this
-  * rule sees are catalog-inlined tiny dims — tens of rows — so the
-  * driver-side eval is strictly cheaper than scheduling the task that
-  * would have done it. */
+  * Safety: deterministic, subquery-free predicates only, and the
+  * condition must be fully BOUND by the relation's own output with no
+  * Unevaluable node — the optimizer re-executes user rules inside
+  * subquery plans, where a correlated predicate over an inlined tiny dim
+  * carries an OuterReference (deterministic, not a SubqueryExpression);
+  * handing that to `Predicate.create` fails attribute binding and turns
+  * a valid query into a plan-time crash (round-10 advice, medium).
+  * Evaluation is the same codegen-less `Predicate` interpreter an
+  * executor would run, so ANSI failures surface identically (just
+  * earlier). Relations this rule sees are catalog-inlined tiny dims —
+  * tens of rows — so the driver-side eval is strictly cheaper than
+  * scheduling the task that would have done it. */
 object FoldLocalFilters extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Filter(cond, lr: LocalRelation)
-        if cond.deterministic && !SubqueryExpression.hasSubquery(cond) =>
+        if cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
+          cond.references.subsetOf(lr.outputSet) &&
+          !cond.exists(_.isInstanceOf[Unevaluable]) =>
       val pred = Predicate.create(cond, lr.output)
       pred.initialize(0)
       LocalRelation(lr.output, lr.data.filter(pred.eval), lr.isStreaming)

@@ -85,4 +85,82 @@ class LocalDimSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"),
       s"top-k must not demote to full sort + limit:\n$s")
   }
+
+  test("correlated predicate over an inlined dim does not crash FoldLocalFilters") {
+    // r10 advice (medium): the optimizer re-executes user rules inside
+    // subquery plans, where a correlated filter over a catalog-inlined
+    // tiny dim carries an OuterReference — folding it driver-side fails
+    // attribute binding. The guard must leave such filters alone.
+    Catalog.table(spark, sf0001, "nation").createOrReplaceTempView("ld_nation")
+    Catalog.table(spark, sf0001, "supplier").createOrReplaceTempView("ld_supplier")
+    val scalarCorr = spark.sql(
+      """SELECT s_suppkey,
+        |  (SELECT n_name FROM ld_nation WHERE n_nationkey = s.s_nationkey) AS nm
+        |FROM ld_supplier s ORDER BY s_suppkey LIMIT 5""".stripMargin)
+    assert(scalarCorr.collect().length === 5)
+    val total = spark.table("ld_supplier").count()
+    val existsCorr = spark.sql(
+      """SELECT count(*) AS c FROM ld_supplier s
+        |WHERE EXISTS (SELECT 1 FROM ld_nation n
+        |              WHERE n.n_nationkey = s.s_nationkey AND n.n_name <> '')
+        |""".stripMargin)
+    assert(existsCorr.collect().head.getLong(0) === total)
+  }
+
+  test("a big plan inheriting a leaked gate marker keeps its global sort") {
+    // r10 advice (medium): the AdaptiveGate marker conf is session state
+    // that can outlive the small query that set it; OnePartitionSort must
+    // re-derive smallness from the plan in hand so a big plan planned
+    // under a leaked marker never serializes its sort into one partition.
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, Sort}
+    // clean slate, then OWN the marker; restore via reset (NOT a bare
+    // unset — that would orphan the adaptive/constraint overrides)
+    graft.plans.AdaptiveGate.reset(spark)
+    spark.conf.set("graft.autotune.origPartitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    try {
+      // Range stats: 8 B x 400 M rows ≈ 3.2 GB, over SmallPlanBytes
+      val big = spark.range(400L * 1000 * 1000).orderBy(col("id").desc)
+      val bigOpt = big.queryExecution.optimizedPlan
+      assert(bigOpt.exists { case s: Sort => s.global; case _ => false },
+        s"big plan must keep its parallel global sort:\n$bigOpt")
+      assert(!bigOpt.exists {
+        case Repartition(1, true, _) => true; case _ => false },
+        s"big plan must not be squeezed into one partition:\n$bigOpt")
+      // and a genuinely small plan under the same marker still rewrites
+      val small = spark.range(100).orderBy(col("id").desc)
+      val smallOpt = small.queryExecution.optimizedPlan
+      assert(smallOpt.exists {
+        case Repartition(1, true, _) => true; case _ => false },
+        s"small plan under the gate should take the 1-partition sort:\n$smallOpt")
+    } finally graft.plans.AdaptiveGate.reset(spark)
+  }
+
+  test("protected top-k survives when its subtree contains a rewritten sort") {
+    // r10 advice (low): the old identity-based protection broke when
+    // transformUp rebuilt the protected Sort (its subtree changed); the
+    // structural recursion must keep Limit(Sort) -> TakeOrderedAndProject
+    // while still rewriting the INNER global sort.
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    graft.plans.AdaptiveGate.reset(spark)
+    spark.conf.set("graft.autotune.origPartitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    try {
+      // monotonically_increasing_id blocks EliminateSorts, so the inner
+      // global sort survives into the optimizer where OnePartitionSort
+      // sees both sorts in one plan
+      val inner = spark.range(100).orderBy(col("id").desc)
+        .withColumn("r", monotonically_increasing_id())
+      val topk = inner.orderBy(col("id")).limit(5)
+      val opt = topk.queryExecution.optimizedPlan
+      assert(opt.exists {
+        case Repartition(1, true, _) => true; case _ => false },
+        s"inner global sort should still be rewritten:\n$opt")
+      val phys = topk.queryExecution.executedPlan.toString
+      assert(phys.contains("TakeOrderedAndProject"),
+        s"outer top-k must stay TakeOrderedAndProject:\n$phys")
+      assert(topk.select(col("id")).collect().map(_.getLong(0)).toSeq
+        === (0L to 4L), "top-k result wrong")
+    } finally graft.plans.AdaptiveGate.reset(spark)
+  }
 }

@@ -27,8 +27,11 @@ def per_query(path):
 
 
 def qmin(q):
+    # None (not NaN) for all-failed queries: NaN would serialize as a bare
+    # token (invalid strict JSON) and every NaN comparison is False, so the
+    # failure would be silently neither flagged nor reported (r10 advice).
     es = [it["elapsed"] for it in q["iterations"] if it.get("row_count", 0) >= 0]
-    return min(es) if es else float("nan")
+    return min(es) if es else None
 
 
 def main():
@@ -45,10 +48,17 @@ def main():
     merged["context"] = dict(da["context"])
     merged["context"]["passes"] = 2
     out_queries = []
+    failed = []
     for name in sorted(qa):
         a, b = qa[name], qb[name]
         ma, mb = qmin(a), qmin(b)
-        best = a if ma <= mb else b
+        if ma is None and mb is None:
+            failed.append(name)
+            best = a
+        elif mb is None or (ma is not None and ma <= mb):
+            best = a
+        else:
+            best = b
         entry = dict(best)
         entry["pass_mins"] = [ma, mb]
         out_queries.append(entry)
@@ -67,6 +77,11 @@ def main():
                 continue
             prev = qmin(qp[name])
             ma, mb = qmin(qa[name]), qmin(qb[name])
+            if prev is None or ma is None or mb is None:
+                lines.append(
+                    f"| {name} | {prev} | {ma} | {mb} | — | "
+                    "FAILED (no successful iterations) |")
+                continue
             ra, rb = ma / prev, mb / prev
             if ra > 1.2 and rb > 1.2:
                 flag = "REGRESSED (both passes)"
@@ -94,6 +109,12 @@ def main():
           f"{sum('noise' in l for l in lines)} one-pass noise deltas")
     for l in reproduced:
         print("[merge_bench] " + l)
+    for name in failed:
+        print(f"[merge_bench] FAILED: {name} has no successful iterations "
+              "in either pass")
+    for l in lines:
+        if "FAILED" in l:
+            print("[merge_bench] " + l)
 
 
 if __name__ == "__main__":
