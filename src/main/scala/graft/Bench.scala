@@ -4,10 +4,32 @@ package graft
   * prints ONE JSON line (driver contract). Mirrors the reference's
   * measurement protocol (reference: benchmarks/src/tpch/run.rs:181-213 —
   * wall-clock around full execution incl. result consumption; per-query
-  * timings + aggregate). */
+  * timings + aggregate).
+  *
+  * Output discipline (r11): the adjudicating driver keeps only the LAST
+  * ~2000 characters of this run's output and parses the JSON it finds
+  * there — ten rounds of BENCH_r*.json carry `parsed: null` because the
+  * all-queries-plus-env line had grown to ~100 KB and could never fit.
+  * So stdout now carries a COMPACT line — total over the full registry,
+  * per-query seconds for the 22 TPC-H headline queries (the reference's
+  * own bench set, benchmarks/src/tpch/run.rs:140-143), and min-iteration
+  * environment summaries for the driver-divergence watch list — while
+  * the complete per-query/per-iteration record (all queries, full env
+  * counters) is written to a detail FILE whose path the line names. */
 object Bench {
+
+  /** Queries whose driver-vs-local timing divergence is under
+    * investigation (r9-r11: v_knn_graph 1.43 s driver vs 1.01 s local,
+    * three rounds unattributed) — their min-iteration env counters ride
+    * the compact line so the adjudicated artifact itself carries the
+    * gc/jit/sched/job breakdown. */
+  private val watch = Seq(
+    "v_knn_graph", "v_lsh_ann", "v_ivf_ann", "v_pq_ann", "r_rank_eval")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/graft_bench_detail.json")
     val spark = GraftSession.get()
     EnvCounters.install(spark)
     // one warm-up action so JVM/codegen startup isn't billed to query 1
@@ -24,6 +46,7 @@ object Bench {
       .map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    // per query: (name, min good wall, env array json, min-iter env json)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to iterations).map { _ =>
         val env0 = EnvCounters.snap(spark)
@@ -46,7 +69,7 @@ object Bench {
       // nor falsely brands the query broken. A query with zero good runs
       // reports null and contributes NOTHING to total — mixing
       // time-to-error into the headline would make failures look cheap.
-      val good = attempts.filter(_._2).map(_._1)
+      val good = attempts.filter(_._2)
       if (good.isEmpty) failed ::= name
       // fresh-state boundary between queries (see GraftSession.releaseQueryState)
       GraftSession.releaseQueryState(spark)
@@ -55,18 +78,40 @@ object Bench {
         // and its timing read together without cross-indexing
         s"""{"wall_s":$wall,"env":$env}"""
       }.mkString("[", ",", "]")
-      (name, if (good.nonEmpty) Some(good.min) else None, envArr)
+      val minEnv = if (good.isEmpty) None
+        else Some(good.minBy(_._1)._3)
+      (name, if (good.nonEmpty) Some(good.map(_._1).min) else None,
+        envArr, minEnv)
     }
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
-    }.mkString("{", ",", "}")
-    val envJson = results.map { case (k, _, envArr) =>
-      "\"" + k + "\":" + envArr
-    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    // "failed" distinguishes time-to-error from a real timing in the record
+
+    // ---- detail file: everything, every iteration, full env counters
+    val detailQs = results.map { case (k, v, envArr, _) =>
+      "\"" + k + "\":{\"min_s\":" + v.map(_.toString).getOrElse("null") +
+        ",\"iterations\":" + envArr + "}"
+    }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir","env":$envJson}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iterations,"sf":"$sfDir","failed":$failedJson,"queries":$detailQs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full per-iteration record: $detailPath")
+
+    // ---- compact driver line (< ~1900 chars so the driver's 2000-char
+    // tail window holds the WHOLE object even after sbt's epilogue)
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
+    val tpch = results.filter(_._1.startsWith("q"))
+      .map { case (k, v, _, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + v.map(r3).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val watchEnv = results
+      .filter { case (k, _, _, me) => watch.contains(k) && me.nonEmpty }
+      .map { case (k, v, _, me) =>
+        "\"" + k + "\":{\"min_s\":" + v.map(r3).getOrElse("null") +
+          ",\"env\":" + me.get + "}"
+      }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$tpch,"nq":${results.size},"failed":${failed.size},"iterations":$iterations,"sf":"$sfDir","watch_env":$watchEnv,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -31,26 +31,39 @@ object ClusterCheck {
     * hash + LSH dedup, custom codegen Expressions on executors, the
     * iterative CC loop and k-means training loops (multi-round shuffles
     * + per-round localCheckpoint blocks living on executors), and the
-    * composed cleaning pipelines with mid-plan parquet stages). */
-  val subset: Seq[String] = Registry.all.map(_.name)
+    * composed cleaning pipelines with mid-plan parquet stages).
+    * GRAFT_CLUSTER_ONLY narrows to a comma-list for topology-focused
+    * passes (e.g. the 4-JVM heavy-family run, r10 verdict item 7). */
+  val subset: Seq[String] = sys.env.get("GRAFT_CLUSTER_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Registry.all.map(_.name))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ClusterCheck <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
+    // topology override (GRAFT_CLUSTER_TOPOLOGY="4,8,3072"): the default
+    // 2x16 proves the process boundary; a wider fan-out (4 executor JVMs)
+    // exercises partition placement and block transfer patterns two JVMs
+    // can mask — the Spark analog of the reference's 10-worker smoke
+    // (tests/highly_distributed_query.rs)
+    val topo = sys.env.getOrElse("GRAFT_CLUSTER_TOPOLOGY", "2,16,3072")
+    val nWorkers = topo.split(",").head.trim.toInt
+    val coresPerWorker = topo.split(",")(1).trim.toInt
     // executor JVMs are launched by the in-process Worker from SPARK_HOME;
     // they need the application classes (graft.*, incl. codegen'd
     // Expressions and closure classes) on their own classpath
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = GraftSession
-      .builderWith(GraftTuning(cpus = 32), master = Some("local-cluster[2,16,3072]"))
+      .builderWith(GraftTuning(cpus = nWorkers * coresPerWorker),
+        master = Some(s"local-cluster[$topo]"))
       .config("spark.executor.memory", "2g")
       .config("spark.executor.extraClassPath", classesDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val nExec = waitForExecutors(spark, want = 2)
-    require(nExec >= 2,
-      s"local-cluster brought up only $nExec executor JVM(s) — no process boundary to prove")
+    val nExec = waitForExecutors(spark, want = nWorkers)
+    require(nExec >= nWorkers,
+      s"local-cluster brought up only $nExec executor JVM(s) of $nWorkers — topology short")
     println(s"[cluster-check] $nExec executor JVMs up (driver pid ${ProcessHandle.current().pid()})")
 
     // same ownership guard as Verify: only clear a dir that is empty or

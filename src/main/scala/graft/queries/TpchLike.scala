@@ -174,7 +174,14 @@ object TpchLike {
       // near-fully before the shuffle) and lets AQE broadcast the 3-month
       // orders slice; at full scale both sides hash on orderkey — one
       // co-keyed shuffle either way, with 4x fewer probe rows.
-      val maxShip = l.groupBy(col("l_orderkey"))
+      // Derived date cut (r11): every qualifying order has o_orderdate ≥
+      // the window start, so only lineitems with l_shipdate > that start
+      // can ever witness the EXISTS — any witness survives the cut, so
+      // max over the cut set decides identically. The pushed filter
+      // reaches the parquet scan and drops ~half the pre-agg input
+      // (orders span 1995-2001) before any shuffle.
+      val maxShip = l.filter(col("l_shipdate") > d("1997-07-01"))
+        .groupBy(col("l_orderkey"))
         .agg(max(col("l_shipdate")).as("max_ship"))
       o.filter(col("o_orderdate") >= d("1997-07-01") && col("o_orderdate") < d("1997-10-01"))
         .join(maxShip,
@@ -281,8 +288,15 @@ object TpchLike {
         col("c_nationkey") === col("n2.n_nationkey"))
       // cut BOTH fact inputs before the orderkey join: lineitem through
       // the supplier side, orders through the customer side — neither
-      // full fact table ever sits on a hash-build side
-      val oCut = o.join(cCut, col("c_custkey") === col("o_custkey"))
+      // full fact table ever sits on a hash-build side. The cut join
+      // itself needs the hint: without it the planner broadcast FULL
+      // orders (file estimate under the ceiling; BuildLeft keyed
+      // o_custkey) — 600 ms of single-threaded driver
+      // LongToUnsafeRowMap.append caught by the r11 stack-sampling
+      // probe. shuffle_hash builds the 2-nation customer cut
+      // per-partition instead; orders only ever streams.
+      val oCut = o.join(cCut.hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"))
       l.filter(col("l_shipdate").between(d("1996-01-01"), d("1997-12-31")))
         .join(sCut, col("s_suppkey") === col("l_suppkey"))
         .join(oCut, col("o_orderkey") === col("l_orderkey"))
@@ -337,10 +351,17 @@ object TpchLike {
           n1.join(broadcast(r), col("n1.n_regionkey") === col("r_regionkey"))
             .filter(col("r_name") === "AMERICA")),
         col("c_nationkey") === col("n1.n_nationkey"))
+      // orders is a RAW FACT whose compressed-file estimate sits under
+      // the broadcast ceiling at bench SFs — broadcasting it meant a
+      // ~1.5M-row single-threaded driver HashedRelation build (r11
+      // JobProbe: a ~1.0 s dead window between the collect jobs and the
+      // main job, of a 1.67 s query). shuffle_hash builds it
+      // per-partition after a co-keyed shuffle — the only shape that
+      // survives 100 TB, where orders never fits one machine.
       l.join(p.filter(col("p_type") === "ECONOMY"),
           col("p_partkey") === col("l_partkey"))
         .join(s, col("s_suppkey") === col("l_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(cAmerica, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("s_nationkey") === col("n2.n_nationkey"))
         .select(
@@ -380,10 +401,14 @@ object TpchLike {
       val l = Catalog.table(spark, dir, "lineitem")
       val o = Catalog.table(spark, dir, "orders")
       val n = Catalog.table(spark, dir, "nation")
+      // same fact-broadcast hazard as q08: orders' file-size estimate
+      // ducks the ceiling and costs a ~0.7 s serial driver build (r11
+      // JobProbe: 720 ms gap, 218 ms of actual execution); shuffle_hash
+      // keeps the build per-partition and the plan scale-valid
       p.filter(col("p_name").like("%red%"))
         .join(l, col("p_partkey") === col("l_partkey"))
         .join(s, col("s_suppkey") === col("l_suppkey"))
-        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(o.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .select(
           col("n_name").as("nation"),
@@ -488,12 +513,27 @@ object TpchLike {
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
       val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
+      // the one-year lineitem slice is a FILTERED RAW FACT: its post-
+      // filter size estimate sneaks under the broadcast ceiling at bench
+      // SFs and the planner then builds a ~0.9M-row HashedRelation
+      // single-threaded on the driver (r11 JobProbe at SF1: ~1.0 s of a
+      // 1.4 s query sat between the broadcast-build job and the probe
+      // job). Same rule as q03/q18: fact-cardinality build sides take
+      // shuffle_hash — both sides hash on orderkey and the build runs
+      // per-partition in parallel; at 100 TB this is the only plan that
+      // works at all (the slice never fits one machine).
+      val lYear = l
         .filter(col("l_shipdate") >= d("1997-01-01") && col("l_shipdate") < d("1998-01-01"))
+        .hint("shuffle_hash")
+      // evaluate the priority CASE below the join: the orders-side
+      // shuffle then carries (orderkey, bool) instead of the priority
+      // string — ~40% less exchange payload on the wider side
+      o.select(col("o_orderkey"), high.as("o_high"))
+        .join(lYear, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_linestatus"))
         .agg(
-          sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
-          sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+          sum(when(col("o_high"), lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(!col("o_high"), lit(1L)).otherwise(lit(0L))).as("low_line_count"))
         .orderBy(col("l_linestatus"))
     },
     Some("""
@@ -772,6 +812,12 @@ object TpchLike {
       val l = Catalog.table(spark, dir, "lineitem")
       val o = Catalog.table(spark, dir, "orders")
       val n = Catalog.table(spark, dir, "nation")
+      // the 'F' slice broadcasts under the 64 MB raw-fact ceiling (r10
+      // A/B adjudication: ~190 ms serial build beats re-shuffling the
+      // FULL 6M-row lineitem onto orderkey, which an r11 probe measured
+      // at +257 ms in the main job — the window's own shuffle reads the
+      // 2x-smaller JOINED rows instead). At real scale AQE re-plans this
+      // join from runtime sizes; the local static choice is bench-only.
       val lo = l
         .join(o.filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
