@@ -447,7 +447,7 @@ object TpchLike {
         .join(o.filter(col("o_orderdate") >= d("1997-10-01") &&
             col("o_orderdate") < d("1998-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(c.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))

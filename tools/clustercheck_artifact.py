@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Compose the round's multi-JVM proof artifact from a ClusterCheck dump.
 
-Usage: python3 tools/clustercheck_artifact.py <cluster_out_dir> <sf_dir> <out_json>
+Usage: python3 tools/clustercheck_artifact.py <cluster_out_dir> <sf_dir> <out_json> \
+           [topology] [scope]
+
+topology defaults to "2,16,3072" (must match the run's
+GRAFT_CLUSTER_TOPOLOGY); scope defaults to the full-registry label.
 
 Runs check_oracles-style compare over the dump, then writes the artifact
 WITH provenance stamps ({commit, testdata_mtime, generated_at}) so a
@@ -10,7 +14,8 @@ to an empty driver gate because nothing dated it against HEAD/fixtures).
 """
 import json, subprocess, sys, os, datetime
 
-def main(outdir, sfdir, dest):
+def main(outdir, sfdir, dest, topology="2,16,3072",
+         scope="FULL registry (every query)"):
     res = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "check_oracles.py"),
          outdir, sfdir], capture_output=True, text=True)
@@ -26,10 +31,10 @@ def main(outdir, sfdir, dest):
                 for f in os.listdir(sfdir))
     n_pass = sum(1 for v in queries.values() if v == "PASS")
     artifact = {
-        "mode": "local-cluster[2,16,3072]",
-        "executor_jvms": 2,
+        "mode": f"local-cluster[{topology}]",
+        "executor_jvms": int(topology.split(",")[0]),
         "sf": sfdir,
-        "scope": "FULL registry (every query)",
+        "scope": scope,
         "queries": dict(sorted(queries.items())),
         "summary": f"{n_pass}/{len(queries)} PASS",
         "commit": commit,
@@ -44,4 +49,4 @@ def main(outdir, sfdir, dest):
     sys.exit(0 if n_pass == len(queries) and queries else 1)
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:6])
