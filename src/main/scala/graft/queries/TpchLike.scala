@@ -88,12 +88,21 @@ object TpchLike {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "EUROPE")
-      val minPerNation = euSupp
-        .groupBy(col("n_nationkey").as("mk"))
-        .agg(min(col("s_acctbal")).as("min_bal"))
+      // "balance = MIN(balance) within nation" is exactly rank()=1 with
+      // ties, and Catalyst's InferWindowGroupLimit turns the rank filter
+      // into a map-side per-partition top-1-with-ties BEFORE the nation
+      // shuffle (WindowGroupLimit, Partial then Final). That makes this a
+      // ONE-scan, one-job plan — the previous aggregate+join-back form
+      // scanned euSupp twice and paid a separate threshold-aggregate job
+      // before the main join (the "2-job residue" the r10 floor probe
+      // kept finding). Scale note: the shuffle carries only each map
+      // partition's local min ties, so per-nation window state stays
+      // O(ties), not O(suppliers/nation) — this survives 100 TB where a
+      // raw min-over-window by 25 nations would not.
+      val byNation = Window.partitionBy(col("n_nationkey")).orderBy(col("s_acctbal"))
       euSupp
-        .join(broadcast(minPerNation),
-          col("n_nationkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+        .withColumn("rk", rank().over(byNation))
+        .filter(col("rk") === 1)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
         .orderBy(col("n_name"), col("s_suppkey"))
     },
@@ -615,9 +624,21 @@ object TpchLike {
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
         .createOrReplaceTempView("revenue0")
       val rev = spark.table("revenue0")
-      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
-      s.join(broadcast(rev), col("s_suppkey") === col("supplier_no"))
-        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      // "revenue = MAX(revenue) over the view" is global rank()=1 with
+      // ties: InferWindowGroupLimit prefilters each partition to its
+      // local max ties before the single-partition window, so the only
+      // rows that move are one per upstream partition. This replaces a
+      // shape that (a) re-executed revenue0 for the MAX (second lineitem
+      // scan + its own job) and (b) broadcast the FULL fact-derived view
+      // (one row per suppkey — a serial driver HashedRelation build, the
+      // same disease JobProbe caught on q03/q12/q08/q09). The surviving
+      // broadcast side is ties-of-global-max — ~1 row by construction,
+      // dimension-safe at any scale.
+      val top = rev
+        .withColumn("rk", rank().over(Window.orderBy(col("total_revenue").desc)))
+        .filter(col("rk") === 1)
+        .drop("rk")
+      s.join(broadcast(top), col("s_suppkey") === col("supplier_no"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
