@@ -572,7 +572,14 @@ object TpchLike {
       // one per order, and the per-custkey group-by disappears
       val perCust = o.filter(col("o_orderpriority") =!= "5-LOW")
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
-      c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      // perCust is FACT-DERIVED (one row per ordering customer — it
+      // scales with the corpus) and its post-agg estimate ducks the
+      // broadcast ceiling: r11 probe showed a ~116 ms driver-serial
+      // HashedRelation build in the dead window. shuffle_hash keeps the
+      // join co-partitioned with perCust's own aggregation exchange —
+      // only the customer side moves, and the build is parallel.
+      c.join(perCust.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
         .select(coalesce(col("k"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
@@ -595,8 +602,15 @@ object TpchLike {
     (spark, dir) => {
       val l = Catalog.table(spark, dir, "lineitem")
       val p = Catalog.table(spark, dir, "part")
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .filter(col("l_shipdate") >= d("1997-09-01") && col("l_shipdate") < d("1997-10-01"))
+      // part is the one TPC-H "dimension" that scales WITH the corpus
+      // (unlike nation/region/supplier-per-nation): at 100 TB it is
+      // billions of rows and can never broadcast, and even at bench SF
+      // the r11 probe caught its 200k-row LongToUnsafeRowMap building
+      // single-threaded on the driver (~100 ms dead window). The month
+      // slice of lineitem is ~70k rows, so hashing both sides on partkey
+      // moves less data than the broadcast shipped.
+      l.filter(col("l_shipdate") >= d("1997-09-01") && col("l_shipdate") < d("1997-10-01"))
+        .join(p.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           dsum(when(col("p_type") === "PROMO",
             disc(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0))) /
@@ -904,7 +918,13 @@ object TpchLike {
       bucketed
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        // the URGENT slice is a FILTERED RAW FACT (~20% of orders): its
+        // estimate ducks the broadcast ceiling and the planner builds a
+        // ~300k-row LongToUnsafeRowMap single-threaded on the driver
+        // (r11 JobProbe stacks caught the build filling the dead window
+        // between the collect jobs and the main job). Same rule as
+        // q03/q12/q18: fact-cardinality build sides take shuffle_hash.
+        .join(o.filter(col("o_orderpriority") === "1-URGENT").hint("shuffle_hash"),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
