@@ -99,7 +99,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => CosineSim(cs(0), cs(1))),
     ("damerau_levenshtein",
       new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
-      (cs: Seq[Expression]) => DamerauLevenshtein(cs(0), cs(1))))
+      (cs: Seq[Expression]) => DamerauLevenshtein(cs(0), cs(1))),
+    ("simhash60",
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (cs: Seq[Expression]) => SimHash60(cs(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

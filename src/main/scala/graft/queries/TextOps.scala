@@ -781,13 +781,28 @@ object TextOps {
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash fingerprint: per-token 60-bit hashes vote per bit
     * position (one vote per occurrence ≡ frequency-weighted votes over
-    * distinct tokens). One explode + ONE groupBy carrying 60 codegen'd
-    * conditional sums — map-side partial aggregation collapses each doc
-    * before the shuffle. (A first cut crossJoined 60 bit-rows per token —
-    * a 150M-row stream at sf0.1 and 9 s; this is one pass.) */
+    * distinct tokens).
+    *
+    * Evolution, each step probe-measured: (1) a first cut crossJoined 60
+    * bit-rows per token — a 150M-row stream at sf0.1 and 9 s; (2) one
+    * explode + ONE groupBy with 60 codegen'd conditional sums — correct
+    * scale shape, but the r10/r11 100×-replica reads showed the query
+    * GC-BOUND (83 s of gc against a ~100 s wall): the explode still
+    * materializes a row per token, and the h60 path allocates three
+    * strings per token (md5 hex, substring, conv). (3) now: the native
+    * [[graft.functions.SimHash60]] expression — one pass over the
+    * document bytes with thread-local primitive state, no explode, no
+    * aggregate, no shuffle; the fingerprint is a scan-direct projection.
+    * SimHashSpec pins bit-equality against formulation (2). */
   /** (doc_id, simhash) frame — shared by the fingerprint query and the
     * simhash near-dup pairing below. */
-  private[queries] def simhashDf(d: DataFrame): DataFrame = {
+  private[queries] def simhashDf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr("simhash60(text)").as("simhash"))
+
+  /** Formulation (2) above — the explode+groupBy pipeline SimHash60
+    * replaced. Kept (test-only) as the differential oracle for
+    * SimHashSpec: the native expression must reproduce it bit-for-bit. */
+  private[graft] def simhashDfLegacy(d: DataFrame): DataFrame = {
     val votes = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1L, lit(1L)).otherwise(lit(-1L)))
         .as(s"v$b"))
