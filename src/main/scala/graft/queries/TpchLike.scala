@@ -707,12 +707,27 @@ object TpchLike {
     (spark, dir) => {
       val l = Catalog.table(spark, dir, "lineitem")
       val p = Catalog.table(spark, dir, "part")
-      val avgQty = l
-        .groupBy(col("l_partkey").as("ak"))
-        .agg((dsum(col("l_quantity")) / count(col("l_quantity")) * lit(0.5)).as("qty_limit"))
-      l.join(p, col("p_partkey") === col("l_partkey"))
-        .filter(col("p_brand") === "Brand#3")
-        .join(avgQty, col("l_partkey") === col("ak"))
+      // Two structural facts the old agg+join-back form ignored:
+      // (1) the correlated avg is PER PARTKEY, so restricting lineitem to
+      //     Brand#3 partkeys FIRST leaves every surviving group's avg
+      //     unchanged — the aggregate input drops from all of lineitem to
+      //     the ~1% brand slice;
+      // (2) avg-then-rejoin on the same key is a window aggregate: one
+      //     partkey shuffle of the slice, no second scan, no join — and
+      //     no fact-derived avgQty broadcast (r11 probe: ~166 ms serial
+      //     LongToUnsafeRowMap build of the 200k-row per-partkey avgs in
+      //     the dead window between jobs; gate probe 742 -> 404 ms).
+      //     Per-group window state is lineitems-per-part (~30,
+      //     corpus-invariant), so this holds at 100 TB. The brand-slice
+      //     broadcast is AQE's local choice; at scale the slice exceeds
+      //     the threshold and the same plan degrades to a shuffle join.
+      val byPart = Window.partitionBy(col("l_partkey"))
+      l.join(broadcast(p.filter(col("p_brand") === "Brand#3")
+            .select(col("p_partkey"))),
+          col("p_partkey") === col("l_partkey"))
+        .withColumn("qty_limit",
+          sum(fix6(col("l_quantity"))).over(byPart).cast("double") / 1000000.0d
+            / count(col("l_quantity")).over(byPart) * lit(0.5))
         .filter(col("l_quantity") < col("qty_limit"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     },
