@@ -451,15 +451,23 @@ object TpchLike {
       val l = Catalog.table(spark, dir, "lineitem")
       val n = Catalog.table(spark, dir, "nation")
       // fact-first (see q5): returned lineitems stream against the
-      // 3-month orders slice, then the per-customer dimensions
-      l.filter(col("l_returnflag") === "R")
+      // 3-month orders slice — then aggregate-below-join (the q03/q13
+      // trick): revenue is keyed by custkey alone, and the grouped
+      // customer attributes are functionally determined by it, so the
+      // per-custkey sum happens BEFORE any dimension join. The dim join
+      // then carries one narrow row per returning customer instead of
+      // one per returned lineitem, and customer co-partitions against
+      // the aggregation's own custkey exchange (shuffle_hash — the
+      // per-custkey frame is fact-derived, never a broadcast build).
+      val revByCust = l.filter(col("l_returnflag") === "R")
         .join(o.filter(col("o_orderdate") >= d("1997-10-01") &&
             col("o_orderdate") < d("1998-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(c.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .groupBy(col("o_custkey"))
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      c.hint("shuffle_hash")
+        .join(revByCust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
