@@ -65,16 +65,25 @@ python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 '^(?!q\d\d)' \
   > bench_results/${TAG}_duckdb_anchor_ext_sf0.1.md
 echo "=== [7/7] 30x heavy-tail scale-headroom run (~SF3)"
+# 30x/100x replicas are built SALTED (r11 adjudication): verbatim text
+# replicas collapse ~100:1 at the near-dup dup-collapse stage, which
+# trivializes exactly the banding/bucketing machinery these runs exist
+# to stress (plain 100x: 4,967 distinct simhashes, 29.9M pairs, 1.6 s —
+# a no-op workload). The salted build matches the replica lineage the
+# r8-r10 carried numbers were actually measured on (SCALING_r9's "salt
+# tokens dominate the majority vote") and is the harder, more
+# corpus-realistic shape: ~500k distinct signatures, 1.0B-pair output.
+# TPC-H tables are not salted, so q18 et al. are unaffected.
 REP30=/tmp/graft_${TAG}_sf3x
 [ -d "$REP30/lineitem.parquet" ] || \
-  sbt -batch "runMain graft.ScaleUp $SF1 $REP30 30" > /tmp/${TAG}_scaleup30.log 2>&1
+  sbt -batch "runMain graft.ScaleUp $SF1 $REP30 30 saltText" > /tmp/${TAG}_scaleup30.log 2>&1
 HEAVY=p_dedup_canonical,t_dedup_clusters,t_minhash_lsh,t_minhash_lsh_mat,t_simhash_neardup,v_semdedup,v_knn_graph,v_lsh_ann,a_fuzzy_match,t_substr_runs,t_normalize,e_interpolate,a_basket_pairs,q18_in_subquery_having,p_clean_corpus,x_salted_join,e_decimate
 sbt -batch "runMain graft.BenchFull $REP30 bench_results/${TAG}_sf3x.json 2 $HEAVY" \
   > /tmp/${TAG}_bench3x.log 2>&1
 echo "=== [8/8] 100x heavy-tail proof (~SF10 — the initialPartitionNum-16x motivator)"
 REP100=/tmp/graft_${TAG}_sf10x
 [ -d "$REP100/lineitem.parquet" ] || \
-  sbt -batch "runMain graft.ScaleUp $SF1 $REP100 100" > /tmp/${TAG}_scaleup100.log 2>&1
+  sbt -batch "runMain graft.ScaleUp $SF1 $REP100 100 saltText" > /tmp/${TAG}_scaleup100.log 2>&1
 HEAVY100=p_dedup_canonical,t_minhash_lsh,t_simhash_neardup,v_semdedup,q18_in_subquery_having
 sbt -batch "runMain graft.BenchFull $REP100 bench_results/${TAG}_sf10x.json 1 $HEAVY100" \
   > /tmp/${TAG}_bench10x.log 2>&1
