@@ -174,11 +174,29 @@ class PlanSpec extends SparkSpec {
     // key BEFORE the shuffle. This is what makes window-based top-k
     // (knn ranking, CDC latest-by-key compaction) a MAX-aggregate-shaped
     // plan at 100 TB instead of a full per-group sort.
-    Seq("e_upsert_compact", "v_knn_brute").foreach { name =>
+    // q02/q15 (r11): min/max-within-group selection re-expressed as
+    // rank()=1 with ties rides the same machinery — the map-side Partial
+    // group-limit is what makes one-scan extreme-selection scale
+    Seq("e_upsert_compact", "v_knn_brute",
+      "q02_min_within_group", "q15_top_supplier_view").foreach { name =>
       val s = PlanDescriber.simpleString(q(name))
       assert(s.contains("WindowGroupLimit"),
         s"$name: rank filter did not become a group limit:\n${s.take(1500)}")
     }
+  }
+
+  test("q17: one lineitem scan, window avg, no per-partkey agg broadcast") {
+    // the r11 rewrite computes the correlated per-partkey avg as a
+    // window over the brand slice: exactly ONE lineitem scan (the old
+    // agg+join-back form scanned twice) and no broadcast of the
+    // fact-derived averages (a serial driver hash build at bench SFs,
+    // an impossible plan at 100 TB)
+    val s = PlanDescriber.simpleString(q("q17_corr_avg_subquery"))
+    val lineitemScans = s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"q17 must scan lineitem exactly once, found $lineitemScans:\n${s.take(1500)}")
+    assert(s.contains("Window"), s"q17 lost its window aggregate:\n${s.take(1500)}")
   }
 
   test("v_cluster_select: hash pre-gate bounds the rank window input") {
