@@ -19,7 +19,8 @@ class PlanSnapshotSpec extends SparkSpec {
   // queries whose plans are path/temp-dir free and stable run-to-run
   private val snapshotted = Seq(
     "q01_pricing_summary", "q02_min_within_group", "q03_topk_revenue",
-    "q06_scalar_agg", "t_exact_dedup", "v_knn_native", "x_window_rank",
+    "q06_scalar_agg", "q12_conditional_counts", "q17_corr_avg_subquery",
+    "t_exact_dedup", "v_knn_native", "x_window_rank",
     "e_upsert_compact", "g_degree_hist")
 
   private val dir = Paths.get("src/test/resources/plans")
