@@ -96,4 +96,46 @@ object PropertySpec extends Properties("graft.kernels") {
         math.abs(v - deq) <= (if (hi > lo) (hi - lo) / 255.0 / 2.0 else 0.0) + 1e-9
       }
     }
+
+  property("SimHash60.compute equals the hex-string reference model") = {
+    // reference model: the legacy pipeline's exact arithmetic — Java
+    // split-keeping-trailing-empties, md5 HEX string, first 15 hex chars
+    // parsed base-16, +1/-1 votes per occurrence. The production kernel
+    // does a byte-level space scan and reads the digest's top 60 bits
+    // directly (be64 >>> 4); this property pins those two shortcuts.
+    def model(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = {
+        // split(" ", -1) semantics: ALL empty tokens kept
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = 0
+        val s = text
+        var i = 0
+        while (i <= s.length) {
+          if (i == s.length || s.charAt(i) == ' ') {
+            out += s.substring(start, i); start = i + 1
+          }
+          i += 1
+        }
+        out.toSeq
+      }
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        (0 until 60).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 60).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)), Gen.const(""),
+      Gen.oneOf("tökn", "日本語", "naïve", "émoji🙂", "tab\tchar"))
+    val doc = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+    forAll(doc) { text =>
+      graft.functions.SimHash60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)) == model(text)
+    }
+  }
 }
