@@ -797,7 +797,12 @@ object TextOps {
   /** (doc_id, simhash) frame — shared by the fingerprint query and the
     * simhash near-dup pairing below. */
   private[queries] def simhashDf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), expr("simhash60(text)").as("simhash"))
+    // row-set equivalence with the legacy explode+groupBy pipeline (and
+    // the oracle's unnest CTE): a NULL text produced NO rows there, while
+    // the native projection would emit a NULL-fingerprint row — filter so
+    // null-text docs drop from the fingerprint frame in both formulations
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("simhash60(text)").as("simhash"))
 
   /** Formulation (2) above — the explode+groupBy pipeline SimHash60
     * replaced. Kept (test-only) as the differential oracle for

@@ -99,8 +99,14 @@ object TpchLike {
       // partition's local min ties, so per-nation window state stays
       // O(ties), not O(suppliers/nation) — this survives 100 TB where a
       // raw min-over-window by 25 nations would not.
+      // NULL guard: rank() orders NULLS FIRST by default, so a NULL
+      // acctbal would take rank 1 and displace the true minimum, while
+      // the decorrelated MIN() form (and the oracle) ignores NULLs. The
+      // fixture schema is NOT NULL, but the rewrite must stay equivalent
+      // on nullable inputs — the filter also pushes to the scan.
       val byNation = Window.partitionBy(col("n_nationkey")).orderBy(col("s_acctbal"))
       euSupp
+        .filter(col("s_acctbal").isNotNull)
         .withColumn("rk", rank().over(byNation))
         .filter(col("rk") === 1)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
@@ -727,11 +733,15 @@ object TpchLike {
       //     the dead window between jobs; gate probe 742 -> 404 ms).
       //     Per-group window state is lineitems-per-part (~30,
       //     corpus-invariant), so this holds at 100 TB. The brand-slice
-      //     broadcast is AQE's local choice; at scale the slice exceeds
-      //     the threshold and the same plan degrades to a shuffle join.
+      //     join deliberately carries NO hint: the planner broadcasts the
+      //     slice while its estimate sits under the ceiling, and — because
+      //     nothing is forced — AQE demotes it to a shuffle join at the
+      //     scale where part (which grows with the corpus) no longer fits
+      //     one machine. An explicit broadcast() here would bypass the
+      //     threshold at every scale and OOM the driver at 100 TB.
       val byPart = Window.partitionBy(col("l_partkey"))
-      l.join(broadcast(p.filter(col("p_brand") === "Brand#3")
-            .select(col("p_partkey"))),
+      l.join(p.filter(col("p_brand") === "Brand#3")
+            .select(col("p_partkey")),
           col("p_partkey") === col("l_partkey"))
         .withColumn("qty_limit",
           sum(fix6(col("l_quantity"))).over(byPart).cast("double") / 1000000.0d

@@ -23,7 +23,8 @@ class SimHashSpec extends SparkSpec {
     (7L, "single"),
     (8L, ""), // one empty token (split('', ' ') = [""])
     (9L, "unicode tökens säme spāce handling éè"),
-    (10L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    (10L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    (11L, null.asInstanceOf[String]) // NULL text: both formulations must DROP the doc
   ).toDF("doc_id", "text")
 
   test("simhash60 bit-matches the legacy explode+groupBy pipeline") {
@@ -31,6 +32,10 @@ class SimHashSpec extends SparkSpec {
     val native = TextOps.simhashDf(docs).as[(Long, Long)].collect().toMap
     val legacy = TextOps.simhashDfLegacy(docs).as[(Long, Long)].collect().toMap
     assert(native.keySet === legacy.keySet)
+    // row-SET equivalence, not just per-row bits: the NULL-text doc must
+    // be absent from both frames (legacy drops it via explode-of-null;
+    // the native projection filters it) — pins the ADVICE r11 hole
+    assert(!native.keySet.contains(11L))
     for ((id, sh) <- legacy)
       assert(native(id) === sh, s"doc $id: native ${native(id)} != legacy $sh")
     // exact duplicates must collide; the near-dup must stay within the
