@@ -882,31 +882,47 @@ object TpchLike {
       val n = Catalog.table(spark, dir, "nation")
       // the 'F' slice broadcasts under the 64 MB raw-fact ceiling (r10
       // A/B adjudication: ~190 ms serial build beats re-shuffling the
-      // FULL 6M-row lineitem onto orderkey, which an r11 probe measured
-      // at +257 ms in the main job — the window's own shuffle reads the
-      // 2x-smaller JOINED rows instead). At real scale AQE re-plans this
-      // join from runtime sizes; the local static choice is bench-only.
+      // FULL 6M-row lineitem onto orderkey; re-confirmed r12 under the
+      // rollup shape below — shuffle_hash benched 1407 ms vs 965 ms at
+      // the SF1 replica). The choice is deliberately UNHINTED: the
+      // planner broadcasts while the slice's estimate sits under the
+      // ceiling, and AQE demotes it from runtime sizes at the scale
+      // where half of orders no longer fits one machine (pinned by
+      // PlanSpec's threshold-lowering case — no driver OOM path).
       val lo = l
         .join(o.filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-      // one pass instead of aggregate + join-back: both distinct-supplier
-      // counts come from whole-partition window sets keyed on the order —
-      // a single orderkey shuffle/sort of ONE lineitem scan (the agg form
-      // recomputed `lo` — two scans, two joins); per-group set size is
-      // bounded by suppliers-per-order, so window state is O(1)
+      // one pass instead of aggregate + join-back, with PRIMITIVE window
+      // state: roll lineitem up to one row per (order, supplier) first
+      // (late_cnt = this supplier's late rows in the order), then both
+      // existential counts are plain count/sum windows over the rollup —
+      // n_supp = distinct suppliers, n_late = distinct LATE suppliers.
+      // The r11 form computed the distinct counts as collect_set windows
+      // over the RAW join output: per-row object hash-set state over 6M
+      // rows dominated the main job (probe: 1674 ms -> 543 ms for this
+      // rollup under plain AQE). The explicit orderkey repartition makes
+      // the rollup and both windows share ONE exchange: hash(orderkey)
+      // satisfies the aggregate's (orderkey, suppkey) clustering AND the
+      // window's orderkey clustering, so EnsureRequirements inserts no
+      // second shuffle — same exchange count as the collect_set form,
+      // strictly cheaper per-row state. numwait = sum(late_cnt)
+      // reproduces the oracle's per-lineitem-row COUNT(*).
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
       lo
-        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
-        .withColumn("n_late_supp",
-          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
-        .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_cnt"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late",
+          sum(when(col("late_cnt") > 0, 1).otherwise(0)).over(w))
+        .filter(col("late_cnt") > 0 && col("n_supp") >= 2 && col("n_late") === 1)
         .join(s, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name") === "NATION_3")
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("late_cnt")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },

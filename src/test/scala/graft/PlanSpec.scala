@@ -185,6 +185,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21: the 'F'-slice broadcast demotes past the ceiling, never forced") {
+    // the orders-'F' build side is a PLANNER choice, not a hint: at bench
+    // SFs its estimate sits under the broadcast ceiling and it broadcasts;
+    // at real scale (half of orders — grows with the corpus) the same
+    // query must degrade to a partitioned join, not force a driver-OOM
+    // build. Simulate "side exceeds the ceiling" by disabling the
+    // threshold: the only broadcast left must be the explicitly-forced
+    // nation dim (25 rows at ANY scale — constant-size dims are the one
+    // legitimate forced broadcast), and the lineitem-orders join must
+    // appear as a shuffle-side join.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val s = PlanDescriber.simpleString(q("q21_exists_not_exists"))
+      val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+      assert(bhj == 1, s"expected ONLY the forced nation broadcast, got $bhj:\n${s.take(2000)}")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        s"orders join did not demote to a shuffle join:\n${s.take(2000)}")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q17: one lineitem scan, window avg, no per-partkey agg broadcast") {
     // the r11 rewrite computes the correlated per-partkey avg as a
     // window over the brand slice: exactly ONE lineitem scan (the old
