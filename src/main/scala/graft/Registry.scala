@@ -17,7 +17,15 @@ final case class GQuery(
       * (skew splits, rebalance writes): the driver-contract layer restores
       * full-AQE defaults before the body runs instead of applying the
       * small-plan single-shot path ([[graft.plans.AdaptiveGate]]). */
-    needsAqe: Boolean = false)
+    needsAqe: Boolean = false,
+    /** Execution-time conf overrides for THIS query, applied by the
+      * driver-contract layer ([[SparkEntry.tuned]]) after the body builds
+      * and restored before the next query runs. For regimes where a
+      * global default is wrong for one plan class — e.g. whole-stage
+      * codegen's buffered-copy output loop on pair-expansion tails
+      * (t_simhash_neardup, r12 JFR evidence). Plan-shape suites that call
+      * the Registry directly bypass this, as they bypass the gate. */
+    execConf: Map[String, String] = Map.empty)
 
 object Registry {
   lazy val all: Seq[GQuery] =

@@ -37,6 +37,13 @@ object ProbeLsh {
     val spark = graft.GraftSession.get()
     args.lift(1).filter(_ != "-").foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p))
+    // arbitrary conf overrides for A/B probing, e.g.
+    // GRAFT_PROBE_CONF="spark.sql.codegen.wholeStage=false,spark.x=y"
+    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      println(s"[probe] conf $k=$v")
+      spark.conf.set(k, v)
+    })
     val which = args.lift(2).getOrElse("both")
     println(s"[probe] dir=$dir parts=${spark.conf.get("spark.sql.shuffle.partitions")}")
 
@@ -91,10 +98,11 @@ object ProbeLsh {
     timed("expansion noop (UNsorted)") {
       expanded.write.format("noop").mode("overwrite").save()
     }
-    timed("expansion noop (sorted)") {
-      expanded.orderBy(col("a_id"), col("b_id"))
-        .write.format("noop").mode("overwrite").save()
-    }
+    if (!sys.env.contains("GRAFT_PROBE_SKIP_SORTED"))
+      timed("expansion noop (sorted)") {
+        expanded.orderBy(col("a_id"), col("b_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
   }
 
   private def probeMinhash(spark: SparkSession, docs: DataFrame): Unit = {

@@ -927,7 +927,21 @@ object TextOps {
       SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
       FROM cand
       WHERE bit_count(xor(a_sh, b_sh)) <= 3
-      ORDER BY a_id, b_id"""))
+      ORDER BY a_id, b_id"""),
+    // whole-stage codegen is the WRONG regime for this plan's tail: the
+    // two member-expansion joins fuse into one nested codegen loop whose
+    // shouldStop() check sits only at the outer rep-pair scan, so every
+    // input row appends its ENTIRE gn^2 expansion (10k+ rows on a
+    // duplication-heavy corpus) into BufferedRowIterator's LinkedList —
+    // each one an UnsafeRow.copy() (r12 JFR on the salted 100x replica:
+    // ~all allocation in copy()+linkLast, 6M live rows at collection
+    // time, 1-5 s young pauses, 82% of task time in GC). The interpreted
+    // iterator path streams matches through reused buffers instead:
+    // expansion stage 174.6 s -> 34.2 s (5.1x) on the same workload,
+    // bit-identical output. The fingerprint/collapse stage is unaffected
+    // — it executes eagerly at build time (localCheckpoint) under the
+    // session's codegen'd defaults.
+    execConf = Map("spark.sql.codegen.wholeStage" -> "false"))
 
   // ------------------------------------------------------------ fingerprint
   /** Document fingerprinting: k-min sketch over rolling character

@@ -112,4 +112,18 @@ class RegistrySpec extends SparkSpec {
       assert(n === golden(q.name), s"row count drift for ${q.name}")
     }
   }
+
+  test("execConf applies for its query's execution and restores before the next") {
+    val key = "spark.sql.codegen.wholeStage"
+    val before = spark.conf.get(key)
+    // t_simhash_neardup declares wholeStage=false (the expansion tail's
+    // buffered-copy GC regime, r12); the override must be visible when
+    // ITS plan executes...
+    val df = SparkEntry.queries("t_simhash_neardup")(spark, sf0001)
+    assert(spark.conf.get(key) === "false", "execConf not applied")
+    df.count()
+    // ...and gone by the time the NEXT query's body builds
+    SparkEntry.queries("q01_pricing_summary")(spark, sf0001).count()
+    assert(spark.conf.get(key) === before, "execConf leaked to the next query")
+  }
 }
