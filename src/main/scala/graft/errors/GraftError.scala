@@ -24,7 +24,25 @@ import org.apache.spark.sql.AnalysisException
   * where one exception CLASS covers several conditions — e.g.
   * SparkArithmeticException is DIVIDE_BY_ZERO and ARITHMETIC_OVERFLOW. */
 sealed abstract class GraftError(val kind: String, message: String,
-    cause: Throwable) extends RuntimeException(message, cause)
+    cause: Throwable) extends RuntimeException(message, cause) {
+
+  /** Enclosing causal-context frames, outermost first — the parity
+    * target for the reference's nested Context/Collection wrappers
+    * (src/errors/datafusion_error.rs:21-61), which hand the user the
+    * full causal chain rather than just root message + top cause.
+    * Two sources: labels pushed by [[GraftError.context]] scopes (query
+    * name, stage, operator), and the intermediate Spark wrapper messages
+    * between the caught throwable and its root cause. Set once during
+    * classification; empty when there was no enclosing context. */
+  private var ctx: List[String] = Nil
+  def contexts: Seq[String] = ctx
+  private[errors] def withContexts(cs: List[String]): this.type = {
+    ctx = cs; this
+  }
+  private[errors] def pushContext(label: String): this.type = {
+    ctx = label :: ctx; this
+  }
+}
 
 // ------------------------------------------------------------- planning
 /** Query is malformed / refers to missing tables/columns. */
@@ -174,7 +192,9 @@ object GraftError {
     case p: org.apache.spark.sql.catalyst.parser.ParseException =>
       new ParseError(p.getMessage, p)
     case a: AnalysisException => classifyAnalysis(a)
-    case s: SparkException => classifyRoot(rootCause(s), s)
+    case s: SparkException =>
+      val root = rootCause(s)
+      classifyRoot(root, s).withContexts(wrapperChain(s, root))
     case _: IllegalArgumentException
       if t.getMessage != null && t.getMessage.contains("spark.") =>
       new ConfigError(s"${t.getClass.getSimpleName}: ${t.getMessage}", t)
@@ -182,7 +202,9 @@ object GraftError {
     // directly from the execution path without a SparkException wrapper;
     // generic driver-side throwables (e.g. the parquet footer reader's
     // plain RuntimeException) take the same leaf classification
-    case other => classifyRoot(rootCause(other), other)
+    case other =>
+      val root = rootCause(other)
+      classifyRoot(root, other).withContexts(wrapperChain(other, root))
   }
 
   /** AnalysisException covers both true analysis faults and data-access
@@ -203,5 +225,33 @@ object GraftError {
   def wrap[T](body: => T): T =
     try body catch { case t: Throwable if !t.isInstanceOf[GraftError] =>
       throw classify(t)
+    }
+
+  /** Intermediate wrapper frames between the surfaced throwable and its
+    * root cause, outermost first — e.g. the SparkException("Job aborted")
+    * and SparkException("Task failed") layers a task failure crosses on
+    * its way to the driver. Messages truncated: Spark wrapper messages
+    * can embed whole stack traces. */
+  private def wrapperChain(top: Throwable, root: Throwable): List[String] = {
+    def abbrev(m: String): String = {
+      val one = Option(m).getOrElse("").takeWhile(_ != '\n')
+      if (one.length > 160) one.take(157) + "..." else one
+    }
+    Iterator.iterate(top)(_.getCause)
+      .takeWhile(t => t != null && !(t eq root))
+      .map(t => s"${t.getClass.getSimpleName}: ${abbrev(t.getMessage)}")
+      .toList
+  }
+
+  /** Run `body` under a named causal context (query name, stage,
+    * operator). A failure escaping the scope carries the label on its
+    * [[GraftError.contexts]] chain, outermost label first — nesting
+    * scopes builds the full chain, like the reference's
+    * `DataFusionError::Context` nesting. Already-classified errors keep
+    * their classification and gain the frame. */
+  def context[T](label: String)(body: => T): T =
+    try body catch {
+      case g: GraftError => throw g.pushContext(label)
+      case t: Throwable  => throw classify(t).pushContext(label)
     }
 }

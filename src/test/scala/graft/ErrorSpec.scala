@@ -156,6 +156,40 @@ class ErrorSpec extends SparkSpec {
       s"root message lost: ${e.getMessage}")
   }
 
+  test("nested context chain survives the executor boundary") {
+    // ≡ the reference's nested Context wrappers
+    // (src/errors/datafusion_error.rs:21-61): the user gets the full
+    // causal chain — enclosing scope labels outermost first, then the
+    // Spark wrapper frames the task failure crossed — not just root
+    // message + top cause
+    // a task-side custom exception is guaranteed to arrive WRAPPED
+    // (SparkException job-abort layers), unlike ANSI faults which Spark 4
+    // rethrows unwrapped — so this shape exercises both context sources
+    val boom = udf((i: Long) => {
+      if (i == 7) throw new IllegalStateException("graft-ctx-boom-7")
+      i
+    })
+    val e = intercept[GraftError] {
+      GraftError.context("query: q_fail_demo") {
+        GraftError.context("operator: projection") {
+          spark.range(0, 16, 1, 8).select(boom(col("id"))).collect()
+        }
+      }
+    }
+    assert(e.isInstanceOf[UserCodeError], s"kind=${e.kind}")
+    val cs = e.contexts
+    val qi = cs.indexOf("query: q_fail_demo")
+    val oi = cs.indexOf("operator: projection")
+    assert(qi >= 0 && oi >= 0, s"labels missing from chain: $cs")
+    assert(qi < oi, s"outermost label must come first: $cs")
+    // the executor->driver wrapper frames sit below the labels
+    assert(cs.drop(oi + 1).exists(_.startsWith("SparkException")),
+      s"no executor wrapper frame in chain: $cs")
+    // classification and root message are unchanged by the chain
+    assert(e.kind === "execution.user")
+    assert(e.getMessage.contains("graft-ctx-boom-7"))
+  }
+
   // --------------------------------------------------------------- conf
   test("invalid session conf value classifies as ConfigError") {
     val e = intercept[GraftError] {
