@@ -49,6 +49,10 @@ object ClusterCheck {
     val topo = sys.env.getOrElse("GRAFT_CLUSTER_TOPOLOGY", "2,16,3072")
     val nWorkers = topo.split(",").head.trim.toInt
     val coresPerWorker = topo.split(",")(1).trim.toInt
+    // executor memory must fit the per-worker budget (third topology
+    // field) — a fixed 2g request refuses to launch on narrower workers
+    // (8-JVM smoke uses 1536 MiB/worker)
+    val memPerWorkerMb = topo.split(",")(2).trim.toInt
     // executor JVMs are launched by the in-process Worker from SPARK_HOME;
     // they need the application classes (graft.*, incl. codegen'd
     // Expressions and closure classes) on their own classpath
@@ -56,7 +60,7 @@ object ClusterCheck {
     val spark = GraftSession
       .builderWith(GraftTuning(cpus = nWorkers * coresPerWorker),
         master = Some(s"local-cluster[$topo]"))
-      .config("spark.executor.memory", "2g")
+      .config("spark.executor.memory", s"${math.min(2048, memPerWorkerMb)}m")
       .config("spark.executor.extraClassPath", classesDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
