@@ -20,8 +20,8 @@ class PlanSnapshotSpec extends SparkSpec {
   private val snapshotted = Seq(
     "q01_pricing_summary", "q02_min_within_group", "q03_topk_revenue",
     "q06_scalar_agg", "q12_conditional_counts", "q17_corr_avg_subquery",
-    "t_exact_dedup", "v_knn_native", "x_window_rank",
-    "e_upsert_compact", "g_degree_hist")
+    "q21_exists_not_exists", "t_exact_dedup", "v_knn_native",
+    "x_window_rank", "e_upsert_compact", "g_degree_hist")
 
   private val dir = Paths.get("src/test/resources/plans")
   private val update = sys.env.get("GRAFT_UPDATE_SNAPSHOTS").contains("1")
