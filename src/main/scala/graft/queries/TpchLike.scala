@@ -182,25 +182,33 @@ object TpchLike {
     (spark, dir) => {
       val o = Catalog.table(spark, dir, "orders")
       val l = Catalog.table(spark, dir, "lineitem")
-      // EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate:
-      // pre-aggregating lineitem to one (orderkey, max_ship) row turns the
-      // 4-rows-per-key semi-join sort into a map-side-combined aggregate
-      // (lineitem files are orderkey-clustered, so partial agg collapses
-      // near-fully before the shuffle) and lets AQE broadcast the 3-month
-      // orders slice; at full scale both sides hash on orderkey — one
-      // co-keyed shuffle either way, with 4x fewer probe rows.
-      // Derived date cut (r11): every qualifying order has o_orderdate ≥
-      // the window start, so only lineitems with l_shipdate > that start
-      // can ever witness the EXISTS — any witness survives the cut, so
-      // max over the cut set decides identically. The pushed filter
-      // reaches the parquet scan and drops ~half the pre-agg input
-      // (orders span 1995-2001) before any shuffle.
-      val maxShip = l.filter(col("l_shipdate") > d("1997-07-01"))
-        .groupBy(col("l_orderkey"))
-        .agg(max(col("l_shipdate")).as("max_ship"))
-      o.filter(col("o_orderdate") >= d("1997-07-01") && col("o_orderdate") < d("1997-10-01"))
-        .join(maxShip,
-          col("l_orderkey") === col("o_orderkey") && col("max_ship") > col("o_orderdate"))
+      // EXISTS is witness-detection, not aggregation: probe the (cut)
+      // lineitem stream against the 3-month orders slice and keep the
+      // DISTINCT qualifying orders. The r11 form pre-aggregated ALL of
+      // post-cut lineitem (3M rows at SF1) to per-order max(l_shipdate)
+      // — a fact-wide groupBy whose exchange was the query's main cost —
+      // only to throw away every order outside the quarter at the join.
+      // Probing first inverts that: most lineitems miss the 37k-order
+      // hash table, the witness stream is ~|qualifying orders| × small,
+      // and the only exchange left is the distinct over witnesses (two
+      // orders of magnitude fewer rows than the old pre-agg shuffle).
+      // Derived date cut (r11, kept): every qualifying order has
+      // o_orderdate ≥ the window start, so only lineitems with
+      // l_shipdate > that start can witness — the filter reaches the
+      // parquet scan. Scale note: the slice is a constant FRACTION of
+      // orders (one quarter), so at 100 TB its estimate exceeds the
+      // ceiling and the UNHINTED join degrades to a shuffle join in
+      // which only witnesses (not the fact-wide pre-agg) reach the
+      // distinct — the same shape, never a driver build.
+      val oSlice = o
+        .filter(col("o_orderdate") >= d("1997-07-01") && col("o_orderdate") < d("1997-10-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      l.filter(col("l_shipdate") > d("1997-07-01"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(oSlice, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .distinct()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
