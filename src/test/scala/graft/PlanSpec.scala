@@ -207,6 +207,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q04: witnesses probe the order slice — no fact-wide pre-aggregate") {
+    // the r12 shape: lineitem probes the quarter slice and only DISTINCT
+    // witnesses shuffle. A reintroduced per-order aggregate BELOW the
+    // join (the old fact-wide max(l_shipdate) rollup, ~3M-row exchange)
+    // shows up as extra HashAggregates; the witness plan has exactly 4
+    // (distinct partial+final, priority-count partial+final) above one
+    // lineitem scan.
+    val s = PlanDescriber.simpleString(q("q04_semi_join_exists"))
+    val lineitemScans = s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"q04 must scan lineitem exactly once, found $lineitemScans")
+    val aggs = "HashAggregate".r.findAllIn(s).length
+    assert(aggs == 4,
+      s"q04 grew a fact-side aggregate (expected 4 HashAggregates, got $aggs):\n${s.take(1500)}")
+  }
+
   test("q17: one lineitem scan, window avg, no per-partkey agg broadcast") {
     // the r11 rewrite computes the correlated per-partkey avg as a
     // window over the brand slice: exactly ONE lineitem scan (the old
