@@ -57,6 +57,7 @@ object BenchFull {
       // fresh-state boundary between queries (reference protocol: one
       // context per query) — without it checkpoint blocks from ~800
       // earlier executions evict later queries' state to disk
+      SparkEntry.restore(spark) // drop this query's execConf overrides
       GraftSession.releaseQueryState(spark)
       (name, qStart, success, iters)
     }

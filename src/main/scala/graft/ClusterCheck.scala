@@ -47,12 +47,13 @@ object ClusterCheck {
     // can mask — the Spark analog of the reference's 10-worker smoke
     // (tests/highly_distributed_query.rs)
     val topo = sys.env.getOrElse("GRAFT_CLUSTER_TOPOLOGY", "2,16,3072")
-    val nWorkers = topo.split(",").head.trim.toInt
-    val coresPerWorker = topo.split(",")(1).trim.toInt
+    val topoParts = topo.split(",").map(_.trim)
+    require(topoParts.length == 3 && topoParts.forall(_.matches("\\d+")),
+      s"GRAFT_CLUSTER_TOPOLOGY must be workers,coresPerWorker,memPerWorkerMb — got '$topo'")
+    val Array(nWorkers, coresPerWorker, memPerWorkerMb) = topoParts.map(_.toInt)
     // executor memory must fit the per-worker budget (third topology
     // field) — a fixed 2g request refuses to launch on narrower workers
     // (8-JVM smoke uses 1536 MiB/worker)
-    val memPerWorkerMb = topo.split(",")(2).trim.toInt
     // executor JVMs are launched by the in-process Worker from SPARK_HOME;
     // they need the application classes (graft.*, incl. codegen'd
     // Expressions and closure classes) on their own classpath
@@ -105,6 +106,7 @@ object ClusterCheck {
         System.err.println(s"[cluster-check] $name FAILED: ${e.getMessage}")
       }
       // fresh-state boundary between queries (see GraftSession.releaseQueryState)
+      SparkEntry.restore(spark) // drop this query's execConf overrides
       GraftSession.releaseQueryState(spark)
     }
     // Verify-shaped oracle_sql.json restricted to the subset, so

@@ -182,6 +182,7 @@ object FaultCheck {
         s""""executors_removed":$removed2,"elapsed_ms":${phase2Ms.round},""" +
         s""""identical_to_baseline":true}}""")
     println(s"[fault-check] PASS -> $outJson")
+    SparkEntry.restore(spark) // drop the last query's execConf overrides
     spark.stop()
   }
 

@@ -48,6 +48,19 @@ object SparkEntry {
       }
       df
     }
+
+  /** Eagerly put back any execConf overrides left by the most recent
+    * tuned() invocation. Driver mains call this after a query's ACTION
+    * completes, so the session never carries a query-specific conf (e.g.
+    * `spark.sql.codegen.wholeStage=false`) into unrelated follow-on work —
+    * the r12 advisor flagged that the last registry query's overrides
+    * otherwise persist until the next tuned() call or session end. */
+  def restore(spark: SparkSession): Unit = {
+    prevExecConf.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    prevExecConf = Map.empty
+  }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

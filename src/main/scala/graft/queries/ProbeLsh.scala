@@ -39,11 +39,17 @@ object ProbeLsh {
       spark.conf.set("spark.sql.shuffle.partitions", p))
     // arbitrary conf overrides for A/B probing, e.g.
     // GRAFT_PROBE_CONF="spark.sql.codegen.wholeStage=false,spark.x=y"
-    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      println(s"[probe] conf $k=$v")
-      spark.conf.set(k, v)
-    })
+    // ';' is the preferred entry separator (values may then contain ',');
+    // plain ','-separated remains accepted for values without commas
+    sys.env.get("GRAFT_PROBE_CONF").foreach { raw =>
+      val sep = if (raw.contains(";")) ";" else ","
+      raw.split(sep).map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="), s"bad GRAFT_PROBE_CONF entry (no '='): '$kv'")
+        val Array(k, v) = kv.split("=", 2)
+        println(s"[probe] conf $k=$v")
+        spark.conf.set(k, v)
+      }
+    }
     val which = args.lift(2).getOrElse("both")
     println(s"[probe] dir=$dir parts=${spark.conf.get("spark.sql.shuffle.partitions")}")
 

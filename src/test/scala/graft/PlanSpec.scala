@@ -219,9 +219,19 @@ class PlanSpec extends SparkSpec {
       l.contains("Location") && l.contains("lineitem.parquet"))
     assert(lineitemScans == 1,
       s"q04 must scan lineitem exactly once, found $lineitemScans")
-    val aggs = "HashAggregate".r.findAllIn(s).length
-    assert(aggs == 4,
-      s"q04 grew a fact-side aggregate (expected 4 HashAggregates, got $aggs):\n${s.take(1500)}")
+    // the invariant itself, not a global operator count (r12 advice): no
+    // aggregate may sit BELOW the probe join — in simpleString order the
+    // join's children print after the join line, so any (Hash|Object|Sort)
+    // aggregate appearing after the first join line is a reintroduced
+    // fact-side pre-aggregate. Benign planner variation (distinct planned
+    // as ObjectHashAggregate, partial-agg elision) moves aggregates ABOVE
+    // the join and stays green.
+    val lines = s.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, s"q04 plan lost its probe join:\n${s.take(1500)}")
+    val aggBelowJoin = lines.drop(joinIdx + 1).filter(_.contains("Aggregate"))
+    assert(aggBelowJoin.isEmpty,
+      s"q04 grew a fact-side aggregate below the probe join:\n${aggBelowJoin.mkString("\n")}")
   }
 
   test("q17: one lineitem scan, window avg, no per-partkey agg broadcast") {

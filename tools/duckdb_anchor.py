@@ -17,6 +17,21 @@ import json, sys, time, re
 import duckdb
 
 
+def true_median(sorted_vals):
+    """Median of an already-sorted list — averages the two middle elements
+    for even counts (the r11/r12 verdicts flagged the upper-middle-element
+    shortcut: 22 rows printed 1.82x where the true median was 1.78x)."""
+    n = len(sorted_vals)
+    mid = n // 2
+    if n % 2 == 1:
+        return sorted_vals[mid]
+    return (sorted_vals[mid - 1] + sorted_vals[mid]) / 2.0
+
+
+assert true_median([1.0, 2.0, 4.0]) == 2.0
+assert true_median([1.0, 2.0, 4.0, 8.0]) == 3.0  # even count: avg of middle two
+
+
 def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d"):
     oracle = json.load(open(oracle_path))
     tpch = {k: v for k, v in oracle.items() if re.match(pattern, k)}
@@ -53,7 +68,7 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d"):
         print(f"| {name} | {duck:.0f} | {gs} | {rs} |")
     ratios = sorted(r for *_, r in rows if r is not None)
     if ratios:
-        med = ratios[len(ratios) // 2]
+        med = true_median(ratios)
         print(f"\nmedian graft/duckdb ratio: {med:.2f}x over {len(ratios)} queries")
 
 
