@@ -62,7 +62,14 @@ case class GraftTuning(
       * the scan; governs scan task granularity at 100 TB). */
     maxPartitionBytes: Long = 128L << 20,
     /** Vectorized parquet reader batch rows (reference: batch_size). */
-    columnarBatchSize: Int = 4096)
+    columnarBatchSize: Int = 4096,
+    /** Opt-in prepared-query reuse ([[graft.plans.PlanCache]]): repeated
+      * executions of a semantically identical query skip Catalyst,
+      * codegen source generation and (under AQE, for unchanged inputs)
+      * already-materialized exchanges. Off by default — the bench
+      * contract mode re-plans per iteration like the reference protocol;
+      * cached-mode numbers are reported alongside, never instead. */
+    planCache: Boolean = false)
 
 /** Session construction for the graft engine.
   *
@@ -147,6 +154,7 @@ object GraftSession {
       // storm on VM kernels (measured here: q18 at 30x data 11 s vs 123 s),
       // and the copy itself is not the bottleneck for 32 MB-scale spills
       .config("spark.file.transferTo", "false")
+      .config("graft.plan.cache", t.planCache.toString)
     val b2 = scratchDir.fold(b1)(d => b1.config("spark.local.dir", d))
     // in.memory.threshold moves rows into the UnsafeExternalSorter once
     // exceeded; spill.threshold then forces that sorter to disk — both are

@@ -1,0 +1,81 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Prepared-query reuse — the engine-side analog of a database's prepared
+  * statement (r12 verdict item 7). The floor-class queries (q13/q14/q22 at
+  * SF1) spend their residual vs DuckDB not in Catalyst but in PER-EXECUTION
+  * costs: whole-stage codegen source generation, job-round scheduling, and
+  * AQE stage re-materialization (PhaseProbe decomposition,
+  * SCALING_r12.md). A workload that issues the same query repeatedly —
+  * dashboard refresh, eval harness, serving — should pay those once.
+  *
+  * What a [[PreparedQuery]] reuses across executions, stated precisely:
+  *   - the analyzed/optimized/physical plan (no Catalyst re-run),
+  *   - the generated + JIT-compiled whole-stage code (same RDD compute
+  *     closures),
+  *   - under AQE, the already-materialized exchange map outputs: Spark
+  *     query stages hold their shuffle-output references, so re-executing
+  *     the final RDD reruns only the stages AFTER the last materialized
+  *     exchange. For unchanged input data this is exactly Spark's skipped-
+  *     stage semantics (a cluster-wide engine property, not a bench hack),
+  *     but it does mean cached-mode timings measure "re-serve a prepared
+  *     query over unchanged data", NOT "recompute from cold files". Bench
+  *     artifacts therefore report contract mode (fresh build per
+  *     iteration, matching the reference protocol, which also re-plans
+  *     per iteration) and cached mode side by side — the bar reads
+  *     whichever the driver adjudicates.
+  *
+  * Keyed by the CANONICALIZED analyzed plan (normalized expr IDs), so two
+  * textually different but semantically identical builds share one entry.
+  * Opt-in via [[graft.GraftTuning.planCache]] / conf `graft.plan.cache`.
+  */
+final class PreparedQuery private[plans] (val df: DataFrame) {
+  // toRdd is deferred to first execute(): under AQE, executedPlan.execute()
+  // materializes every intermediate query stage eagerly, and PREPARE
+  // should be cheap — the first EXECUTE pays the full pipeline.
+  private lazy val rdd: RDD[InternalRow] = df.queryExecution.toRdd
+
+  /** Run the prepared plan to completion (every output row produced on the
+    * executors, none shipped to the driver) and return the row count —
+    * the same work shape as the bench protocol's noop-format write. */
+  def execute(): Long = {
+    val counts = df.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      })
+    counts.sum
+  }
+
+  /** Fresh-collect through the ordinary Dataset path (used by specs to
+    * check cached-plan results equal a from-scratch build). */
+  def collectRows(): Array[org.apache.spark.sql.Row] = df.collect()
+}
+
+object PlanCache {
+  // canonicalized LogicalPlan has structural equals/hashCode — safe map key
+  private val cache = new ConcurrentHashMap[LogicalPlan, PreparedQuery]()
+
+  def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.plan.cache").contains("true")
+
+  /** Prepare (or fetch the previously-prepared) execution of this frame. */
+  def prepare(df: DataFrame): PreparedQuery =
+    cache.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
+      _ => new PreparedQuery(df))
+
+  def size: Int = cache.size
+
+  /** Drop all prepared plans (tests; or after input data changes — the
+    * cache intentionally does NOT watch files: prepared statements over
+    * mutated inputs must be re-prepared by the caller, same contract as a
+    * database result/plan cache with explicit invalidation). */
+  def clear(): Unit = cache.clear()
+}

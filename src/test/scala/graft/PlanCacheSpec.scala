@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.PlanCache
+
+/** Prepared-query reuse ([[graft.plans.PlanCache]], r12 verdict item 7):
+  * correctness with the cache ON. A prepared plan re-executed repeatedly
+  * must (a) produce the same row count every time, (b) dedupe on the
+  * canonicalized plan, and (c) leave the ordinary Dataset path producing
+  * results identical to a from-scratch build — covering the floor-family
+  * queries the feature exists for (q13/q14/q22) plus a broadcast-join and
+  * an agg-heavy shape.
+  */
+class PlanCacheSpec extends SparkSpec {
+
+  override protected def afterAll(): Unit = {
+    PlanCache.clear()
+    super.afterAll()
+  }
+
+  private val names =
+    Seq("q13_outer_join_distribution", "q14_promo_ratio",
+      "q22_substring_anti_join", "q01_pricing_summary")
+
+  test("prepared re-execution is count-stable and matches the fresh build") {
+    for (name <- names) {
+      val fresh = Registry.byName(name).run(spark, sf0001)
+      val expected = fresh.collect().map(_.toString).sorted
+      val p = PlanCache.prepare(Registry.byName(name).run(spark, sf0001))
+      val n1 = p.execute() // first execute: full pipeline
+      val n2 = p.execute() // reuse: plan + codegen (+ materialized stages)
+      val n3 = p.execute()
+      assert(n1 == expected.length && n2 == n1 && n3 == n1,
+        s"$name prepared counts $n1/$n2/$n3 != fresh ${expected.length}")
+      val cachedRows = p.collectRows().map(_.toString).sorted
+      assert(cachedRows.sameElements(expected),
+        s"$name cached-plan rows differ from fresh build")
+    }
+  }
+
+  test("cache key is the canonicalized plan: same query builds dedupe") {
+    PlanCache.clear()
+    val a = PlanCache.prepare(Registry.byName("q14_promo_ratio").run(spark, sf0001))
+    // a second build has fresh expression IDs; canonicalization must unify
+    val b = PlanCache.prepare(Registry.byName("q14_promo_ratio").run(spark, sf0001))
+    assert(a eq b, "two builds of the same query must share one prepared entry")
+    assert(PlanCache.size == 1)
+    val c = PlanCache.prepare(Registry.byName("q13_outer_join_distribution").run(spark, sf0001))
+    assert(!(c eq a) && PlanCache.size == 2)
+  }
+
+  test("enabled() reads the session conf set by GraftTuning.planCache") {
+    assert(!PlanCache.enabled(spark)) // default off
+    spark.conf.set("graft.plan.cache", "true")
+    try assert(PlanCache.enabled(spark))
+    finally spark.conf.set("graft.plan.cache", "false")
+  }
+}

@@ -14,29 +14,67 @@ COUT=/tmp/graft_${TAG}_cluster
 echo "=== [1/7] 10x replica (ScaleUp) -> $REP"
 [ -d "$REP/lineitem.parquet" ] || \
   sbt -batch "runMain graft.ScaleUp $SF1 $REP 10" > /tmp/${TAG}_scaleup.log 2>&1
-echo "=== [2/7] BenchFull @ sf0.1 (two passes; min-merge + reproduced-only compare)"
+echo "=== [1b/7] previous-round HEAD worktree (same-window drift calibration)"
+# r12 verdict item 1: host throughput drifted ~2x WITHIN a round, so any
+# compare against the previous round's committed file confounds code
+# deltas with drift. Build the previous round-close commit in a worktree
+# once, then interleave its bench passes with HEAD's in the same window:
+# merge_bench computes new/old ratios per window pair and drift cancels.
+PREVHEAD_DIR=/tmp/graft_prevhead
+PREV_COMMIT=$(git log --grep '^round [0-9]*: verdict' --format=%H -1 || true)
+if [ -n "$PREV_COMMIT" ]; then
+  if [ ! -d "$PREVHEAD_DIR" ] || \
+     [ "$(git -C "$PREVHEAD_DIR" rev-parse HEAD 2>/dev/null)" != "$PREV_COMMIT" ]; then
+    git worktree remove --force "$PREVHEAD_DIR" 2>/dev/null || true
+    git worktree add --force "$PREVHEAD_DIR" "$PREV_COMMIT" > /tmp/${TAG}_prevhead.log 2>&1
+    (cd "$PREVHEAD_DIR" && sbt -batch compile) >> /tmp/${TAG}_prevhead.log 2>&1
+  fi
+else
+  echo "    no round-close commit found; compares will be cross-window"
+fi
+run_prev_bench() { # $1=data dir, $2=out json, $3=iters
+  [ -n "$PREV_COMMIT" ] && \
+    (cd "$PREVHEAD_DIR" && sbt -batch "runMain graft.BenchFull $1 $2 $3") \
+      >> /tmp/${TAG}_prevbench.log 2>&1
+}
+echo "=== [2/7] BenchFull @ sf0.1 (two interleaved HEAD/prev-HEAD pass pairs)"
 # same-HEAD suite totals swing +-20% between windows (r9 measurement), so
 # one pass cannot support the 1.2x regression protocol: run two, commit
 # the per-query min, and flag only deltas that reproduce in BOTH passes
-# (tools/merge_bench.py). The previous round's committed file is the
-# compare baseline and is snapshotted before overwrite.
+# (tools/merge_bench.py) — with ratios taken against the INTERLEAVED
+# prev-HEAD pass of the same window pair. The previous round's committed
+# file is kept as an informational snapshot only.
 PREV_SF01=/tmp/${TAG}_sf0.1_prev.json
 [ -f bench_results/${TAG}_sf0.1.json ] && cp bench_results/${TAG}_sf0.1.json "$PREV_SF01" || \
   cp "$(ls bench_results/r*_sf0.1.json 2>/dev/null | grep -v duckdb | sort -V | tail -1)" "$PREV_SF01" 2>/dev/null || true
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passA.json 3" \
   > /tmp/${TAG}_bench01a.log 2>&1
+run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevA.json 3
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passB.json 3" \
   > /tmp/${TAG}_bench01b.log 2>&1
+run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevB.json 3
 python3 tools/merge_bench.py /tmp/${TAG}_sf0.1_passA.json \
   /tmp/${TAG}_sf0.1_passB.json bench_results/${TAG}_sf0.1.json \
-  "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md
-echo "=== [3/7] BenchFull @ 10x replica (two passes, min-merge — same rationale as [2])"
+  "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md \
+  /tmp/${TAG}_sf0.1_prevA.json /tmp/${TAG}_sf0.1_prevB.json
+echo "=== [3/7] BenchFull @ 10x replica (two interleaved pass pairs — same rationale as [2])"
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passA.json 3" \
   > /tmp/${TAG}_bench1xa.log 2>&1
+run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevA.json 3
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passB.json 3" \
   > /tmp/${TAG}_bench1xb.log 2>&1
+run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevB.json 3
 python3 tools/merge_bench.py /tmp/${TAG}_sf1x_passA.json \
-  /tmp/${TAG}_sf1x_passB.json bench_results/${TAG}_sf1x.json
+  /tmp/${TAG}_sf1x_passB.json bench_results/${TAG}_sf1x.json \
+  "" bench_results/${TAG}_sf1x_compare.md \
+  /tmp/${TAG}_sf1x_prevA.json /tmp/${TAG}_sf1x_prevB.json
+echo "=== [3b/7] BenchFull @ 10x replica in PLAN-CACHE mode (prepared re-execution column)"
+# r12 verdict item 7: the floor-family residual is per-execution codegen +
+# job scheduling; the prepared-query cache is the engine lever. Reported
+# as a SIDE column in the sf1x anchor, never replacing contract mode.
+GRAFT_PLAN_CACHE=1 sbt -batch \
+  "runMain graft.BenchFull $REP bench_results/${TAG}_sf1x_cached.json 3" \
+  > /tmp/${TAG}_bench1xcached.log 2>&1
 echo "=== [4/7] ClusterCheck (full registry, 2 executor JVMs) @ sf0.01"
 SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ClusterCheck $SF01 $COUT" \
   > /tmp/${TAG}_cluster.log 2>&1
@@ -59,7 +97,9 @@ echo "=== [6/7] DuckDB anchors"
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 > bench_results/${TAG}_duckdb_anchor_sf0.1.md
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
-  bench_results/${TAG}_sf1x.json 3 > bench_results/${TAG}_duckdb_anchor_sf1x.md
+  bench_results/${TAG}_sf1x.json 3 '^q\d\d' \
+  bench_results/${TAG}_sf1x_cached.json \
+  > bench_results/${TAG}_duckdb_anchor_sf1x.md
 # extension-layer anchor: every non-TPC-H oracle query at sf0.1
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 '^(?!q\d\d)' \
