@@ -147,6 +147,12 @@ object Catalog {
       Option(f.listFiles()).map(_.map(totalBytes).sum).getOrElse(0L)
     else f.length()
 
+  /** On-disk bytes of one table at `sfDir` (file or part-file directory) —
+    * a zero-job size signal for data-dependent execution-regime gates
+    * (e.g. the simhash interpreted-tail decision). */
+  def tableBytes(sfDir: String, name: String): Long =
+    totalBytes(new java.io.File(s"$sfDir/$name.parquet"))
+
   /** Register every table of `sfDir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach { n =>

@@ -25,7 +25,13 @@ final case class GQuery(
       * codegen's buffered-copy output loop on pair-expansion tails
       * (t_simhash_neardup, r12 JFR evidence). Plan-shape suites that call
       * the Registry directly bypass this, as they bypass the gate. */
-    execConf: Map[String, String] = Map.empty)
+    execConf: Map[String, String] = Map.empty,
+    /** Data-dependent guard on [[execConf]] (r12 verdict item 8): when
+      * present, the overrides apply only if this predicate holds — read
+      * AFTER the body builds, so the body can publish a measured signal
+      * (e.g. the simhash band-collision mass) via a session conf. None =
+      * unconditional. */
+    execConfIf: Option[SparkSession => Boolean] = None)
 
 object Registry {
   lazy val all: Seq[GQuery] =

@@ -41,7 +41,7 @@ object SparkEntry {
       // stages) runs under session defaults; only the remaining plan's
       // EXECUTION (physical planning happens at first action) sees the
       // overrides
-      if (q.execConf.nonEmpty) {
+      if (q.execConf.nonEmpty && q.execConfIf.forall(_(spark))) {
         prevExecConf = q.execConf.keys
           .map(k => k -> spark.conf.getOption(k)).toMap
         q.execConf.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -884,6 +884,28 @@ object TextOps {
         .select(col("gid"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bh", expr("shiftright(simhash, band * 15) & 32767"))
+      // ---- interpreted-tail gate (r12 verdict items 5+8) ----
+      // The codegen GC pathology needs a LARGE pair expansion; at toy
+      // scale the interpreted tail costs +13-17% for nothing. Decide
+      // from the data, not a hand tag: (a) zero-cost necessary condition
+      // — input bytes (metadata stat only; below 16 MB no corpus can
+      // reach a dangerous expansion); (b) when big, measure the EXACT
+      // expansion mass from the checkpointed signature table — band-
+      // bucket collision mass Σc² (candidate rep-pairs incl. the salted
+      // skew that uniform estimates miss; r12: 1.04 B pairs from 500 k
+      // sigs) plus intra-group dup mass Σgn² (verbatim-replica regime).
+      // Two tiny aggregate jobs over the checkpointed frame — negligible
+      // next to any workload that passes (a). Published via session conf
+      // for the driver-contract layer's execConfIf (GQuery scaladoc).
+      val interpretedTail =
+        Catalog.tableBytes(dir, "documents") > (16L << 20) && {
+          val bucketMass = bands.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * col("c"))).head.getLong(0)
+          val dupMass = grouped.agg(sum(col("gn") * col("gn"))).head.getLong(0)
+          bucketMass + dupMass > 16L * 1000 * 1000
+        }
+      spark.conf.set("graft.simhash.interpretedTail", interpretedTail.toString)
       val candReps = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -941,7 +963,14 @@ object TextOps {
     // bit-identical output. The fingerprint/collapse stage is unaffected
     // — it executes eagerly at build time (localCheckpoint) under the
     // session's codegen'd defaults.
-    execConf = Map("spark.sql.codegen.wholeStage" -> "false"))
+    //
+    // SIZE-GATED (r12 item 8): the body measures the expansion mass from
+    // the data (see "interpreted-tail gate" above) and the override only
+    // applies when the measured regime is the dangerous one — toy-scale
+    // runs keep whole-stage codegen and its ~15% edge.
+    execConf = Map("spark.sql.codegen.wholeStage" -> "false"),
+    execConfIf = Some(s =>
+      s.conf.getOption("graft.simhash.interpretedTail").contains("true")))
 
   // ------------------------------------------------------------ fingerprint
   /** Document fingerprinting: k-min sketch over rolling character

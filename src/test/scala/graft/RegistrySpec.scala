@@ -117,12 +117,23 @@ class RegistrySpec extends SparkSpec {
     val key = "spark.sql.codegen.wholeStage"
     val before = spark.conf.get(key)
     // t_simhash_neardup declares wholeStage=false (the expansion tail's
-    // buffered-copy GC regime, r12); the override must be visible when
-    // ITS plan executes...
-    val df = SparkEntry.queries("t_simhash_neardup")(spark, sf0001)
+    // buffered-copy GC regime, r12) — SIZE-GATED since r13: at sf0.001
+    // the measured expansion mass is tiny, so the override must NOT
+    // apply (codegen keeps its ~15% toy-scale edge)...
+    val dfSmall = SparkEntry.queries("t_simhash_neardup")(spark, sf0001)
+    assert(spark.conf.get("graft.simhash.interpretedTail") === "false",
+      "toy-scale corpus must measure below the interpreted-tail threshold")
+    assert(spark.conf.get(key) === before,
+      "size gate failed: execConf applied at toy scale")
+    dfSmall.count()
+    // ...but when the gate signal says the dangerous regime, the
+    // override applies for ITS execution (force the signal to isolate
+    // the apply/restore mechanics from corpus size)...
+    val q = Registry.byName("t_simhash_neardup")
+    val forced = q.copy(execConfIf = Some(_ => true))
+    SparkEntry.tuned(forced)(spark, sf0001)
     assert(spark.conf.get(key) === "false", "execConf not applied")
-    df.count()
-    // ...and gone by the time the NEXT query's body builds
+    // ...and is gone by the time the NEXT query's body builds
     SparkEntry.queries("q01_pricing_summary")(spark, sf0001).count()
     assert(spark.conf.get(key) === before, "execConf leaked to the next query")
   }
