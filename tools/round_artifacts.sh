@@ -47,23 +47,27 @@ echo "=== [2/7] BenchFull @ sf0.1 (two interleaved HEAD/prev-HEAD pass pairs)"
 PREV_SF01=/tmp/${TAG}_sf0.1_prev.json
 [ -f bench_results/${TAG}_sf0.1.json ] && cp bench_results/${TAG}_sf0.1.json "$PREV_SF01" || \
   cp "$(ls bench_results/r*_sf0.1.json 2>/dev/null | grep -v duckdb | sort -V | tail -1)" "$PREV_SF01" 2>/dev/null || true
+# order ALTERNATES between pairs (r13 measurement: the first runner of a
+# pair wins by ~10-20%, so a fixed order biases every ratio one way;
+# with opposite orders a reproduced flag cannot be an ordering artifact)
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passA.json 3" \
   > /tmp/${TAG}_bench01a.log 2>&1
 run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevA.json 3
+run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevB.json 3
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passB.json 3" \
   > /tmp/${TAG}_bench01b.log 2>&1
-run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevB.json 3
 python3 tools/merge_bench.py /tmp/${TAG}_sf0.1_passA.json \
   /tmp/${TAG}_sf0.1_passB.json bench_results/${TAG}_sf0.1.json \
   "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md \
   /tmp/${TAG}_sf0.1_prevA.json /tmp/${TAG}_sf0.1_prevB.json
 echo "=== [3/7] BenchFull @ 10x replica (two interleaved pass pairs — same rationale as [2])"
+# pair order alternates — same rationale as [2]
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passA.json 3" \
   > /tmp/${TAG}_bench1xa.log 2>&1
 run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevA.json 3
+run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevB.json 3
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passB.json 3" \
   > /tmp/${TAG}_bench1xb.log 2>&1
-run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevB.json 3
 python3 tools/merge_bench.py /tmp/${TAG}_sf1x_passA.json \
   /tmp/${TAG}_sf1x_passB.json bench_results/${TAG}_sf1x.json \
   "" bench_results/${TAG}_sf1x_compare.md \
