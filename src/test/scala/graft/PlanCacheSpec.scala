@@ -17,9 +17,11 @@ class PlanCacheSpec extends SparkSpec {
     super.afterAll()
   }
 
-  private val names =
-    Seq("q13_outer_join_distribution", "q14_promo_ratio",
-      "q22_substring_anti_join", "q01_pricing_summary")
+  // the whole TPC-H family (every floor/weak row lives here), not just
+  // the floor three: cached-plan results must equal fresh builds across
+  // every join/agg/window/subquery shape the anchor reports cached
+  // numbers for
+  private val names = Registry.all.map(_.name).filter(_.startsWith("q")).sorted
 
   test("prepared re-execution is count-stable and matches the fresh build") {
     for (name <- names) {
