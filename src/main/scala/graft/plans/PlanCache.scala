@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
@@ -60,18 +58,44 @@ final class PreparedQuery private[plans] (val df: DataFrame) {
 }
 
 object PlanCache {
-  // canonicalized LogicalPlan has structural equals/hashCode — safe map key
-  private val cache = new ConcurrentHashMap[LogicalPlan, PreparedQuery]()
+
+  /** Capacity conf (default 64). A prepared query pins its RDD lineage —
+    * and with it every materialized exchange's map outputs on the
+    * executors — for as long as the cache holds it, so an UNBOUNDED cache
+    * in a long-lived session is a shuffle-storage leak, not just driver
+    * heap. LRU eviction drops the reference; Spark's ContextCleaner then
+    * reclaims the orphaned shuffle files like any other out-of-scope RDD. */
+  val CapacityKey = "graft.plan.cache.size"
+  private val DefaultCapacity = 64
+
+  // canonicalized LogicalPlan has structural equals/hashCode — safe map
+  // key. Access-ordered LinkedHashMap under the object lock: prepare()
+  // is driver-side and rare (once per distinct query), contention is nil.
+  private val cache =
+    new java.util.LinkedHashMap[LogicalPlan, PreparedQuery](16, 0.75f, true)
 
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("graft.plan.cache").contains("true")
 
-  /** Prepare (or fetch the previously-prepared) execution of this frame. */
-  def prepare(df: DataFrame): PreparedQuery =
-    cache.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
-      _ => new PreparedQuery(df))
+  /** Prepare (or fetch the previously-prepared) execution of this frame,
+    * evicting the least-recently-used entry beyond the configured cap. */
+  def prepare(df: DataFrame): PreparedQuery = synchronized {
+    val cap = df.sparkSession.conf.getOption(CapacityKey)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(DefaultCapacity)
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = cache.get(key) // get() refreshes access order
+    val pq = if (hit != null) hit else {
+      val fresh = new PreparedQuery(df)
+      cache.put(key, fresh)
+      fresh
+    }
+    val it = cache.entrySet().iterator()
+    while (cache.size() > cap && it.hasNext) { it.next(); it.remove() }
+    pq
+  }
 
-  def size: Int = cache.size
+  def size: Int = synchronized(cache.size)
 
   /** Drop all prepared plans (tests; or after input data changes — the
     * cache intentionally does NOT watch files: prepared statements over

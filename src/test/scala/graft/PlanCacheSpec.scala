@@ -50,6 +50,32 @@ class PlanCacheSpec extends SparkSpec {
     assert(!(c eq a) && PlanCache.size == 2)
   }
 
+  test("LRU eviction bounds the cache; an evicted query re-prepares correctly") {
+    PlanCache.clear()
+    spark.conf.set(PlanCache.CapacityKey, "2")
+    try {
+      val q13 = () => Registry.byName("q13_outer_join_distribution").run(spark, sf0001)
+      val q14 = () => Registry.byName("q14_promo_ratio").run(spark, sf0001)
+      val q22 = () => Registry.byName("q22_substring_anti_join").run(spark, sf0001)
+      val a = PlanCache.prepare(q13())
+      val b = PlanCache.prepare(q14())
+      assert(PlanCache.size == 2)
+      PlanCache.prepare(q13()) // refresh q13: q14 becomes the LRU entry
+      val c = PlanCache.prepare(q22()) // must evict q14, not q13
+      assert(PlanCache.size == 2, s"cap 2 exceeded: ${PlanCache.size}")
+      assert(PlanCache.prepare(q13()) eq a, "recently-used entry was evicted")
+      assert(PlanCache.prepare(q22()) eq c)
+      // the evicted q14 re-prepares as a NEW entry and still runs right
+      val b2 = PlanCache.prepare(q14())
+      assert(!(b2 eq b), "evicted entry must not be resurrected by identity")
+      assert(b2.execute() == q14().count(),
+        "re-prepared evicted query returns wrong count")
+    } finally {
+      spark.conf.unset(PlanCache.CapacityKey)
+      PlanCache.clear()
+    }
+  }
+
   test("enabled() reads the session conf set by GraftTuning.planCache") {
     assert(!PlanCache.enabled(spark)) // default off
     spark.conf.set("graft.plan.cache", "true")

@@ -47,10 +47,19 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
-    # graft per-query min-of-iterations from the BenchFull artifact
-    bench = json.load(open(bench_path))
-    graft_ms = {q["query"]: min(i["elapsed"] for i in q["iterations"])
-                for q in bench["queries"] if q["success"]}
+    # graft per-query min-of-iterations, across one OR SEVERAL BenchFull
+    # artifacts (comma-separated). The same-window anchor protocol runs
+    # two fresh graft passes BRACKETING the DuckDB timing and feeds both
+    # here — host drift then has a ~minutes envelope instead of the
+    # ritual-bench-to-anchor gap (the r13 lesson: cross-window compares
+    # on this host are dominated by the host, not the code).
+    graft_ms = {}
+    for bp in bench_path.split(","):
+        bench = json.load(open(bp))
+        for q in bench["queries"]:
+            if q["success"]:
+                m = min(i["elapsed"] for i in q["iterations"])
+                graft_ms[q["query"]] = min(m, graft_ms.get(q["query"], m))
     # optional second column: plan-cache mode (prepared re-execution —
     # r12 verdict item 7; reported SIDE BY SIDE, never instead: contract
     # mode matches the reference protocol, which re-plans per iteration)
@@ -62,14 +71,27 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
         cached_ms = {q["query"]: min(i["elapsed"] for i in q["iterations"])
                      for q in cb["queries"] if q["success"]}
 
+    # GRAFT_DUCK_SAVE / GRAFT_DUCK_LOAD: persist / reuse the DuckDB
+    # timings so the bracketing protocol's second invocation (after the
+    # post-duck graft pass) rebuilds the table WITHOUT re-timing DuckDB —
+    # the duck window stays strictly between the two graft windows.
+    duck_loaded = {}
+    load_path = os.environ.get("GRAFT_DUCK_LOAD")
+    if load_path:
+        duck_loaded = json.load(open(load_path))
+    duck_measured = {}
     rows = []
     for name in sorted(tpch):
-        times = []
-        for _ in range(iters):
-            t0 = time.time()
-            con.execute(tpch[name]).fetchall()
-            times.append((time.time() - t0) * 1000)
-        duck = min(times)
+        if name in duck_loaded:
+            duck = duck_loaded[name]
+        else:
+            times = []
+            for _ in range(iters):
+                t0 = time.time()
+                con.execute(tpch[name]).fetchall()
+                times.append((time.time() - t0) * 1000)
+            duck = min(times)
+        duck_measured[name] = duck
         g = graft_ms.get(name)
         c = cached_ms.get(name)
         rows.append((name, duck, g, (g / duck) if g else None,
@@ -97,6 +119,13 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
         print(f"median cached/duckdb ratio: {true_median(cratios):.2f}x over "
               f"{len(cratios)} queries (prepared re-execution; see "
               "graft.plans.PlanCache scaladoc for exactly what is reused)")
+    if "," in bench_path:
+        print("\ngraft ms = per-query min over %d passes bracketing the "
+              "DuckDB timing (same-window anchor protocol)"
+              % len(bench_path.split(",")))
+    save_path = os.environ.get("GRAFT_DUCK_SAVE")
+    if save_path:
+        json.dump(duck_measured, open(save_path, "w"))
 
 
 if __name__ == "__main__":

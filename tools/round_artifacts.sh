@@ -100,8 +100,23 @@ SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
 echo "=== [6/7] DuckDB anchors"
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 > bench_results/${TAG}_duckdb_anchor_sf0.1.md
-python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
-  bench_results/${TAG}_sf1x.json 3 '^q\d\d' \
+# SF1 anchor is SAME-WINDOW (r13 addendum): two fresh graft q-family
+# passes BRACKET the DuckDB timing — [graft A, duck, graft B] in one
+# ~8-minute envelope, graft = per-query min over A+B, duck timed once in
+# the middle and reused (GRAFT_DUCK_SAVE/LOAD). The ritual bench file
+# from step [3] is no longer the anchor's graft source: its window is
+# ~an hour away and host drift dominated every cross-window compare.
+QF=$(python3 -c "import json,re; o=json.load(open('$VOUT/oracle_sql.json')); print(','.join(sorted(k for k in o if re.match(r'^q\\d\\d', k))))")
+sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_anchor_gA.json 3 $QF" \
+  > /tmp/${TAG}_anchor_gA.log 2>&1
+GRAFT_DUCK_SAVE=/tmp/${TAG}_anchor_duck.json \
+  python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
+  /tmp/${TAG}_anchor_gA.json 3 '^q\d\d' > /dev/null
+sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_anchor_gB.json 3 $QF" \
+  > /tmp/${TAG}_anchor_gB.log 2>&1
+GRAFT_DUCK_LOAD=/tmp/${TAG}_anchor_duck.json \
+  python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
+  /tmp/${TAG}_anchor_gA.json,/tmp/${TAG}_anchor_gB.json 3 '^q\d\d' \
   bench_results/${TAG}_sf1x_cached.json \
   > bench_results/${TAG}_duckdb_anchor_sf1x.md
 # extension-layer anchor: every non-TPC-H oracle query at sf0.1
