@@ -61,10 +61,21 @@ python3 tools/merge_bench.py /tmp/${TAG}_sf0.1_passA.json \
   "$PREV_SF01" bench_results/${TAG}_sf0.1_compare.md \
   /tmp/${TAG}_sf0.1_prevA.json /tmp/${TAG}_sf0.1_prevB.json
 echo "=== [3/7] BenchFull @ 10x replica (two interleaved pass pairs — same rationale as [2])"
-# pair order alternates — same rationale as [2]
+# pair order alternates — same rationale as [2]. The DuckDB anchor
+# timing sits at the CENTER of this interleave so the SF1 anchor ratio
+# is same-window by construction: graft = min over the two FULL-registry
+# HEAD passes bracketing it (full passes, not a q-family-only run — a
+# 22-query pass measures a JIT-cold JVM and read ~1.5x high across the
+# board when tried; JIT warmth is part of the measurement conditions and
+# must match the committed bench's).
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passA.json 3" \
   > /tmp/${TAG}_bench1xa.log 2>&1
 run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevA.json 3
+sbt -batch "runMain graft.OracleDump /tmp/${TAG}_oracle" \
+  > /tmp/${TAG}_oracledump.log 2>&1
+GRAFT_DUCK_SAVE=/tmp/${TAG}_anchor_duck.json \
+  python3 tools/duckdb_anchor.py /tmp/${TAG}_oracle/oracle_sql.json "$REP" \
+  /tmp/${TAG}_sf1x_passA.json 3 '^q\d\d' > /dev/null
 run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevB.json 3
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passB.json 3" \
   > /tmp/${TAG}_bench1xb.log 2>&1
@@ -100,23 +111,15 @@ SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
 echo "=== [6/7] DuckDB anchors"
 python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
   bench_results/${TAG}_sf0.1.json 3 > bench_results/${TAG}_duckdb_anchor_sf0.1.md
-# SF1 anchor is SAME-WINDOW (r13 addendum): two fresh graft q-family
-# passes BRACKET the DuckDB timing — [graft A, duck, graft B] in one
-# ~8-minute envelope, graft = per-query min over A+B, duck timed once in
-# the middle and reused (GRAFT_DUCK_SAVE/LOAD). The ritual bench file
-# from step [3] is no longer the anchor's graft source: its window is
-# ~an hour away and host drift dominated every cross-window compare.
-QF=$(python3 -c "import json,re; o=json.load(open('$VOUT/oracle_sql.json')); print(','.join(sorted(k for k in o if re.match(r'^q\\d\\d', k))))")
-sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_anchor_gA.json 3 $QF" \
-  > /tmp/${TAG}_anchor_gA.log 2>&1
-GRAFT_DUCK_SAVE=/tmp/${TAG}_anchor_duck.json \
-  python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
-  /tmp/${TAG}_anchor_gA.json 3 '^q\d\d' > /dev/null
-sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_anchor_gB.json 3 $QF" \
-  > /tmp/${TAG}_anchor_gB.log 2>&1
+# SF1 anchor is SAME-WINDOW (r13 addendum): the DuckDB timing ran at
+# the center of step [3]'s interleave (saved to ${TAG}_anchor_duck.json)
+# and the graft column is the per-query min over the two FULL-registry
+# HEAD passes that bracketed it — identical measurement conditions to
+# the committed bench (deep-JIT-warm JVM), ~25-minute total envelope
+# instead of the old bench-to-anchor hour.
 GRAFT_DUCK_LOAD=/tmp/${TAG}_anchor_duck.json \
   python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
-  /tmp/${TAG}_anchor_gA.json,/tmp/${TAG}_anchor_gB.json 3 '^q\d\d' \
+  /tmp/${TAG}_sf1x_passA.json,/tmp/${TAG}_sf1x_passB.json 3 '^q\d\d' \
   bench_results/${TAG}_sf1x_cached.json \
   > bench_results/${TAG}_duckdb_anchor_sf1x.md
 # extension-layer anchor: every non-TPC-H oracle query at sf0.1
