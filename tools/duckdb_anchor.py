@@ -75,10 +75,19 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
     # timings so the bracketing protocol's second invocation (after the
     # post-duck graft pass) rebuilds the table WITHOUT re-timing DuckDB —
     # the duck window stays strictly between the two graft windows.
+    # GRAFT_DUCK_MIN instead RE-times DuckDB and takes the per-query min
+    # with the loaded values — giving duck the same two-window min
+    # treatment the graft column gets from its two bracketing passes
+    # (min-of-samples is the estimator everywhere in the bench protocol;
+    # one engine getting twice the windows would bias the ratio).
     duck_loaded = {}
+    duck_prior = {}
     load_path = os.environ.get("GRAFT_DUCK_LOAD")
     if load_path:
         duck_loaded = json.load(open(load_path))
+    min_path = os.environ.get("GRAFT_DUCK_MIN")
+    if min_path:
+        duck_prior = json.load(open(min_path))
     duck_measured = {}
     rows = []
     for name in sorted(tpch):
@@ -91,6 +100,8 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
                 con.execute(tpch[name]).fetchall()
                 times.append((time.time() - t0) * 1000)
             duck = min(times)
+            if name in duck_prior:
+                duck = min(duck, duck_prior[name])
         duck_measured[name] = duck
         g = graft_ms.get(name)
         c = cached_ms.get(name)
@@ -120,9 +131,12 @@ def main(oracle_path, sfdir, bench_path, iters=3, pattern=r"^q\d\d",
               f"{len(cratios)} queries (prepared re-execution; see "
               "graft.plans.PlanCache scaladoc for exactly what is reused)")
     if "," in bench_path:
+        duck_note = (" duckdb ms = per-query min over two timing slots "
+                     "(center-of-interleave + table build)."
+                     if duck_prior else "")
         print("\ngraft ms = per-query min over %d passes bracketing the "
-              "DuckDB timing (same-window anchor protocol)"
-              % len(bench_path.split(",")))
+              "DuckDB timing (same-window anchor protocol).%s"
+              % (len(bench_path.split(",")), duck_note))
     save_path = os.environ.get("GRAFT_DUCK_SAVE")
     if save_path:
         json.dump(duck_measured, open(save_path, "w"))

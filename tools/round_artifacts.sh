@@ -117,7 +117,12 @@ python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
 # HEAD passes that bracketed it — identical measurement conditions to
 # the committed bench (deep-JIT-warm JVM), ~25-minute total envelope
 # instead of the old bench-to-anchor hour.
-GRAFT_DUCK_LOAD=/tmp/${TAG}_anchor_duck.json \
+# GRAFT_DUCK_MIN (not LOAD): re-time DuckDB here and take per-query
+# mins with the center-of-interleave slot — duck then gets two windows,
+# matching the graft column's min over its two bracketing passes
+# (min-of-samples symmetric on both sides; with a single duck window,
+# a row's >2x/<2x membership was hostage to that one window's mood).
+GRAFT_DUCK_MIN=/tmp/${TAG}_anchor_duck.json \
   python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$REP" \
   /tmp/${TAG}_sf1x_passA.json,/tmp/${TAG}_sf1x_passB.json 3 '^q\d\d' \
   bench_results/${TAG}_sf1x_cached.json \
