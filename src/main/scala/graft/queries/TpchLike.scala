@@ -660,6 +660,13 @@ object TpchLike {
         .agg(dsum(disc(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
         .createOrReplaceTempView("revenue0")
       val rev = spark.table("revenue0")
+      // spark.table resolved the view EAGERLY into rev's analyzed plan,
+      // so the catalog entry can go immediately — completing the
+      // reference's actual 3-statement create/select/DROP flow
+      // (q15.sql) and keeping the session clean: a leaked revenue0
+      // collided with the verbatim q15's plain CREATE VIEW when suites
+      // sharing one session ran the registry q15 first.
+      spark.catalog.dropTempView("revenue0")
       // "revenue = MAX(revenue) over the view" is global rank()=1 with
       // ties: InferWindowGroupLimit prefilters each partition to its
       // local max ties before the single-partition window, so the only

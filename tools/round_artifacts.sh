@@ -53,6 +53,17 @@ PREV_SF01=/tmp/${TAG}_sf0.1_prev.json
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passA.json 3" \
   > /tmp/${TAG}_bench01a.log 2>&1
 run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevA.json 3
+# sf0.1 + extension DuckDB anchor timing slots at the CENTER of this
+# interleave (same-window protocol — same rationale as the SF1 anchor
+# in [3]); step [6] re-times and min-merges via GRAFT_DUCK_MIN
+sbt -batch "runMain graft.OracleDump /tmp/${TAG}_oracle" \
+  > /tmp/${TAG}_oracledump.log 2>&1
+GRAFT_DUCK_SAVE=/tmp/${TAG}_duck01_q.json \
+  python3 tools/duckdb_anchor.py /tmp/${TAG}_oracle/oracle_sql.json "$SF1" \
+  /tmp/${TAG}_sf0.1_passA.json 3 > /dev/null
+GRAFT_DUCK_SAVE=/tmp/${TAG}_duck01_ext.json \
+  python3 tools/duckdb_anchor.py /tmp/${TAG}_oracle/oracle_sql.json "$SF1" \
+  /tmp/${TAG}_sf0.1_passA.json 3 '^(?!q\d\d)' > /dev/null
 run_prev_bench "$SF1" /tmp/${TAG}_sf0.1_prevB.json 3
 sbt -batch "runMain graft.BenchFull $SF1 /tmp/${TAG}_sf0.1_passB.json 3" \
   > /tmp/${TAG}_bench01b.log 2>&1
@@ -71,8 +82,7 @@ echo "=== [3/7] BenchFull @ 10x replica (two interleaved pass pairs — same rat
 sbt -batch "runMain graft.BenchFull $REP /tmp/${TAG}_sf1x_passA.json 3" \
   > /tmp/${TAG}_bench1xa.log 2>&1
 run_prev_bench "$REP" /tmp/${TAG}_sf1x_prevA.json 3
-sbt -batch "runMain graft.OracleDump /tmp/${TAG}_oracle" \
-  > /tmp/${TAG}_oracledump.log 2>&1
+# oracle_sql.json was dumped in step [2]
 GRAFT_DUCK_SAVE=/tmp/${TAG}_anchor_duck.json \
   python3 tools/duckdb_anchor.py /tmp/${TAG}_oracle/oracle_sql.json "$REP" \
   /tmp/${TAG}_sf1x_passA.json 3 '^q\d\d' > /dev/null
@@ -109,8 +119,13 @@ echo "=== [5/7] oracle_sql.json dump for anchors"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF01 $VOUT" \
   > /tmp/${TAG}_verify.log 2>&1
 echo "=== [6/7] DuckDB anchors"
-python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
-  bench_results/${TAG}_sf0.1.json 3 > bench_results/${TAG}_duckdb_anchor_sf0.1.md
+# sf0.1 anchor: same-window like the SF1 one — graft = min over the two
+# HEAD passes of step [2]'s interleave, duck = min over its center slot
+# + this second slot (GRAFT_DUCK_MIN)
+GRAFT_DUCK_MIN=/tmp/${TAG}_duck01_q.json \
+  python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
+  /tmp/${TAG}_sf0.1_passA.json,/tmp/${TAG}_sf0.1_passB.json 3 \
+  > bench_results/${TAG}_duckdb_anchor_sf0.1.md
 # SF1 anchor is SAME-WINDOW (r13 addendum): the DuckDB timing ran at
 # the center of step [3]'s interleave (saved to ${TAG}_anchor_duck.json)
 # and the graft column is the per-query min over the two FULL-registry
@@ -127,9 +142,11 @@ GRAFT_DUCK_MIN=/tmp/${TAG}_anchor_duck.json \
   /tmp/${TAG}_sf1x_passA.json,/tmp/${TAG}_sf1x_passB.json 3 '^q\d\d' \
   bench_results/${TAG}_sf1x_cached.json \
   > bench_results/${TAG}_duckdb_anchor_sf1x.md
-# extension-layer anchor: every non-TPC-H oracle query at sf0.1
-python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
-  bench_results/${TAG}_sf0.1.json 3 '^(?!q\d\d)' \
+# extension-layer anchor: every non-TPC-H oracle query at sf0.1 —
+# same-window, same pattern as above
+GRAFT_DUCK_MIN=/tmp/${TAG}_duck01_ext.json \
+  python3 tools/duckdb_anchor.py "$VOUT/oracle_sql.json" "$SF1" \
+  /tmp/${TAG}_sf0.1_passA.json,/tmp/${TAG}_sf0.1_passB.json 3 '^(?!q\d\d)' \
   > bench_results/${TAG}_duckdb_anchor_ext_sf0.1.md
 echo "=== [7/7] 30x heavy-tail scale-headroom run (~SF3)"
 # 30x/100x replicas are built SALTED (r11 adjudication): verbatim text
