@@ -71,23 +71,65 @@ object PlanCache {
   // canonicalized LogicalPlan has structural equals/hashCode — safe map
   // key. Access-ordered LinkedHashMap under the object lock: prepare()
   // is driver-side and rare (once per distinct query), contention is nil.
+  private final case class Entry(pq: PreparedQuery, sig: Long)
   private val cache =
-    new java.util.LinkedHashMap[LogicalPlan, PreparedQuery](16, 0.75f, true)
+    new java.util.LinkedHashMap[LogicalPlan, Entry](16, 0.75f, true)
 
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("graft.plan.cache").contains("true")
 
+  /** Fresh-stat signature of the plan's file-backed leaves: (path, size,
+    * mtime) of every input file, statted NOW against the filesystem (a
+    * missing file hashes as a tombstone). The dangerous serving pattern a
+    * prepared-statement cache enables is a long-held entry whose
+    * materialized exchanges keep answering from map outputs computed over
+    * files that have since been overwritten — the signature turns
+    * silently-stale into evict-and-re-prepare (and, if the caller's own
+    * frame still carries a stale file listing, into Spark's explicit
+    * missing-file error rather than old rows). Driver-side cost: one
+    * stat per input file per prepare. */
+  private def sourceSignature(df: DataFrame): Long = {
+    val plan = df.queryExecution.analyzed
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val items = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.foreach { p =>
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fsys = path.getFileSystem(hconf)
+              items += (try {
+                val s = fsys.getFileStatus(path)
+                (p, s.getLen, s.getModificationTime)
+              } catch {
+                case _: java.io.FileNotFoundException => (p, -1L, -1L)
+              })
+            }
+          case _ => ()
+        }
+      case _ => ()
+    })
+    items.sortBy(_._1).foldLeft(1125899906842597L) { case (h, (p, l, m)) =>
+      ((h * 31 + p.hashCode) * 31 + l) * 31 + m
+    }
+  }
+
   /** Prepare (or fetch the previously-prepared) execution of this frame,
-    * evicting the least-recently-used entry beyond the configured cap. */
+    * evicting the least-recently-used entry beyond the configured cap and
+    * re-preparing when the source files' signature changed since the
+    * entry was built. */
   def prepare(df: DataFrame): PreparedQuery = synchronized {
     val cap = df.sparkSession.conf.getOption(CapacityKey)
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
       .getOrElse(DefaultCapacity)
     val key = df.queryExecution.analyzed.canonicalized
+    val sig = sourceSignature(df)
     val hit = cache.get(key) // get() refreshes access order
-    val pq = if (hit != null) hit else {
+    val pq = if (hit != null && hit.sig == sig) hit.pq
+    else {
       val fresh = new PreparedQuery(df)
-      cache.put(key, fresh)
+      cache.put(key, Entry(fresh, sig))
       fresh
     }
     val it = cache.entrySet().iterator()
@@ -97,9 +139,7 @@ object PlanCache {
 
   def size: Int = synchronized(cache.size)
 
-  /** Drop all prepared plans (tests; or after input data changes — the
-    * cache intentionally does NOT watch files: prepared statements over
-    * mutated inputs must be re-prepared by the caller, same contract as a
-    * database result/plan cache with explicit invalidation). */
-  def clear(): Unit = cache.clear()
+  /** Drop all prepared plans (tests; or for bulk invalidation beyond the
+    * per-entry source-signature check in [[prepare]]). */
+  def clear(): Unit = synchronized(cache.clear())
 }

@@ -76,6 +76,27 @@ class PlanCacheSpec extends SparkSpec {
     }
   }
 
+  test("changed source files invalidate the prepared entry (fresh-stat signature)") {
+    PlanCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("plancache-inval").toString
+    spark.range(10).toDF("v").write.mode("overwrite").parquet(dir)
+    // one held frame, re-prepared across a data change — the serving
+    // pattern the signature exists for (the frame's own file listing is
+    // allowed to go stale; the CACHE must not silently serve old rows)
+    val df = spark.read.parquet(dir).groupBy().count()
+    val a = PlanCache.prepare(df)
+    assert(a.collectRows().head.getLong(0) == 10)
+    assert(PlanCache.prepare(df) eq a, "unchanged files must hit")
+    spark.range(25).toDF("v").write.mode("overwrite").parquet(dir)
+    val b = PlanCache.prepare(df)
+    assert(!(b eq a), "overwritten source files must re-prepare, not hit")
+    assert(PlanCache.size == 1, "stale entry must be replaced, not kept alongside")
+    // a FRESH read of the changed dir prepares cleanly and answers new data
+    val fresh = PlanCache.prepare(spark.read.parquet(dir).groupBy().count())
+    assert(fresh.collectRows().head.getLong(0) == 25)
+    PlanCache.clear()
+  }
+
   test("enabled() reads the session conf set by GraftTuning.planCache") {
     assert(!PlanCache.enabled(spark)) // default off
     spark.conf.set("graft.plan.cache", "true")
