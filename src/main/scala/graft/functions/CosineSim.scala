@@ -102,7 +102,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => DamerauLevenshtein(cs(0), cs(1))),
     ("simhash60",
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (cs: Seq[Expression]) => SimHash60(cs(0))))
+      (cs: Seq[Expression]) => SimHash60(cs(0))),
+    ("shingle_hv60",
+      new ExpressionInfo(classOf[ShingleHv60].getName, "shingle_hv60"),
+      (cs: Seq[Expression]) => ShingleHv60(cs(0))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -333,14 +333,11 @@ object TextOps {
   private[queries] def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Universal-hash base for minhash: md5 once per value, reduced mod a
+  /** Universal-hash base for minhash: the 60-bit [[h60]] reduced mod a
     * prime; per-seed variants are then pure int64 arithmetic (overflow-free:
-    * v < P ~ 1e9, multiplier <= 31). */
+    * v < P ~ 1e9, multiplier <= 31). The Spark side computes h60 natively
+    * ([[graft.functions.ShingleHv60]]); [[h60Sql]] is the DuckDB mirror. */
   private val MinhashP = 1000000007L
-  private def hvSqlSpark(e: String): String =
-    s"cast(conv(substring(md5(cast($e as binary)), 1, 15), 16, 10) as bigint) % $MinhashP"
-  private def hvSqlDuck(e: String): String =
-    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % $MinhashP)"
 
   // ------------------------------------------------------------ token count
   /** Token counting: whitespace tokens + regex word tokens ("BPE-ish"
@@ -573,16 +570,31 @@ object TextOps {
     pairsFromSig(minhashSig(d), threshold)
 
   /** The signature table: one row per doc carrying the 16 min-hashes and
-    * the exact shingle set — everything the band join + verify needs, so
-    * a consumer that materializes THIS table never rescans the corpus. */
+    * the shingle-hash set — everything the band join + verify needs, so
+    * a consumer that materializes THIS table never rescans the corpus.
+    *
+    * r13: the shingle substrate is the native [[graft.functions.ShingleHv60]]
+    * kernel — distinct 60-bit shingle hashes in one pass over the text
+    * bytes — replacing the interpreted HOF pipeline (explode of
+    * transform/slice/array_join + md5-hex→conv per shingle) that the
+    * 100×-replica JFR profile measured at ~26 µs/shingle and 90% of the
+    * query's task time. The seed mins derive from the SAME
+    * `h60 % MinhashP` value as before, so signatures and band buckets
+    * are bit-identical to the string pipeline; the verify set (`arr`)
+    * becomes `array<bigint>` of h60 values instead of the shingle
+    * strings — Jaccard over the 60-bit hash space, which the DuckDB
+    * oracle mirrors value-for-value ([[minhashPairsSql]]). At 100 TB the
+    * hashed set is also what you'd ship: 8 bytes per shingle on the
+    * shuffle wire instead of the text n-gram. */
   private[queries] def minhashSig(d: DataFrame): DataFrame = {
-    val hvRows = shingles(d)
-      .select(col("doc_id"), col("sh"), expr(hvSqlSpark("sh")).as("v"))
+    val hvRows = d
+      .select(col("doc_id"), explode(expr("shingle_hv60(text)")).as("h"))
+      .select(col("doc_id"), col("h"), (col("h") % MinhashP).as("v"))
     val sigCols = (0 until 16).map(s =>
       min(expr(s"(v * ${2 * s + 1} + ${s * 7919}) % $MinhashP")).as(s"s$s"))
     hvRows
       .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail :+ collect_set(col("sh")).as("arr"): _*)
+      .agg(sigCols.head, sigCols.tail :+ collect_set(col("h")).as("arr"): _*)
   }
 
   /** Band join + exact-Jaccard verify over a (doc_id, s0..s15, arr)
@@ -733,10 +745,18 @@ object TextOps {
   }
 
   /** SQL mirror of [[minhashPairs]]: CTE block ending in a `pairs` view
-    * (a_id, b_id, jacc >= threshold). `src` must select (doc_id, text). */
+    * (a_id, b_id, jacc >= threshold). `src` must select (doc_id, text).
+    *
+    * Mirrors the r13 hashed-set substrate: `h` is the same 60-bit
+    * shingle hash [[graft.functions.ShingleHv60]] emits (first 15 hex
+    * chars of md5 as a BIGINT), `v = h % P` keeps the seed mins
+    * bit-identical to the old string pipeline, and the verify sets are
+    * `list(DISTINCT h)` so both engines compute Jaccard over the
+    * identical 60-bit value space. */
   private[graft] def minhashPairsSql(src: String, threshold: Double): String = s"""
       sh AS (${shinglesSql.replace("FROM documents", s"FROM ($src) src_t")}),
-      hv AS (SELECT doc_id, sh, ${hvSqlDuck("sh")} AS v FROM sh),
+      hv AS (SELECT doc_id, sh, ${h60Sql("sh")} AS h,
+                    ${h60Sql("sh")} % $MinhashP AS v FROM sh),
       sigs AS (SELECT doc_id, seed,
                       MIN((v * (2 * seed + 1) + seed * 7919) % $MinhashP) AS mh
                FROM hv CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS seed)
@@ -747,7 +767,7 @@ object TextOps {
       cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                 FROM bands x JOIN bands y
                   ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-      sets AS (SELECT doc_id, list(sh) AS arr FROM sh GROUP BY doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT h) AS arr FROM hv GROUP BY doc_id),
       scored AS (SELECT c.a_id, c.b_id,
                         len(list_intersect(a.arr, b.arr)) AS n_common,
                         len(a.arr) AS a_sz, len(b.arr) AS b_sz
