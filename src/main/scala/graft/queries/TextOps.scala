@@ -632,25 +632,25 @@ object TextOps {
     // ~50 s while the one-plan query ran 220 s — 4 corpus pipelines, not
     // band saturation (candidates were 1.3 M, max bucket 157). So the
     // collapsed table is localCheckpoint()ed — one materialization, four
-    // readers — exactly when the signature frame embeds a Generate (the
-    // corpus pipeline); a file-backed sig table (minhashLshMat, the
-    // production shape) keeps its cheap pruned parquet re-scans and its
-    // "no corpus re-scan" plan pin. localCheckpoint, NOT cache(): a
-    // cached plan would survive across bench iterations (CacheManager
-    // matches by canonicalized subtree), so min-of-3 would time cache
-    // hits instead of the query; the eager checkpoint re-materializes
-    // per fn() invocation and the harness boundary's pressure GC frees
-    // the orphaned blocks.
-    val grouped0 = keyed
+    // readers. r13 made the checkpoint UNCONDITIONAL: the file-backed
+    // variant (minhashLshMat) was presumed to keep "cheap pruned parquet
+    // re-scans", but a 100× StageProbe showed the re-executed aggregate
+    // is NOT prunable — the grouping key embeds the full `ak` array, so
+    // every branch re-shuffled ~360 MB and re-ran the 17-column
+    // aggregate (3 partial+final pairs, ~900 s of task time of a
+    // 2,640 s query). One materialization beats three wide shuffles at
+    // any corpus scale. localCheckpoint, NOT cache(): a cached plan
+    // would survive across bench iterations (CacheManager matches by
+    // canonicalized subtree), so min-of-3 would time cache hits instead
+    // of the query; the eager checkpoint re-materializes per fn()
+    // invocation and the harness boundary's pressure GC frees the
+    // orphaned blocks.
+    val grouped = keyed
       .groupBy(sigCols :+ col("ak"): _*)
       .agg(min(col("doc_id")).as("gid"),
         collect_list(col("doc_id")).as("members"),
         count(lit(1)).as("gn"))
-    val embedsCorpusPipeline = {
-      val plan = sig.queryExecution.analyzed
-      plan.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate])
-    }
-    val grouped = if (embedsCorpusPipeline) grouped0.localCheckpoint() else grouped0
+      .localCheckpoint()
     val mem = grouped.select(col("gid"), explode(col("members")).as("doc_id"))
     val reps = grouped
     val bands = bandsOf(reps, "gid")

@@ -102,12 +102,18 @@ class PlanSpec extends SparkSpec {
 
   test("t_minhash_lsh_mat: band join reads only the signature table, not the corpus") {
     // the returned plan is the post-materialization half: every scan must
-    // be over the written signature parquet — zero documents re-scans
-    // (the single-plan variant re-scans the corpus once per branch)
+    // come from the written signature parquet — zero documents re-scans
+    // (the single-plan variant re-scans the corpus once per branch).
+    // Since r13 the dup-collapse over the sig parquet is ALSO
+    // checkpointed (its grouping key embeds the ak array, so branch
+    // re-execution re-shuffled the full table), so the branches read the
+    // checkpoint RDD; the no-corpus-re-scan invariant is what the pin
+    // keeps asserting.
     val s = PlanDescriber.formatted(q("t_minhash_lsh_mat"))
     assert(!s.contains("documents.parquet"),
       s"materialized variant still scans the corpus:\n${s.take(2000)}")
-    assert(s.contains("minhash_sig_"), "expected signature-table scans")
+    assert(s.contains("minhash_sig_") || s.contains("ExistingRDD"),
+      "expected signature-table or checkpointed-collapse scans")
   }
 
   test("p_novelty_incr: corpus side reads the signature store, never the corpus text") {
