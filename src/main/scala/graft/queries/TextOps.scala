@@ -586,6 +586,12 @@ object TextOps {
     * oracle mirrors value-for-value ([[minhashPairsSql]]). At 100 TB the
     * hashed set is also what you'd ship: 8 bytes per shingle on the
     * shuffle wire instead of the text n-gram. */
+  /** Plan-evidence hook (plans/rN dumps): the signature-build stage
+    * exactly as [[minhashLsh]] constructs it, pre-checkpoint — the
+    * declared queries only ever show this as a Scan ExistingRDD. */
+  private[graft] def minhashSigPlan(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spread(Catalog.table(spark, dir, "documents")))
+
   private[queries] def minhashSig(d: DataFrame): DataFrame = {
     val hvRows = d
       .select(col("doc_id"), explode(expr("shingle_hv60(text)")).as("h"))
