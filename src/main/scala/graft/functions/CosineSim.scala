@@ -105,7 +105,13 @@ object GraftFunctions {
       (cs: Seq[Expression]) => SimHash60(cs(0))),
     ("shingle_hv60",
       new ExpressionInfo(classOf[ShingleHv60].getName, "shingle_hv60"),
-      (cs: Seq[Expression]) => ShingleHv60(cs(0))))
+      (cs: Seq[Expression]) => ShingleHv60(cs(0))),
+    ("ngram_hv60",
+      new ExpressionInfo(classOf[NgramHv60].getName, "ngram_hv60"),
+      (cs: Seq[Expression]) => NgramHv60(cs(0), cs(1))),
+    ("winnow_fp",
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (cs: Seq[Expression]) => WinnowFp(cs(0), cs(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -1235,16 +1235,11 @@ object TextOps {
     "corpus docs sharing a word 5-gram with the benchmark set (doc_id<20)",
     (spark, dir) => {
       val d = Catalog.table(spark, dir, "documents")
+      // r13: 5-gram hashes via the native one-pass kernel (NgramHv60 —
+      // value-identical to the old CASE-guarded transform/concat_ws/md5
+      // chain, empty array below 5 tokens, pinned in NgramHvSpec)
       def grams(df: DataFrame): DataFrame = df
-        .withColumn("tk", toks(col("text")))
-        // CASE guard: Spark's sequence(1, 0) counts DOWN ([1,0]) rather
-        // than producing an empty range, so short docs need the explicit
-        // empty-array branch
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4)," +
-            " i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(tk, i, 5))" +
-            " as binary)), 1, 15), 16, 10) as bigint))" +
-            " ELSE cast(array() as array<bigint>) END")).as("g"))
+        .select(col("doc_id"), explode(expr("ngram_hv60(text, 5)")).as("g"))
         .distinct()
       val bench = grams(d.filter(col("doc_id") < 20))
         .select(col("doc_id").as("bench_id"), col("g"))
@@ -1461,18 +1456,21 @@ object TextOps {
     "t_winnow",
     "MOSS winnowing (k=3,w=4): per-source fingerprint density + cross-doc sharing",
     (spark, dir) => {
+      // r13: the ordered 3-gram hash array comes from the native one-pass
+      // kernel (NgramHv60 — same values, same positional order as the old
+      // per-gram concat_ws/md5-hex→conv transform; pinned in NgramHvSpec).
+      // |hs| = |tk| - 2 for winnowable docs, so the w+k-1 shortest-doc
+      // filter (size(tk) >= 6) becomes size(hs) >= 4.
       val d = Catalog.table(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 6) // w+k-1: shortest winnowable doc
-        .withColumn("hs",
-          expr("transform(sequence(0, size(tk) - 3), i -> " +
-            "cast(conv(substring(md5(cast(concat_ws(' ', tk[i], tk[i+1], tk[i+2])" +
-            " as binary)), 1, 15), 16, 10) as bigint))"))
-        .withColumn("fps",
-          expr("array_distinct(transform(sequence(0, size(hs) - 4), j -> " +
-            "concat(cast(array_min(slice(hs, j + 1, 4)) as string), ':', " +
-            "cast(j + 4 - array_position(reverse(slice(hs, j + 1, 4)), " +
-            "array_min(slice(hs, j + 1, 4))) as string))))"))
+        .select(col("doc_id"), col("source"),
+          expr("ngram_hv60(text, 3)").as("hs"))
+        .filter(size(col("hs")) >= 4) // ≡ size(tk) >= 6: shortest winnowable
+        // r13: native winnowing kernel (WinnowFp) — value/order-identical
+        // to the array_distinct(transform(... array_min/reverse/
+        // array_position ...)) chain it replaces (pinned in NgramHvSpec);
+        // a fingerprint is determined by its rightmost-min POSITION, so
+        // dedup is a seen-position bitmap instead of string set ops
+        .withColumn("fps", expr("winnow_fp(hs, 4)"))
       val perDoc = d.select(col("doc_id"), col("source"),
         (size(col("hs"))).cast("long").as("n_grams"),
         (size(col("fps"))).cast("long").as("n_fp"))
@@ -1611,19 +1609,29 @@ object TextOps {
     "t_dup_ngrams",
     "top-20 most-repeated sliding 8-grams across documents (memorization audit)",
     (spark, dir) => {
-      val ng = spread(Catalog.table(spark, dir, "documents"))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 7)," +
-            " i -> array_join(slice(tk, i, 8), ' '))")).as("ng"))
-        .select(col("doc_id"), col("ng"), h60(col("ng")).as("h"))
-      val top = ng.groupBy(col("h"))
+      val d = spread(Catalog.table(spark, dir, "documents"))
+      // r13: the counting phase needs only the gram HASHES — the native
+      // one-pass kernel (NgramHv60, value-identical to the legacy
+      // pipeline, pinned in NgramHvSpec) replaces the interpreted
+      // transform/slice/array_join + md5-hex→conv chain there. The gram
+      // STRINGS are needed only to recover the 20 winners, so the legacy
+      // string pipeline now runs ONCE (the recovery probe below) instead
+      // of twice (the unchekpointed `ng` subtree used to re-execute).
+      val top = d
+        .select(col("doc_id"), explode(expr("ngram_hv60(text, 8)")).as("h"))
+        .groupBy(col("h"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_occurrences").desc, col("h"))
         .limit(20)
+      val ng = d
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 7)," +
+            " i -> array_join(slice(tk, i, 8), ' '))")).as("ng"))
+        .select(col("ng"), h60(col("ng")).as("h"))
       ng.join(broadcast(top), "h")
         .groupBy(col("h"), col("n_occurrences"), col("n_docs"))
         .agg(min(col("ng")).as("ngram"))
@@ -1696,14 +1704,16 @@ object TextOps {
       val mem = d0.select(col("doc_id"), col("tkey"))
         .join(groups.select(col("tkey"), col("gid")), "tkey")
         .select(col("doc_id"), col("gid"))
+      // r13: positional 8-gram hashes via the native one-pass kernel
+      // (graft.functions.NgramHv60) — same values and order as the
+      // interpreted transform/slice/array_join + md5-hex→conv pipeline
+      // it replaces (pinned in NgramHvSpec), at ~zero allocations/gram.
+      // This stage carried 21.5 s of the query's 21.5 s sf0.1 task time.
       val g = d0.join(groups.select(col("gid"), col("gn")),
           col("doc_id") === col("gid"))
-        .select(col("gid"), col("gn"), split(col("text"), " ").as("tk"))
-        .select(col("gid"), col("gn"), posexplode(expr(
-          "transform(sequence(1, size(tk) - 7)," +
-            " i -> array_join(slice(tk, i, 8), ' '))")).as(Seq("p0", "ng")))
-        .select(col("gid"), col("gn"), (col("p0") + 1).as("pos"),
-          h60(col("ng")).as("h"))
+        .select(col("gid"), col("gn"),
+          posexplode(expr("ngram_hv60(text, 8)")).as(Seq("p0", "h")))
+        .select(col("gid"), col("gn"), (col("p0") + 1).as("pos"), col("h"))
       val rare = g.select(col("h"), col("gid"), col("gn")).distinct()
         .groupBy(col("h")).agg(sum(col("gn")).as("nd"))
         .filter(col("nd").between(2, 20)).select(col("h"))
