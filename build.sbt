@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through verbatim instead of re-logging it
+// with an "[info] " prefix: the adjudicating driver parses the bench's
+// one-line JSON contract out of the tail of the combined sbt output, and
+// the logger prefix made that line unparseable for 13 straight rounds
+// (BENCH_r1..r13 all carry `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

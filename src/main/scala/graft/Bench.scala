@@ -20,11 +20,41 @@ object Bench {
 
   /** Queries whose driver-vs-local timing divergence is under
     * investigation (r9-r11: v_knn_graph 1.43 s driver vs 1.01 s local,
-    * three rounds unattributed) — their min-iteration env counters ride
-    * the compact line so the adjudicated artifact itself carries the
-    * gc/jit/sched/job breakdown. */
+    * three rounds unattributed) — their min-iteration env counters are
+    * recorded in the DETAIL file (r14: they used to ride the compact
+    * line, which pushed it to ~1.9 KB and the driver never parsed it —
+    * 13 rounds of `parsed: null`). */
   private val watch = Seq(
     "v_knn_graph", "v_lsh_ann", "v_ivf_ann", "v_pq_ann", "r_rank_eval")
+
+  private def r3(d: Double): String =
+    "%.3f".formatLocal(java.util.Locale.US, d)
+
+  /** The ONE driver-contract stdout line. Kept deliberately small
+    * (< 500 chars; BenchLineSpec pins it): the adjudicating driver
+    * parses JSON out of the LAST ~2000 characters of the sbt run's
+    * combined output, after sbt's own epilogue lines — every historic
+    * all-queries/env-block variant overflowed or failed that window
+    * (`parsed: null` in BENCH_r1..r13). Total + the 22 TPC-H headline
+    * seconds + counts; everything else lives in the detail file this
+    * line names. Entries are only ever ADDED relative to r13's map
+    * (same 22 q-keys; watch_env moved to the detail file — it is env
+    * metadata, not a query timing, so the `queries` contract of
+    * never-remove-never-rename is untouched). */
+  private[graft] def compactLine(
+      total: Double,
+      perQuery: Seq[(String, Option[Double])],
+      nq: Int,
+      nFailed: Int,
+      iterations: Int,
+      sfDir: String,
+      detailPath: String): String = {
+    val tpch = perQuery.filter(_._1.startsWith("q"))
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + v.map(r3).getOrElse("null")
+      }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$tpch,"nq":$nq,"failed":$nFailed,"iterations":$iterations,"sf":"$sfDir","detail":"$detailPath"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,33 +116,32 @@ object Bench {
     }
     val total = results.flatMap(_._2).sum
 
-    // ---- detail file: everything, every iteration, full env counters
+    // ---- detail file: everything, every iteration, full env counters,
+    // plus the watch-list min-iteration env summaries (moved here from
+    // the compact line in r14 — see compactLine's doc)
     val detailQs = results.map { case (k, v, envArr, _) =>
       "\"" + k + "\":{\"min_s\":" + v.map(_.toString).getOrElse("null") +
         ",\"iterations\":" + envArr + "}"
     }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iterations,"sf":"$sfDir","failed":$failedJson,"queries":$detailQs}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full per-iteration record: $detailPath")
-
-    // ---- compact driver line (< ~1900 chars so the driver's 2000-char
-    // tail window holds the WHOLE object even after sbt's epilogue)
-    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
-    val tpch = results.filter(_._1.startsWith("q"))
-      .map { case (k, v, _, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + v.map(r3).getOrElse("null")
-      }.mkString("{", ",", "}")
     val watchEnv = results
       .filter { case (k, _, _, me) => watch.contains(k) && me.nonEmpty }
       .map { case (k, v, _, me) =>
         "\"" + k + "\":{\"min_s\":" + v.map(r3).getOrElse("null") +
           ",\"env\":" + me.get + "}"
       }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$tpch,"nq":${results.size},"failed":${failed.size},"iterations":$iterations,"sf":"$sfDir","watch_env":$watchEnv,"detail":"$detailPath"}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iterations,"sf":"$sfDir","failed":$failedJson,"watch_env":$watchEnv,"queries":$detailQs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full per-iteration record: $detailPath")
+
+    val line = compactLine(total, results.map(r => (r._1, r._2)),
+      results.size, failed.size, iterations, sfDir, detailPath)
+    // stop the session BEFORE printing, so no Spark shutdown logging can
+    // land between the contract line and sbt's epilogue — the line must
+    // be the last thing this JVM writes to stdout
     spark.stop()
+    println(line)
   }
 }

@@ -23,9 +23,15 @@ object PlanDump {
       // stage eagerly, so their own explain shows it only as a
       // Scan ExistingRDD / parquet read — this dump is the plan evidence
       // for changes to the shingle substrate itself.
+      // registry queries go through SparkEntry.tuned — the SAME
+      // driver-contract layer Bench/Verify execute (AdaptiveGate +
+      // execConf overrides) — so the dumped explain is the plan of the
+      // benched configuration, not of a bare Registry run (r13 advice:
+      // the bypass could mis-represent before/after evidence for queries
+      // with execConf/needsAqe)
       val df =
         if (name == "minhash_sigbuild") graft.queries.TextOps.minhashSigPlan(spark, sfDir)
-        else Registry.byName(name).run(spark, sfDir)
+        else SparkEntry.tuned(Registry.byName(name))(spark, sfDir)
       val txt = graft.plans.PlanDescriber.formatted(df)
       val p = Paths.get(outDir, s"${name}_$tag.txt")
       Files.writeString(p, txt)

@@ -111,7 +111,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => NgramHv60(cs(0), cs(1))),
     ("winnow_fp",
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
-      (cs: Seq[Expression]) => WinnowFp(cs(0), cs(1))))
+      (cs: Seq[Expression]) => WinnowFp(cs(0), cs(1))),
+    ("winnow_hv",
+      new ExpressionInfo(classOf[WinnowHv].getName, "winnow_hv"),
+      (cs: Seq[Expression]) => WinnowHv(cs(0), cs(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

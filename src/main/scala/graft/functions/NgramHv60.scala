@@ -119,7 +119,17 @@ object NgramHv60 {
       }
       i += 1
     }
-    if (m == 0) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hv, m))
+    val out =
+      if (m == 0) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hv, m))
+    // cap the retained per-thread buffer: one pathological multi-million-
+    // token doc would otherwise pin ~8 B/gram per task thread for the
+    // JVM's lifetime (r13 advice) — keep KB-scale growth, drop MB-scale
+    if (hv.length > MaxRetainedSlots) hvLocal.remove()
+    out
   }
+
+  /** Retained-buffer cap (slots): 1 M tokens ≈ 8 MB — anything past this
+    * is a one-off giant document, not the steady state. */
+  private val MaxRetainedSlots = 1 << 20
 }

@@ -37,7 +37,11 @@ case class WinnowFp(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(LongType, _) if right.dataType == IntegerType =>
+    // containsNull must be false: compute() reads the hashes as a
+    // primitive long array, so a direct-SQL caller passing a nullable
+    // array must fail at ANALYSIS, not NPE/garbage at runtime (r13
+    // advice). Registry usage (ngram_hv60 output) is containsNull=false.
+    case ArrayType(LongType, false) if right.dataType == IntegerType =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"winnow_fp requires (array<bigint>, int) arguments, got " +

@@ -1461,23 +1461,32 @@ object TextOps {
       // per-gram concat_ws/md5-hex→conv transform; pinned in NgramHvSpec).
       // |hs| = |tk| - 2 for winnowable docs, so the w+k-1 shortest-doc
       // filter (size(tk) >= 6) becomes size(hs) >= 4.
+      //
+      // r14: the winnow summary comes from the struct kernel (WinnowHv):
+      // n_fp ≡ size(winnow_fp(hs,4)) and hv ≡ the DISTINCT fingerprint
+      // hashes (pinned against the winnow_fp pipeline in NgramHvSpec).
+      // The sharing branch then explodes doc-deduped LONGS straight into
+      // the (source, h) partial aggregate — the per-fingerprint
+      // "<h>:<pos>" strings, the interpreted transform/split projection
+      // and the row-level DISTINCT exchange of the r13 shape are gone
+      // (guide §2.3/§2.4, §4). The per-doc stats table is checkpointed so
+      // the text scan + kernels run ONCE for both consumers instead of
+      // once per branch (guide §3.3 materialize shared subtrees — same
+      // pattern as the minhash signature tables).
       val d = Catalog.table(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           expr("ngram_hv60(text, 3)").as("hs"))
         .filter(size(col("hs")) >= 4) // ≡ size(tk) >= 6: shortest winnowable
-        // r13: native winnowing kernel (WinnowFp) — value/order-identical
-        // to the array_distinct(transform(... array_min/reverse/
-        // array_position ...)) chain it replaces (pinned in NgramHvSpec);
-        // a fingerprint is determined by its rightmost-min POSITION, so
-        // dedup is a seen-position bitmap instead of string set ops
-        .withColumn("fps", expr("winnow_fp(hs, 4)"))
+        .select(col("doc_id"), col("source"),
+          size(col("hs")).cast("long").as("n_grams"),
+          expr("winnow_hv(hs, 4)").as("w"))
+        .select(col("doc_id"), col("source"), col("n_grams"),
+          col("w.n_fp").cast("long").as("n_fp"), col("w.hv").as("hv"))
+        .localCheckpoint()
       val perDoc = d.select(col("doc_id"), col("source"),
-        (size(col("hs"))).cast("long").as("n_grams"),
-        (size(col("fps"))).cast("long").as("n_fp"))
+        col("n_grams"), col("n_fp"))
       val shared = d
-        .select(col("source"), col("doc_id"),
-          explode(expr("transform(fps, f -> split(f, ':')[0])")).as("h"))
-        .distinct()
+        .select(col("source"), explode(col("hv")).as("h")) // doc-distinct h
         .groupBy(col("source"), col("h")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
         .groupBy(col("source")).agg(count(lit(1)).as("n_shared_h"))
@@ -1613,10 +1622,7 @@ object TextOps {
       // r13: the counting phase needs only the gram HASHES — the native
       // one-pass kernel (NgramHv60, value-identical to the legacy
       // pipeline, pinned in NgramHvSpec) replaces the interpreted
-      // transform/slice/array_join + md5-hex→conv chain there. The gram
-      // STRINGS are needed only to recover the 20 winners, so the legacy
-      // string pipeline now runs ONCE (the recovery probe below) instead
-      // of twice (the unchekpointed `ng` subtree used to re-execute).
+      // transform/slice/array_join + md5-hex→conv chain there.
       val top = d
         .select(col("doc_id"), explode(expr("ngram_hv60(text, 8)")).as("h"))
         .groupBy(col("h"))
@@ -1625,14 +1631,20 @@ object TextOps {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_occurrences").desc, col("h"))
         .limit(20)
+      // r14: the recovery probe no longer materializes every gram STRING —
+      // the second scan explodes the positional hashes (posexplode of the
+      // same kernel), broadcast-joins the 20 winners, and only the
+      // SURVIVING occurrences slice their gram text back out of the raw
+      // document (gram at 0-based token index j ≡ tokens j+1..j+8 — the
+      // byte-slice identity NgramHvSpec pins). The interpreted
+      // split/slice/array_join now runs on ~hundreds of winner rows, not
+      // every gram in the corpus (guide §4: keep opaque work off the hot
+      // path; §2.3: decide with hashes, recover payloads late).
       val ng = d
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 7)," +
-            " i -> array_join(slice(tk, i, 8), ' '))")).as("ng"))
-        .select(col("ng"), h60(col("ng")).as("h"))
+        .select(col("text"), posexplode(expr("ngram_hv60(text, 8)")).as(Seq("j", "h")))
       ng.join(broadcast(top), "h")
+        .select(col("h"), col("n_occurrences"), col("n_docs"),
+          expr("array_join(slice(split(text, ' '), j + 1, 8), ' ')").as("ng"))
         .groupBy(col("h"), col("n_occurrences"), col("n_docs"))
         .agg(min(col("ng")).as("ngram"))
         .select(col("ngram"), col("n_docs"), col("n_occurrences"))

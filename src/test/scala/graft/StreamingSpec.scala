@@ -140,4 +140,24 @@ class StreamingSpec extends SparkSpec {
       assert(sess(1).n_events === 1 && sess(1).tot_value_fix6 === 3000000L)
     } finally q.stop()
   }
+
+  test("monotone replays are batching-invariant: filesPerTrigger 2 and 6 == 1") {
+    // the r14 `graft.stream.filesPerTrigger` knob must not change any
+    // monotone replay's declared output (the claim that lets the batch
+    // granularity be an ingest-throughput parameter rather than a
+    // semantics one). The three LATE replays ignore the knob by
+    // construction (lateSemantics pins 1 file/batch) — covered by the
+    // oracle gate, not re-run here (slow).
+    val monotone = Seq("s_hourly_stats", "s_sessionize", "s_dedup_keys",
+      "s_cdc_latest", "s_interval_join")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001).collect().map(_.toString).toSeq
+    val base = monotone.map(n => n -> run(n)).toMap
+    for (mft <- Seq("2", "6")) {
+      spark.conf.set("graft.stream.filesPerTrigger", mft)
+      try monotone.foreach { n =>
+        assert(run(n) === base(n), s"$n output changed at filesPerTrigger=$mft")
+      } finally spark.conf.unset("graft.stream.filesPerTrigger")
+    }
+  }
 }

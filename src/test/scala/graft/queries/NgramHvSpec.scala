@@ -132,6 +132,37 @@ class NgramHvSpec extends SparkSpec {
     assert(short.head.isEmpty)
   }
 
+  test("winnow_hv(hs, 4) == (size(winnow_fp), sorted distinct h of winnow_fp)") {
+    // the r14 struct kernel must derive exactly from the winnow_fp
+    // pipeline it replaces in t_winnow: n_fp is the distinct-fingerprint
+    // count, hv the ascending distinct hash values (split(f,':')[0])
+    graft.functions.GraftFunctions.register(spark)
+    val arrs = Seq(
+      Seq(5L, 3L, 3L, 9L, 1L, 1L, 7L, 2L),
+      (1L to 12L),
+      (12L to 1L by -1L),
+      Seq(4L, 4L, 4L, 4L, 4L), // plateau: one distinct hash, several positions
+      Seq(8L, 6L, 7L, 5L),
+      Seq(1L, 2L) // shorter than one window: (0, [])
+    ).map(_.toSeq)
+    val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "hs")
+      .unionByName(docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          expr("ngram_hv60(text, 3)").as("hs")))
+    val both = df.select(col("id"),
+        expr("winnow_hv(hs, 4).n_fp").as("n_fp"),
+        expr("winnow_hv(hs, 4).hv").as("hv"),
+        expr("winnow_fp(hs, 4)").as("fps"))
+      .as[(Long, Int, Seq[Long], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, nFp, hv, fps) =>
+      assert(nFp === fps.size, s"id $id n_fp")
+      val expect = fps.map(_.split(":")(0).toLong).distinct.sorted
+      assert(hv === expect, s"id $id hv")
+    }
+  }
+
   test("ngram_hv60(text, 3) distinct-sorted equals shingle_hv60(text)") {
     // the two kernels must agree on the shared 3-gram substrate
     graft.functions.GraftFunctions.register(spark)
