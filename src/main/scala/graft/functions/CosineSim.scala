@@ -114,7 +114,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => WinnowFp(cs(0), cs(1))),
     ("winnow_hv",
       new ExpressionInfo(classOf[WinnowHv].getName, "winnow_hv"),
-      (cs: Seq[Expression]) => WinnowHv(cs(0), cs(1))))
+      (cs: Seq[Expression]) => WinnowHv(cs(0), cs(1))),
+    ("token_counts",
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (cs: Seq[Expression]) => TokenCounts(cs(0), cs(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -45,28 +45,51 @@ object RetrievalOps {
     "precision/recall/MRR/nDCG at k of the BM25 run vs term-coverage labels",
     (spark, dir) => {
       val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          expr(s"token_counts(text, '$bmTermsCsv')").as("tc"))
       // graded relevance from total query-term frequency (presence alone is
-      // near-universal on this corpus — tf buckets actually discriminate)
-      val termPred = bmTerms.map(t => s"x = '$t'").mkString(" or ")
+      // near-universal on this corpus — tf buckets actually discriminate).
+      // c = Σ per-term counts from the one-pass kernel — value-identical
+      // to the interpreted size(filter(tk, x -> x='spark' or ...)) it
+      // replaces (each token matches at most one distinct term), and the
+      // NULL-text row yields NULL c → rel 0 on both forms.
       val rel = d.select(col("doc_id"),
-          expr(s"size(filter(tk, x -> $termPred))").as("c"))
+          bmTerms.indices.map(i => col("tc").getItem(i + 1)).reduce(_ + _).as("c"))
         .select(col("doc_id"),
           when(col("c") >= 6, 3).when(col("c") >= 3, 2)
             .when(col("c") >= 1, 1).otherwise(0).as("rel"))
-      val stats = rel.agg(
-        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
-        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("c3"),
-        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("c2"),
-        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("c1"))
       val shortlist = bm25Scored(spark, dir)
         .orderBy(col("score").desc, col("doc_id")).limit(20)
       // rank over the bounded 20-row shortlist (single-partition window is
       // fine HERE: the shortlist is constant-size at any corpus scale)
       val run = shortlist.select(col("doc_id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
-      val ranked = rel.join(broadcast(run), "doc_id")
-        .select(col("rank"), col("rel"))
+      // ONE relevance scan (r14): the global label counts and the ≤20
+      // shortlist (rank, rel) pairs come out of a single aggregate over
+      // rel left-joined to the broadcast run, checkpointed as one row —
+      // previously each broadcast consumer (stats ×2, ranked) re-ran the
+      // interpreted filter(tk, ...) corpus scan. The pairs are pivoted
+      // through 20 conditional max() columns (NOT collect_list, which
+      // would demote the stage to a non-codegen ObjectHashAggregate —
+      // measured 3× task time) and exploded back to rows; downstream
+      // aggregates are unchanged and order-independent (sum/max/dsum),
+      // so this is value-identical to the old inner join.
+      val aggCols = Seq(
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("c1")) ++
+        (1 to 20).map(k =>
+          max(when(col("rank") === k, col("rel"))).as(s"r$k"))
+      val snap = rel.join(broadcast(run), Seq("doc_id"), "left")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint()
+      val stats = snap.select(col("n_rel"), col("c3"), col("c2"), col("c1"))
+      val ranked = snap
+        .select(posexplode(array((1 to 20).map(k => col(s"r$k")): _*))
+          .as(Seq("p0", "relv")))
+        .filter(col("relv").isNotNull)
+        .select((col("p0") + 1).cast("int").as("rank"), col("relv").as("rel"))
       val gain = (pow(lit(2.0d), col("rel")) - lit(1.0d)) /
         log2(col("rank").cast("double") + lit(1.0d))
       val ideal = spark.range(1, 21).select(col("id").as("rank"))
@@ -143,41 +166,58 @@ object RetrievalOps {
 
   /** BM25 keyword search, Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5)).
     *
-    * Distribution shape: ONE corpus scan produces (doc, term, tf) for
-    * query terms only (the filter is inside the explode projection, so
-    * non-query tokens never leave the scan); df and the corpus stats
-    * (N, exact avgdl) are tiny aggregates broadcast back; per-doc scores
-    * are a fix6-exact integer sum over ≤|terms| contributions; the final
-    * top-10 is TakeOrderedAndProject — NO global window, no single-task
-    * sort, at any corpus size. */
+    * Distribution shape (r14): per-doc term frequencies come out of the
+    * scan itself via the one-pass [[graft.functions.TokenCounts]] kernel
+    * (`tc = [dl, tf_spark, tf_join, tf_window]`), so the old
+    * explode → filter → groupBy(doc_id, dl, tok) term-frequency SHUFFLE
+    * (every matching token occurrence crossed the wire) is gone
+    * entirely; corpus stats (N, exact avgdl) AND the per-term document
+    * frequencies are ONE tiny aggregate broadcast back; per-doc scores
+    * are a fix6-exact integer sum over ≤|terms| contributions computed
+    * in the scan projection (value-identical to the removed
+    * groupBy(doc_id)+dsum: both sum the same per-term fix6 longs); the
+    * final top-10 is TakeOrderedAndProject — NO exchange of any kind
+    * before the top-k, at any corpus size. Docs with zero matching
+    * terms are filtered out, exactly the row set the inner tf join
+    * produced. */
   /** Shared BM25 scoring frame `(doc_id, score)` — consumed by
     * [[bm25Search]] (top-10) and [[mmrRerank]] (top-20 shortlist). */
+  private[queries] val bmTermsCsv = bmTerms.mkString(",")
   private def bm25Scored(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    val stats = d.agg(count(lit(1)).as("n_docs"),
-      davg(col("dl").cast("double")).as("avgdl"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
-      .filter(col("tok").isInCollection(bmTerms))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"),
+        expr(s"token_counts(text, '$bmTermsCsv')").as("tc"))
+    val tfL = (i: Int) => col("tc").getItem(i + 1)
+    val dlD = col("tc").getItem(0).cast("double")
+    // ONE corpus aggregate: N, exact avgdl, and every term's df
+    val statsAgg = Seq(count(lit(1)).as("n_docs"),
+      davg(dlD).as("avgdl")) ++
+      bmTerms.indices.map(i =>
+        sum(when(tfL(i) > 0, 1L).otherwise(0L)).as(s"df$i"))
     // idf on the fix6 grid: ln is the one operator without a
-    // bit-identical cross-engine guarantee
-    val idf6 = (floor(
-      log(lit(1.0d) + (col("n_docs").cast("double") - col("df") + 0.5d) /
-        (col("df").cast("double") + 0.5d)) * 1000000.0d + 0.5d) / 1000000.0d)
-    val contrib = col("idf") * (col("tf").cast("double") * lit(bmK1 + 1.0d)) /
-      (col("tf").cast("double") +
-        lit(bmK1) * (lit(1.0d - bmB) + lit(bmB) * col("dl").cast("double") / col("avgdl")))
-    tf.join(broadcast(df), "tok")
+    // bit-identical cross-engine guarantee. Same expression as the old
+    // per-row form, evaluated once over the same (n_docs, df) longs.
+    val idfCols = bmTerms.indices.map { i =>
+      (floor(
+        log(lit(1.0d) + (col("n_docs").cast("double") - col(s"df$i") + 0.5d) /
+          (col(s"df$i").cast("double") + 0.5d)) * 1000000.0d + 0.5d) /
+        1000000.0d).as(s"idf$i")
+    }
+    val stats = d.agg(statsAgg.head, statsAgg.tail: _*)
+      .select(Seq(col("n_docs"), col("avgdl")) ++ idfCols: _*)
+    // per-term contribution, exact shape of the old per-row `contrib`
+    val qterm = bmTerms.indices.map { i =>
+      val tfD = tfL(i).cast("double")
+      val c = col(s"idf$i") * (tfD * lit(bmK1 + 1.0d)) /
+        (tfD +
+          lit(bmK1) * (lit(1.0d - bmB) + lit(bmB) * dlD / col("avgdl")))
+      when(tfL(i) > 0, fix6(c)).otherwise(0L)
+    }
+    d.filter(bmTerms.indices.map(tfL).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), idf6.as("idf"), col("tf"), col("dl"), col("avgdl"))
-      .select(col("doc_id"), contrib.as("c"))
-      .groupBy(col("doc_id"))
-      .agg(round(dsum(col("c")), 6).as("score"))
+      .select(col("doc_id"),
+        round(qterm.reduce(_ + _).cast("double") / 1000000.0d, 6).as("score"))
   }
 
   /** Oracle twin of [[bm25Scored]]: CTE block ending in a

@@ -841,17 +841,48 @@ object VectorOps {
     * straightforward full-grid build is provably byte-identical),
     * accumulated as fix6 BIGINTs (partition-order-free), with the final
     * covariance a FIXED scalar double formula over those exact integers —
-    * bit-identical on any engine. The 8 power-iteration rounds then touch
-    * only the 64-row matrix frame: each matvec row is a sequential
-    * zip-fold (the dotSql discipline), the per-round rescale divides by
-    * MAX|w| (an exact aggregate, no order-dependent double sum), and the
-    * final L2 normalization is one fold over the position-sorted vector.
+    * bit-identical on any engine. The 8 power-iteration rounds run on the
+    * DRIVER over the collected 64×64 matrix (32 KB — the same shape as
+    * MLlib's RowMatrix.computePrincipalComponents, which collects the
+    * Gramian and does local linear algebra): each matvec row is a
+    * sequential left-fold in ascending position order — the exact double
+    * operation sequence of the previous frame form's
+    * aggregate(zip_with(...)) — the per-round rescale divides by MAX|w|
+    * (order-independent), and the final L2 normalization is one
+    * ascending-position fold. r14: moving the fixed-size iterations off
+    * the scheduler removed ~35 serialized one-task broadcast jobs per
+    * execution (~20-40 ms each); outputs are bit-identical because every
+    * float op sequence is preserved and the final round/sqrt still runs
+    * through the same Spark expressions.
     * At 100 TB: covariance is the only corpus scan (constant 2080
     * products per row, map-side partials shrink the shuffle to 2080
     * groups); iterations are corpus-free. Production would iterate to
     * tolerance; the operator contract pins 8 rounds from the all-ones
     * start so the fit is a deterministic function of the data. */
   private val pcaIters = 8
+
+  /** Driver-side power iteration over the collected covariance rows
+    * (ascending-i order). Preserves the previous frame form's float-op
+    * sequence exactly: matvec = left fold ascending j, rescale = /max|w|,
+    * final ss = left fold of squares ascending position. Returns the
+    * unnormalized direction v and its squared L2 norm ss. */
+  private[graft] def powerIterate(
+      mrows: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    var v = Array.fill(64)(1.0d)
+    for (_ <- 1 to iters) {
+      val w = mrows.map { row =>
+        var a = 0.0d; var j = 0
+        while (j < row.length) { a += row(j) * v(j); j += 1 }
+        a
+      }
+      var m = 0.0d
+      w.foreach(x => if (math.abs(x) > m) m = math.abs(x))
+      v = w.map(_ / m)
+    }
+    var ss = 0.0d
+    v.foreach(x => ss += x * x)
+    (v, ss)
+  }
 
   val pcaPower: GQuery = GQuery(
     "v_pca_power",
@@ -881,28 +912,22 @@ object VectorOps {
       val cmat = c0.groupBy(col("i"))
         .agg(expr("transform(sort_array(collect_list(struct(j, c)))," +
           " s -> s.c)").as("row_arr"))
-        .localCheckpoint()
-      var v = spark.range(1).select(expr(
-        "transform(sequence(1, 64), p -> CAST(1.0 AS DOUBLE))").as("v_arr"))
-      for (t <- 1 to pcaIters) {
-        val w = cmat.crossJoin(broadcast(v))
-          .select(col("i"), expr(
-            "aggregate(zip_with(row_arr, v_arr, (x, y) -> x * y)," +
-              " CAST(0.0 AS DOUBLE), (a, b) -> a + b)").as("w"))
-        val m = w.agg(max(abs(col("w"))).as("m"))
-        v = w.crossJoin(broadcast(m))
-          .select(col("i"), (col("w") / col("m")).as("wn"))
-          .groupBy()
-          .agg(expr("transform(sort_array(collect_list(struct(i, wn)))," +
-            " s -> s.wn)").as("v_arr"))
-        if (t % 2 == 0 && t < pcaIters) v = v.localCheckpoint()
-      }
-      v.select(col("v_arr"), expr(
-          "aggregate(transform(v_arr, x -> x * x)," +
-            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)").as("ss"))
-        .select(col("ss"), posexplode(col("v_arr")).as(Seq("p0", "lv")))
-        .select((col("p0") + 1).cast("int").as("pos"),
-          round(col("lv") / sqrt(col("ss")), 6).as("loading"))
+      // fixed-size (64×64, 32 KB) matrix: iterate on the driver.
+      // Float-op order is preserved exactly vs the previous frame form:
+      // matvec = left fold ascending j (aggregate over zip_with array
+      // order), rescale = /max|w| (order-independent max), v kept in
+      // ascending-i order (sort_array(collect_list(struct(i, wn)))).
+      val mrows = cmat.select(col("i").cast("int"), col("row_arr"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val (v, ss) = powerIterate(mrows, pcaIters)
+      // final rounding through the same Spark expressions as before
+      import spark.implicits._
+      v.toSeq.zipWithIndex.map { case (lv, p) => (p + 1, lv) }
+        .toDF("pos", "lv")
+        .select(col("pos").cast("int").as("pos"),
+          round(col("lv") / sqrt(lit(ss)), 6).as("loading"))
         .orderBy(col("pos"))
     },
     Some {

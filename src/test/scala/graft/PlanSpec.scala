@@ -72,7 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"),
       s"top-k should be TakeOrderedAndProject, not sort+limit:\n$s")
     assert(!s.contains("Window"), "no window belongs in BM25 scoring")
-    assert(PlanDescriber.broadcasts(df) >= 2, "df + corpus stats should broadcast")
+    // r14 token_counts shape: ONE broadcast — stats+df+idf merged into a
+    // single 1-row aggregate (was two: df frame + stats frame); and the
+    // old explode→groupBy(doc_id,dl,tok) tf shuffle must be gone
+    assert(PlanDescriber.broadcasts(df) == 1, "merged corpus-stats broadcast")
+    assert(!s.contains("Generate explode"),
+      s"per-doc tf comes from token_counts, not an exploded-token shuffle:\n$s")
+    assert(s.contains("token_counts"), s"token_counts kernel in the scan:\n$s")
   }
 
   test("e_scd2: every window is key-partitioned (no global sort)") {
