@@ -753,9 +753,13 @@ object VectorOps {
         .select(col("id").as("vec_id"), col("j").as("cell"))
       val withC = e.join(cells, "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"))
-      // one group per distinct embedding per cell; gid = min member id
+      // one group per distinct embedding per cell; gid = min member id.
+      // r14: checkpointed — grp feeds 4 consumers (band table, both
+      // pair-sim sides, the self-sim branch, and the member re-join);
+      // without the cut each re-ran the scan + assign + group exchange.
       val grp = withC.groupBy(col("cell"), col("embedding"))
         .agg(min(col("vec_id")).as("gid"), count(lit(1)).as("gn"))
+        .localCheckpoint()
       // corpus-scaled LSH sub-split of oversized cells ([[semSubBits]]):
       // candidate group pairs must share (cell, band bucket) in ≥1 of the
       // semTables tables; r = 0 (gate scale) gives bucket 0 everywhere =
