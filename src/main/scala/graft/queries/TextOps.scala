@@ -2031,7 +2031,7 @@ object TextOps {
     * merge rounds, per-round 1-row merge frames). Consumed by both
     * [[bpeTrain]] (emits the merge table) and [[bpeApply]] (segments the
     * corpus with the final dict). */
-  private def bpeFit(spark: SparkSession, dir: String)
+  private[graft] def bpeFit(spark: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
     val d = spread(Catalog.table(spark, dir, "documents"))
     val wc = d.select(explode(toks(col("text"))).as("word"))
@@ -2040,31 +2040,71 @@ object TextOps {
     // materialize the corpus-sized tokenize+count ONCE under the
     // caller's conf (it wants AQE); the merge rounds below operate on
     // the vocabulary-sized dict only, inside the loop-sized scope
-    var words = wc.withColumn("syms",
+    val words0 = wc.withColumn("syms",
       expr("concat(transform(sequence(1, length(word))," +
         " i -> substring(word, i, 1)), array('_'))"))
       .localCheckpoint()
-    graft.plans.AdaptiveGate.scopedLoop(spark, d) {
-    val merges = Seq.newBuilder[DataFrame]
-    for (step <- 1 to bpeMerges) {
-      val pairs = words.select(col("cnt"), explode(expr(
-        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
-          " (a, b) -> struct(a AS p1, b AS p2))")).as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(sum(col("cnt")).as("pc"))
-      val best = pairs.orderBy(col("pc").desc, col("p1"), col("p2")).limit(1)
-      merges += best.select(lit(step).as("step"), col("p1"), col("p2"),
+    // r14: the 8 greedy merge rounds run as ONE single-task
+    // mapPartitions over the vocabulary-sized dict (the mmrRerank
+    // precedent: sequential greedy selection over BOUNDED state belongs
+    // in one task). The previous unrolled form paid ~3 scheduled jobs
+    // per round (pair-count limit(1) + broadcast build + every-2nd-round
+    // checkpoint) plus an interpreted aggregate() re-segmentation HOF
+    // pass per round. Every operation below is exact long/ASCII-string
+    // arithmetic replicating the relational form bit-for-bit: pair
+    // counts sum cnt over adjacent positions (overlaps counted, as
+    // zip_with did), the winner is (pc DESC, p1, p2) — Scala string
+    // order == Spark UTF8 binary order on these ASCII symbols — and the
+    // fold is the same leftmost-greedy IF chain as the aggregate() HOF.
+    // The production analog is exactly this: distributed word count,
+    // local merge loop (tokenizer training shape).
+    import spark.implicits._
+    val nMerges = bpeMerges
+    val fitted = words0.select(col("word"), col("cnt"), col("syms"))
+      .as[(String, Long, Seq[String])]
+      .coalesce(1).mapPartitions { it =>
+        var dict = it.map { case (w, c, s) => (w, c, s.toArray) }.toArray
+        val merges = Array.newBuilder[(Int, String, String, Long)]
+        for (step <- 1 to nMerges) {
+          val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+          dict.foreach { case (_, c, s) =>
+            var j = 0
+            while (j < s.length - 1) {
+              val k = (s(j), s(j + 1))
+              pc.update(k, pc.getOrElse(k, 0L) + c)
+              j += 1
+            }
+          }
+          var best: ((String, String), Long) = null
+          pc.foreach { case (k, v) =>
+            if (best == null || v > best._2 ||
+              (v == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+          }
+          val ((p1, p2), bpc) = best
+          merges += ((step, p1, p2, bpc))
+          dict = dict.map { case (w, c, s) =>
+            val acc = scala.collection.mutable.ArrayBuffer[String]()
+            s.foreach { sym =>
+              if (acc.nonEmpty && acc.last == p1 && sym == p2)
+                acc(acc.length - 1) = p1 + p2
+              else acc += sym
+            }
+            (w, c, acc.toArray)
+          }
+        }
+        dict.iterator.map { case (w, c, s) =>
+          (0, w, c, s.toSeq, 0, "", "", 0L) } ++
+          merges.result().iterator.map { case (st, p1, p2, bpc) =>
+            (1, "", 0L, Seq.empty[String], st, p1, p2, bpc) }
+      }.toDF("kind", "word", "cnt", "syms", "step", "p1", "p2", "pc")
+      .localCheckpoint()
+    val dict = fitted.filter(col("kind") === 0)
+      .select(col("word"), col("cnt"), col("syms"))
+    val merges = fitted.filter(col("kind") === 1)
+      .select(col("step"), col("p1"), col("p2"),
         concat(col("p1"), col("p2")).as("merged"), col("pc"))
-      words = words.crossJoin(broadcast(best.select(col("p1"), col("p2"))))
-        .select(col("word"), col("cnt"), expr(
-          "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->" +
-            " IF(size(acc) > 0 AND element_at(acc, -1) = p1 AND s = p2," +
-            " concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2)))," +
-            " concat(acc, array(s))))").as("syms"))
-      if (step % 2 == 0 && step < bpeMerges) words = words.localCheckpoint()
-    }
-    (words, merges.result())
-    }
+    (dict, Seq(merges))
   }
 
   /** Oracle twin of [[bpeFit]]: CTE block ending in `w$bpeMerges` (the
