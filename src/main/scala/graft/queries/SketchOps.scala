@@ -272,8 +272,12 @@ object SketchOps {
     (spark, dir) => {
       val o = Catalog.table(spark, dir, "orders")
       val v = o.select(col("o_totalprice").as("v"))
+      // r14: mm (1 row) and cum (≤ HistB rows) are each read by several
+      // consumers below; un-materialized, every broadcast reference
+      // re-ran the corpus scan (mm ×4, cum ×2 — ~6 scans per execution).
       val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         count(lit(1)).as("n"))
+        .localCheckpoint()
       val bucketed = v.crossJoin(broadcast(mm))
         .select(least(floor((col("v") - col("mn")) * HistB / (col("mx") - col("mn"))),
           lit(HistB - 1)).cast("int").as("b"))
@@ -283,6 +287,7 @@ object SketchOps {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val cum = bucketed.select(col("b"), col("cnt"),
         sum(col("cnt")).over(wCum).as("cum"))
+        .localCheckpoint()
       val qs = spark.range(1).select(
         explode(array(lit(0.5d), lit(0.9d), lit(0.99d))).as("q"))
       // histogram estimate: first bucket with cum >= q*n; linear interp inside
@@ -298,16 +303,29 @@ object SketchOps {
             (col("q") * col("n") - (col("cum") - col("cnt")).cast("double")) /
               col("cnt").cast("double")) *
             ((col("mx") - col("mn")) / HistB), 4).as("histo_est"))
-      // exact: global sort + row_number, interpolate at idx = q*(n-1)
+      // exact: global sort + row_number, interpolate at idx = q*(n-1).
+      // r14: the sort runs ONCE — the ≤6 straddling ranks are joined out
+      // of the ranked frame in one pass and checkpointed; previously the
+      // lo_v and hi_v joins each re-ran the full global sort. The inner
+      // equality joins see the identical (r, v) rows, so the output is
+      // unchanged.
       val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       val ranked = v.select(col("v"),
         (row_number().over(wRank) - 1).cast("double").as("r"))
-      val exact = qs.crossJoin(broadcast(mm))
+      val exactBase = qs.crossJoin(broadcast(mm))
         .select(col("q"), (col("q") * (col("n") - 1)).as("idx"))
         .select(col("q"), floor(col("idx")).as("lo_r"), col("idx"))
-        .join(ranked.withColumnRenamed("v", "lo_v"),
+      val wanted = exactBase.select(col("lo_r").as("rw"))
+        .union(exactBase.select((col("lo_r") +
+          when(col("idx") > col("lo_r"), 1).otherwise(0)).as("rw")))
+        .distinct()
+      val rankedSmall = ranked.join(broadcast(wanted), col("r") === col("rw"))
+        .select(col("v"), col("r"))
+        .localCheckpoint()
+      val exact = exactBase
+        .join(rankedSmall.withColumnRenamed("v", "lo_v"),
           col("lo_r") === col("r")).drop("r")
-        .join(ranked.withColumnRenamed("v", "hi_v"),
+        .join(rankedSmall.withColumnRenamed("v", "hi_v"),
           col("lo_r") +
             when(col("idx") > col("lo_r"), 1).otherwise(0) === col("r"))
         .select(col("q"),
