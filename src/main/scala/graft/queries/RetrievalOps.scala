@@ -339,11 +339,15 @@ object RetrievalOps {
   /** The scoring core, factored for structural tests: docs(doc_id, lang,
     * text) → every doc scored (doc_id, lang, n_tok, score). */
   private[graft] def dsirScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r14: checkpointed — three consumers (raw counts, target counts,
+    // the per-doc scoring join) each re-ran the corpus scan + token
+    // explode + the md5-based h60 bucket hash
     val tok = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
         (TextOps.h60(col("tok")) % dsirB).as("b"))
+      .localCheckpoint()
     val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -410,6 +414,11 @@ object RetrievalOps {
       val d = TextOps.spread(Catalog.table(spark, dir, "documents"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 2)
+      // r14: h (2 consumers: tercile bounds + bucket assignment) is
+      // checkpointed — un-materialized, each reference re-ran the whole
+      // bigram scoring pipeline. (Checkpointing the exploded `bi` frame
+      // itself was measured WORSE at 10× — corpus-sized string
+      // materialization costs more than the saved re-explodes.)
       val bi = d.select(col("doc_id"), col("lang"),
         explode(expr("zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
           " (a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
@@ -422,6 +431,7 @@ object RetrievalOps {
           log(col("c2").cast("double") / col("c1").cast("double")).as("lp"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(-dsum(col("lp")) / count(lit(1)), 6).as("h"))
+        .localCheckpoint()
       val bounds = h.agg(expr(
         "percentile(h, array(CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3))").as("hb"))
       h.crossJoin(broadcast(bounds))
