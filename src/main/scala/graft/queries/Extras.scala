@@ -88,10 +88,15 @@ object Extras {
       val S = 8
       val l = Catalog.table(spark, dir, "lineitem")
       val s = Catalog.table(spark, dir, "supplier")
+      // deterministic per-row salt via native xxhash64 (the guide's
+      // pmod(xxhash64(...), S) idiom) — the previous md5-based h60 paid
+      // string-concat + MD5 + hex-conv per fact row just to pick a salt.
+      // Results are salt-placement-independent (exact fix6 aggregation),
+      // which is exactly what the salt-free oracle proves.
       val salted = l.select(col("l_suppkey"), col("l_extendedprice"),
         col("l_discount"),
-        (TextOps.h60(concat_ws(":", lit("salt"), col("l_orderkey"),
-          col("l_linenumber"))) % S).as("salt"))
+        pmod(xxhash64(lit("salt"), col("l_orderkey"), col("l_linenumber")),
+          lit(S.toLong)).as("salt"))
       val dimRep = s.select(col("s_suppkey"), col("s_nationkey"),
         explode(expr(s"sequence(0, ${S - 1})")).as("salt"))
       salted.hint("shuffle_hash")
@@ -261,9 +266,14 @@ object Extras {
       val cross = leads
         .select(col("c_name"), col("n"), explode(col("nbrs")).as("p"))
         .filter(col("p.bname").isNotNull)
-        .select(levenshtein(col("c_name"), col("p.bname")).as("dist"),
+        // thresholded levenshtein: the 3-arg form runs the banded DP
+        // (O(threshold·len) per pair with length-difference early-out,
+        // vs O(len²) unbounded) and returns -1 past the threshold — for
+        // the kept pairs (0..2) the distance value is identical, so the
+        // histogram is unchanged; the oracle stays the plain predicate.
+        .select(levenshtein(col("c_name"), col("p.bname"), 2).as("dist"),
           (col("n") * col("p.bn")).as("w"))
-        .filter(col("dist") <= 2)
+        .filter(col("dist") >= 0)
       val self = g.filter(col("n") >= 2)
         .select(lit(0).as("dist"), expr("n * (n - 1) div 2").as("w"))
       cross.union(self)
@@ -871,6 +881,12 @@ object Extras {
     "a_basket_pairs",
     "market-basket part-pair co-occurrence with lift vs independence",
     (spark, dir) => {
+      // NOT checkpointed (r14 measured negative, 2.73x/1.14x worse in
+      // both ABBA orders): the distinct's hash exchange is reused by the
+      // pair self-join's BOTH sides as-is, while a localCheckpoint
+      // erases the partitioning (ExistingRDD, UnknownPartitioning) and
+      // forces fresh exchanges on ok — dearer than the two extra
+      // scan+distinct runs behind perPart/nOrders.
       val items = Catalog.table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

@@ -496,9 +496,19 @@ object GraphOps {
   /** The iteration core, factored for structural tests: undirected edge
     * list (u,v) → (node, pr) after [[prIters]] damped rounds. */
   private[graft] def pageRankScores(e: DataFrame): DataFrame = {
+    // arcs embeds the co-purchase self-join + DISTINCT; every iteration
+    // (and deg) references it, so the un-cut form re-plans that subtree
+    // 5x into one enormous final plan (4 lineitem scans, 54 Exchange
+    // lines at sf0.1 — exchange reuse dedups most runtime but not the
+    // plan size or the scan/exchange ladder). Cut arcs once; deg (node-
+    // sized, one row per supplier) and its 1-row count feed pr0 plus
+    // every iteration's crossJoin(broadcast(n)), so cut it too — the
+    // x_histo_quantile checkpointed-scalar pattern.
     val arcs = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .transform(cut)
     val deg = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .transform(cut)
     val n = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), q6(lit(1.0d) / col("n").cast("double")).as("pr"))
